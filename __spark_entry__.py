@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (reference docx:q1 — top-5
+products by revenue) at sf0.001. ``queries()``/``oracle_sql()`` expose
+every implemented operator from SURVEY.md §2 with DuckDB oracle twins
+(driver hash-compares at sf0.01).
 """
 
 from __future__ import annotations
@@ -14,25 +13,37 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    # Importing the plan/operator modules populates the registry.
+    from retail_sales_analysis_etl_bi_project_spark.plans import registry
+    import retail_sales_analysis_etl_bi_project_spark.plans.bi  # noqa: F401
+
+    for mod in (
+        "retail_sales_analysis_etl_bi_project_spark.plans.etl_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.window_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.events_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.text_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.dedup_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.similarity_queries",
+    ):
+        try:
+            __import__(mod)
+        except ImportError:
+            pass  # module not built yet (incremental rounds)
+    return registry
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    reg = _registry()
+    return reg.QUERIES["q01_top5_products_by_revenue"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_registry().QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins; keys missing here get the weaker rows-only check."""
+    return dict(_registry().ORACLES)

@@ -1,0 +1,109 @@
+"""Dimensional build (gold layer) — the reference's warehouse-load logic
+(etl/etl.py:109-122, 143-306) rebuilt as lazy DataFrame plans.
+
+- build_dim_date     : distinct calendar days + date parts (etl.py:109-122)
+- with_surrogate_key : replaces Oracle sequences (sql/ddl_oracle.sql:18-22)
+                       with a deterministic row_number over the natural key
+- upsert_new_rows    : replaces Oracle MERGE insert-if-absent
+                       (etl.py:179-224) with anti-join + unionByName
+- assemble_fact      : the 4 broadcast key-lookup joins (etl.py:266-282),
+                       keeping BOTH natural and surrogate keys (SURVEY §1.4)
+- fk_violations      : referential-integrity audit (generate_data.py:299-304)
+- null_audit         : per-column null-cell counts (generate_data.py:294-296)
+
+Scale notes: surrogate-key assignment via a single global row_number is a
+one-partition sort — fine for dims (<=50k rows in the reference; dims are
+always small relative to the fact). For fact-sized tables we deliberately
+do NOT assign global contiguous ids (see docstring of with_surrogate_key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.dates import date_key, date_parts
+
+
+def build_dim_date(df: DataFrame, ts_col: str) -> DataFrame:
+    """One row per distinct calendar day of ``ts_col``, with
+    date_key=YYYYMMDD int, day/month/year/quarter and ISO weekday
+    (1=Monday), exactly as etl/etl.py:109-120. Distinct-then-derive: the
+    shuffle dedups day-granularity keys (at most ~tens of thousands of
+    rows regardless of fact size), then parts are computed on the tiny
+    result."""
+    days = df.select(F.to_date(F.col(ts_col)).alias("calendar_date")).distinct()
+    parts = date_parts("calendar_date")
+    return days.select(
+        date_key("calendar_date").alias("date_key"),
+        "calendar_date",
+        parts["day"].alias("day"),
+        parts["month"].alias("month"),
+        parts["year"].alias("year"),
+        parts["quarter"].alias("quarter"),
+        parts["weekday"].alias("weekday"),
+    )
+
+
+def with_surrogate_key(df: DataFrame, natural_key: str, key_name: str) -> DataFrame:
+    """Deterministic surrogate key: dense 1..N in natural-key order,
+    mirroring Oracle ``START WITH 1 INCREMENT BY 1`` sequences
+    (sql/ddl_oracle.sql:18-22) without shared mutable state.
+
+    Implementation is a row_number over a global ordering — a single
+    partition window, acceptable because dimensions are small by
+    definition. For billion-row entities use a hash key or
+    per-partition-offset assignment instead (non-contiguous but
+    shuffle-free); contiguity is a reference-parity requirement only for
+    the dims."""
+    w = Window.orderBy(natural_key)
+    return df.select(F.row_number().over(w).cast("bigint").alias(key_name), "*")
+
+
+def upsert_new_rows(existing: DataFrame, staging: DataFrame, key: str) -> DataFrame:
+    """Insert-only-new idempotent merge (reference MERGE INTO dim_date,
+    etl/etl.py:211-218): rows of ``staging`` whose ``key`` is absent from
+    ``existing`` are appended. Anti-join is the shuffle-minimal relational
+    form; with an ACID table format this becomes MERGE WHEN NOT MATCHED."""
+    new_rows = staging.join(existing.select(key), on=key, how="left_anti")
+    return existing.unionByName(new_rows)
+
+
+def assemble_fact(
+    fact: DataFrame,
+    dims: list[tuple[DataFrame, str, str]],
+) -> DataFrame:
+    """Reference fact assembly (etl/etl.py:266-295): for each
+    (dim, natural_key, surrogate_key) attach the surrogate via a
+    broadcast left join — left-outer semantics so unmatched natural keys
+    yield NULL surrogate keys, exactly like pandas ``Series.map`` on a
+    dict. Natural keys are retained (SURVEY §1.4: the docx queries join
+    on natural keys while the DDL uses surrogates — we serve both)."""
+    out = fact
+    for dim, natural_key, surrogate_key in dims:
+        lookup = dim.select(natural_key, surrogate_key)
+        out = out.join(F.broadcast(lookup), on=natural_key, how="left")
+    return out
+
+
+def fk_violations(fact: DataFrame, dims: list[tuple[DataFrame, str]]) -> DataFrame:
+    """Referential-integrity audit (generate_data.py:299-304): count of
+    fact rows whose FK has no match in each dim (expect all zeros).
+    Implemented as broadcast left-anti joins; one aggregate row out."""
+    counts = []
+    for dim, key in dims:
+        n = fact.join(F.broadcast(dim.select(key)), on=key, how="left_anti").count()
+        counts.append((key, n))
+    spark = fact.sparkSession
+    return spark.createDataFrame(counts, "fk_column string, violations bigint")
+
+
+def null_audit(df: DataFrame) -> DataFrame:
+    """Per-column null-cell counts in ONE pass (generate_data.py:294-296
+    did isnull().sum()); single aggregate row, no shuffle beyond the
+    final combine."""
+    aggs = [
+        F.sum(F.col(c).isNull().cast("bigint")).alias(c) for c in df.columns
+    ]
+    return df.agg(*aggs)

@@ -1,0 +1,301 @@
+"""Driver-checkable queries for the ETL/dimensional operators
+(SURVEY.md §2.1-§2.3, §2.6): each operator from operators/dims.py and
+functions/cleaning.py exercised on the driver star schema with a DuckDB
+oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import trim_cols
+from ..functions.money import dec
+from ..operators.dims import (
+    assemble_fact,
+    build_dim_date,
+    null_audit,
+    upsert_new_rows,
+    with_surrogate_key,
+)
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "etl_dim_date_build",
+    oracle="""
+    SELECT CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key,
+           d AS calendar_date,
+           CAST(day(d) AS INTEGER) AS day,
+           CAST(month(d) AS INTEGER) AS month,
+           CAST(year(d) AS INTEGER) AS year,
+           CAST(quarter(d) AS INTEGER) AS quarter,
+           CAST(isodow(d) AS INTEGER) AS weekday
+    FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+    """,
+)
+def etl_dim_date_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_dim_date (etl/etl.py:109-122): distinct days of o_orderdate
+    with YYYYMMDD date_key and ISO weekday (1=Monday — etl.py:118)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return build_dim_date(orders, "o_orderdate")
+
+
+@query(
+    "etl_surrogate_keys_customer",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_key,
+           c_custkey, TRIM(c_name) AS c_name, c_mktsegment
+    FROM customer
+    """,
+)
+def etl_surrogate_keys_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key assignment replacing Oracle sequences (J7,
+    sql/ddl_oracle.sql:18-22): dense 1..N over the natural key; plus the
+    P10 trim cleaning rule (etl/etl.py:64-65)."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    customer = trim_cols(customer, "c_name")
+    return with_surrogate_key(customer, "c_custkey", "customer_key")
+
+
+@query(
+    "etl_fact_assembly",
+    oracle="""
+    WITH dc AS (SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key FROM customer),
+         dp AS (SELECT p_partkey, ROW_NUMBER() OVER (ORDER BY p_partkey) AS part_key FROM part),
+         ds AS (SELECT s_suppkey, ROW_NUMBER() OVER (ORDER BY s_suppkey) AS supplier_key FROM supplier)
+    SELECT l.l_orderkey, l.l_linenumber,
+           o.o_custkey, l.l_partkey, l.l_suppkey,
+           CAST(dc.customer_key AS BIGINT) AS customer_key,
+           CAST(dp.part_key AS BIGINT) AS part_key,
+           CAST(ds.supplier_key AS BIGINT) AS supplier_key,
+           CAST(strftime(o.o_orderdate, '%Y%m%d') AS INTEGER) AS date_key,
+           CAST(l.l_quantity AS BIGINT) AS quantity,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))
+                AS DOUBLE) AS total_amount
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN dc ON o.o_custkey = dc.c_custkey
+    LEFT JOIN dp ON l.l_partkey = dp.p_partkey
+    LEFT JOIN ds ON l.l_suppkey = ds.s_suppkey
+    """,
+)
+def etl_fact_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact assembly (J1, etl/etl.py:266-295): broadcast surrogate-key
+    lookups against three dims + derived date_key + exact-decimal
+    total_amount; natural keys retained alongside surrogates (SURVEY
+    §1.4)."""
+    from ..functions.dates import date_key
+    from ..functions.money import revenue_expr
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    dim_c = with_surrogate_key(customer.select("c_custkey"), "c_custkey", "customer_key")
+    dim_p = with_surrogate_key(part.select("p_partkey"), "p_partkey", "part_key")
+    dim_s = with_surrogate_key(supplier.select("s_suppkey"), "s_suppkey", "supplier_key")
+
+    fact = lineitem.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    )
+    fact = assemble_fact(
+        fact.withColumnRenamed("o_custkey", "c_custkey")
+        .withColumnRenamed("l_partkey", "p_partkey")
+        .withColumnRenamed("l_suppkey", "s_suppkey"),
+        [
+            (dim_c, "c_custkey", "customer_key"),
+            (dim_p, "p_partkey", "part_key"),
+            (dim_s, "s_suppkey", "supplier_key"),
+        ],
+    )
+    return fact.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("s_suppkey").alias("l_suppkey"),
+        "customer_key",
+        "part_key",
+        "supplier_key",
+        date_key("o_orderdate").alias("date_key"),
+        F.col("l_quantity").cast("bigint").alias("quantity"),
+        revenue_expr().cast("double").alias("total_amount"),
+    )
+
+
+@query(
+    "etl_upsert_dim_date",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS date_key
+      FROM orders WHERE year(o_orderdate) < 1997
+    ), staging AS (
+      SELECT DISTINCT CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS date_key
+      FROM orders
+    )
+    SELECT date_key FROM existing
+    UNION ALL
+    SELECT date_key FROM staging
+    WHERE date_key NOT IN (SELECT date_key FROM existing)
+    """,
+)
+def etl_upsert_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent insert-only-new merge (J6, etl/etl.py:179-224): an
+    'existing' dim_date covering only years < 1997 is upserted with the
+    full staging set; result = existing UNION new-only. Re-running adds
+    nothing (idempotence is unit-tested)."""
+    orders = load_table(spark, sf_dir, "orders")
+    from ..functions.dates import date_key
+
+    all_days = orders.select(date_key("o_orderdate").alias("date_key")).distinct()
+    existing = (
+        orders.filter(F.year("o_orderdate") < 1997)
+        .select(date_key("o_orderdate").alias("date_key"))
+        .distinct()
+    )
+    return upsert_new_rows(existing, all_days, "date_key")
+
+
+@query(
+    "etl_fk_integrity",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+        AS bad_partkeys,
+      CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+        AS bad_suppkeys,
+      CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        AS bad_orderkeys
+    """,
+)
+def etl_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-integrity audit (J8, generate_data.py:299-304): count fact rows
+    with dangling FKs per dim via broadcast anti-joins (expect zeros)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def bad(dim: DataFrame, dim_key: str, fact_key: str) -> int:
+        return (
+            lineitem.join(
+                F.broadcast(dim.select(F.col(dim_key).alias(fact_key))),
+                on=fact_key,
+                how="left_anti",
+            ).count()
+        )
+
+    rows = [
+        (
+            bad(part, "p_partkey", "l_partkey"),
+            bad(supplier, "s_suppkey", "l_suppkey"),
+            bad(orders, "o_orderkey", "l_orderkey"),
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "bad_partkeys bigint, bad_suppkeys bigint, bad_orderkeys bigint"
+    )
+
+
+@query(
+    "etl_null_audit_customer",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_custkey,
+           CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_name,
+           CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nationkey,
+           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_acctbal,
+           CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment
+    FROM customer
+    """,
+)
+def etl_null_audit_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-cell audit (A8, generate_data.py:294-296) — one aggregation
+    pass over all columns."""
+    return null_audit(load_table(spark, sf_dir, "customer"))
+
+
+@query(
+    "etl_distinct_order_days",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days
+    FROM orders
+    """,
+)
+def etl_distinct_order_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: distinct normalized days (etl/etl.py:110 drop_duplicates on
+    dt.normalize)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct(F.to_date("o_orderdate")).alias("n_days")
+    )
+
+
+@query(
+    "etl_clean_filters",
+    oracle="""
+    SELECT c.c_custkey, TRIM(c.c_name) AS c_name, c.c_acctbal, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_acctbal >= 0 AND c.c_acctbal <= 9000
+    """,
+)
+def etl_clean_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver cleaning composition: P3 range predicate (age-in-[18,100]
+    analog, etl/etl.py:67) + P10 trim on the driver's customer table."""
+    from ..functions.cleaning import between_filter
+
+    customer = load_table(spark, sf_dir, "customer")
+    out = customer.filter(between_filter("c_acctbal", 0, 9000)).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    return trim_cols(out, "c_name")
+
+
+@query(
+    "etl_coerce_numeric",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(COALESCE(TRY_CAST(json_extract_string(props, '$.missing') AS DOUBLE), 0.0)
+                AS DOUBLE) AS missing_filled
+    FROM events
+    """,
+)
+def etl_coerce_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 lossy numeric cast + P9 null-fill (etl/etl.py:66,96): JSON props
+    field try_cast to number (invalid/absent -> NULL), then fillna(0)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_value"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing").try_cast("double"), F.lit(0.0)
+        ).alias("missing_filled"),
+    )
+
+
+@query(
+    "etl_theta_and_positive_filters",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_discount < l_tax AND l_quantity > 0
+    """,
+)
+def etl_theta_and_positive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 column-vs-column theta predicate (cost<price, etl/etl.py:74) +
+    P5 positivity (quantity>0, etl.py:94) on driver columns."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        (F.col("l_discount") < F.col("l_tax")) & (F.col("l_quantity") > 0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")

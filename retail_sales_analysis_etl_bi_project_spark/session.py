@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+The reference (etl/etl.py:31-45) builds a SQLAlchemy engine to an external
+Oracle; our engine's "connection" is a SparkSession. Config choices map
+reference semantics onto Spark:
+
+- ANSI mode OFF: pandas ``errors="coerce"`` (etl/etl.py:66,72-73,87-88)
+  means invalid casts become NULL, never errors. Non-ANSI Spark casts
+  (plus try_* functions) reproduce that exactly.
+- AQE ON: runtime coalescing of shuffle partitions, join-strategy
+  switching and skew-join handling — required at 100 TB, harmless at
+  test scale.
+- Broadcast threshold: all reference dims (<=50k rows) are far below
+  10 MB, so every dim join becomes a broadcast hash join, which is the
+  physical plan the reference hand-rolled with dict lookups
+  (etl/etl.py:266-282).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "retail-sales-analysis-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster, ``master`` comes from the environment; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
