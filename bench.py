@@ -1,0 +1,85 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once after a warm-up action so JVM/codegen
+startup isn't billed to the first query. Timings are wall-clock per
+query (plan + execute + collect of the small result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from retail_sales_analysis_etl_bi_project_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference-parity BI spine + one of each north-star
+# operator family (dedup, similarity, text, events). Heavy quadratic
+# baselines (all-pairs jaccard / cosine) are excluded — bench tracks the
+# scale-path variants.
+HEADLINE = [
+    "q01_top5_products_by_revenue",
+    "q02_monthly_revenue_trend",
+    "q03_revenue_by_supplier_nation",
+    "q04_custbal_segment_revenue",
+    "k4_category_revenue_share",
+    "etl_fact_assembly",
+    "etl_dim_date_build",
+    "window_top3_parts_per_brand",
+    "window_customer_running_total",
+    "events_hourly_agg",
+    "events_sessionization",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "text_quality_scores",
+    "sim_bruteforce_topk",
+    "sim_lsh_ann_topk",
+]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm-up: JVM, codegen, parquet footer cache
+    qs["q01_top5_products_by_revenue"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count() if name.startswith(("etl_fact", "window_customer")) else len(
+            df.collect()
+        )
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Warehouse catalog management (S6) — the reference's idempotent DDL
+executor (etl/etl.py:229-246 splits ddl_oracle.sql on ';' and skips if
+dim_customer exists) re-expressed as Spark catalog operations.
+
+Tables are managed Parquet tables in the session catalog; CREATE TABLE
+IF NOT EXISTS + tableExists give the same skip-if-present semantics
+without string-splitting DDL files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Gold DDL (sql/ddl_oracle.sql:26-85) with Spark types; DECIMAL at the
+# DW layer mirrors Oracle NUMBER(p,s). Fact carries both natural and
+# surrogate keys (SURVEY.md §1.4).
+WAREHOUSE_DDL: dict[str, str] = {
+    "dim_customer": """
+        customer_key BIGINT, customer_id BIGINT, first_name STRING,
+        last_name STRING, gender STRING, age BIGINT, city STRING,
+        state STRING, membership_level STRING
+    """,
+    "dim_product": """
+        product_key BIGINT, product_id BIGINT, product_name STRING,
+        category STRING, sub_category STRING, brand STRING,
+        price DECIMAL(10,2), cost DECIMAL(10,2), color STRING, size STRING
+    """,
+    "dim_store": """
+        store_key BIGINT, store_id BIGINT, store_name STRING, city STRING,
+        state STRING, region STRING, store_type STRING
+    """,
+    "dim_date": """
+        date_key INT, calendar_date DATE, day INT, month INT, year INT,
+        quarter INT, weekday INT
+    """,
+    "fact_sales": """
+        sales_id BIGINT, customer_id BIGINT, product_id BIGINT,
+        store_id BIGINT, customer_key BIGINT, product_key BIGINT,
+        store_key BIGINT, date_key INT, quantity BIGINT,
+        unit_price DECIMAL(12,2), discount_pct DECIMAL(5,2),
+        total_amount DECIMAL(14,2)
+    """,
+}
+
+
+def initialise_schema(spark: SparkSession, database: str = "retail_dw") -> bool:
+    """Create the star schema if absent (idempotent — reference
+    etl/etl.py:229-234 checks has_table('dim_customer') first). Returns
+    True when tables were created, False when they already existed."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    if spark.catalog.tableExists(f"{database}.dim_customer"):
+        return False
+    for table, cols in WAREHOUSE_DDL.items():
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {database}.{table} ({cols}) USING parquet"
+        )
+    return True
+
+
+def bulk_load(df: DataFrame, table: str, database: str = "retail_dw") -> int:
+    """Append a DataFrame into a warehouse table (reference bulk_load,
+    etl/etl.py:143-160 — chunked INSERTs become one distributed
+    per-partition write; the 5000-row batch knob is obsolete). Returns
+    the row count written (reference logged it, etl.py:160)."""
+    n = df.count()
+    df.write.mode("append").insertInto(f"{database}.{table}")
+    return n
+
+
+def replace_table(df: DataFrame, table: str, database: str = "retail_dw") -> None:
+    """if_exists='replace' semantics (reference stg_dim_date load,
+    etl/etl.py:197-208)."""
+    df.write.mode("overwrite").saveAsTable(f"{database}.{table}")

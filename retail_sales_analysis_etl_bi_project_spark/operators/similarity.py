@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (north-star extension,
+BASELINE.json: 'similarity search' for LLM-data pipelines).
+
+The reference has no vector operations; these are new, Spark-first:
+
+- cosine_expr       : exact cosine via JVM-side higher-order functions
+                      (zip_with + aggregate fold) — no Python UDF, stays
+                      inside codegen, bit-identical to a sequential fold
+- brute_force_topk  : exact top-k for a (small) query set vs the corpus —
+                      broadcast the queries, scan the corpus once,
+                      per-query top-k via window rank
+- lsh_topk          : approximate top-k via random-hyperplane LSH —
+                      the 100 TB path: corpus is bucketed by sign
+                      signature, so each query only scans its bucket
+
+Scale notes: brute force is O(|Q| x |corpus|) — correct baseline, only
+viable when |Q| is small or the corpus fits a single scan per query
+batch. LSH reduces candidate sets by ~2^bits; signatures are computed
+in one pass and the bucket join is a plain shuffle-on-key equi-join, so
+it parallelizes trivially on a cluster.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dbl(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns. The fold
+    order is the array order, so results are deterministic and match any
+    single-threaded oracle exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
+    a, b = _dbl(a), _dbl(b)
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact ANN baseline: for every query vector, the k nearest corpus
+    vectors by cosine. Queries are broadcast (small side); the corpus is
+    scanned once. Result: (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed -> reproducible across
+    runs and executors; shipped to the plan as literals, ~dim*n_planes
+    doubles, negligible)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def signature_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit signature string, e.g. '1011...': one bit per hyperplane."""
+    v = _dbl(vec_col)
+    bits = []
+    for plane in planes:
+        p = F.array(*[F.lit(x) for x in plane])
+        bits.append(F.when(dot_expr(v, p) >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates are corpus vectors in the query's
+    LSH bucket; exact cosine + rank within the bucket. At 100 TB the
+    bucket join replaces the full cross product with an equi-join on the
+    signature — each query touches ~|corpus| / 2^n_planes rows."""
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = signature_expr(vec_col, planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        sig.alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sig.alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,165 @@
+"""Driver-checkable event-stream queries (batch form). The same
+semantics run as Structured Streaming in streaming/events.py; these
+batch twins are the oracle-checkable versions (SURVEY.md §2.8 notes the
+reference is batch-only — streaming is a north-star extension).
+
+Sums of the double ``value`` column go through exact decimal(18,6) so a
+distributed Spark sum and the single-threaded DuckDB oracle agree
+bit-for-bit (same strategy as functions.money).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import query
+
+_DEC = "decimal(18,6)"
+_SQL_DEC = "DECIMAL(18,6)"
+SESSION_GAP_SEC = 1800
+
+
+@query(
+    "events_hourly_agg",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS {_SQL_DEC})) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch twin of the streaming
+    windowed agg): count + exact-decimal sum per hour x type."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle=f"""
+    WITH deltas AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM deltas
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag -> boundary
+    flag -> running sum = session id -> per-session rollup. Batch twin of
+    the stateful streaming sessionizer (streaming/events.py). Per-user
+    windows shuffle once on user_id; state never exceeds a user's rows."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > SESSION_GAP_SEC
+            ),
+            1,
+        ).otherwise(0)
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = events.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(run).cast("bigint")
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "events_type_value_stats",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS {_SQL_DEC})) AS DOUBLE) / COUNT(*) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value stats; avg as exact-sum / exact-count (one
+    deterministic double division)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_top_users",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+    FROM events
+    GROUP BY 1
+    ORDER BY n_events DESC, user_id
+    LIMIT 20
+    """,
+)
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most active users (count + distinct active days), with a
+    deterministic id tiebreak."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.to_date("ts")).alias("active_days"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(20)
+    )

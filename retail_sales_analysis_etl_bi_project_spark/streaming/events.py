@@ -1,0 +1,122 @@
+"""Structured Streaming over the events table (north-star extension —
+the reference is batch-only, SURVEY.md §2.8).
+
+Three streaming shapes, each the streaming twin of a batch query in
+plans/events_queries.py so correctness is checkable against the DuckDB
+oracle of the batch form:
+
+- tumbling_hourly_agg : windowed count/sum with watermark (late data)
+- sliding_type_counts : sliding window counts per event_type
+- session_windows     : native session windows (F.session_window) with
+                        the same 30-min gap as the batch sessionizer
+
+All take any streaming DataFrame with the events schema; tests feed
+them from parquet via ``readStream`` (file source) and collect with a
+memory sink. In production the source would be Kafka/Kinesis — the
+plan below is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.events_queries import SESSION_GAP_SEC
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet (tests / local dev).
+    The nanos timestamp issue (sources/tables.py) is avoided by reading
+    through an explicit schema with ts as long nanos, then converting."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        # file source requires a directory; glob-filter to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+
+
+def tumbling_hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of events_hourly_agg: 1-hour tumbling windows with
+    a watermark bounding state for late data. Output schema matches the
+    batch query (hour, event_type, n_events, total_value)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_type_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts per type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Native session windows: same 30-minute inactivity gap as the batch
+    sessionizer (plans/events_queries.py). Spark merges session state per
+    user across triggers; the watermark closes sessions and bounds state —
+    this is the scalable form of sessionization (no unbounded per-user
+    history)."""
+    gap = f"{SESSION_GAP_SEC} seconds"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    spark: SparkSession, stream_df: DataFrame, table_name: str, timeout_sec: int = 120
+) -> DataFrame:
+    """Drive a streaming plan to completion against a finite file source
+    (availableNow + memory sink); returns the materialized result. Test
+    harness — production would use writeStream to a real sink with
+    checkpointing."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(table_name)

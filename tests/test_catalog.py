@@ -1,0 +1,59 @@
+"""Catalog/DDL executor tests (S6) and validation report (S8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_sales_analysis_etl_bi_project_spark.operators.catalog import (
+    bulk_load,
+    initialise_schema,
+    replace_table,
+)
+from retail_sales_analysis_etl_bi_project_spark.operators.report import (
+    validation_report,
+)
+
+
+@pytest.fixture(scope="module")
+def dw(spark):
+    # warehouse dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored); drop the database afterwards
+    yield "retail_dw_test"
+    spark.sql("DROP DATABASE IF EXISTS retail_dw_test CASCADE")
+
+
+def test_initialise_schema_idempotent(spark, dw):
+    assert initialise_schema(spark, dw) is True
+    assert initialise_schema(spark, dw) is False  # second run: skip
+    tables = {t.name for t in spark.catalog.listTables(dw)}
+    assert {"dim_customer", "dim_product", "dim_store", "dim_date", "fact_sales"} <= tables
+
+
+def test_bulk_load_appends(spark, dw):
+    initialise_schema(spark, dw)
+    df = spark.createDataFrame(
+        [(1, 101, "A", "B", "F", 30, "c", "s", "Gold")],
+        "customer_key long, customer_id long, first_name string, last_name string,"
+        "gender string, age long, city string, state string, membership_level string",
+    )
+    n = bulk_load(df, "dim_customer", dw)
+    assert n == 1
+    assert spark.table(f"{dw}.dim_customer").count() >= 1
+
+
+def test_replace_table(spark, dw):
+    df1 = spark.createDataFrame([(1,)], "x long")
+    df2 = spark.createDataFrame([(2,), (3,)], "x long")
+    replace_table(df1, "stg_tmp", dw)
+    replace_table(df2, "stg_tmp", dw)
+    assert sorted(r.x for r in spark.table(f"{dw}.stg_tmp").collect()) == [2, 3]
+
+
+def test_validation_report_format(spark):
+    t = {
+        "customers": spark.createDataFrame([(1, "a"), (2, None)], "id long, n string"),
+        "sales": spark.createDataFrame([(1, 1), (2, 99)], "sid long, id long"),
+    }
+    rep = validation_report(t, fact_name="sales", fk_map=[("customers", "id")])
+    assert "rows in customers: 2" in rep
+    assert "null cells in customers: 1" in rep
+    assert "sales rows with bad foreign keys: 1" in rep

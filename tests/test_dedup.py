@@ -1,0 +1,89 @@
+"""Dedup operator tests, including the MinHash-LSH vs exact-Jaccard
+recall assertion that stands in for the missing SQL oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+    exact_dup_groups,
+    fingerprint_dup_groups,
+    jaccard_expr,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    shingles_expr,
+    simhash_near_dup_pairs,
+)
+from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+
+
+def test_exact_dup_groups_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    rows = exact_dup_groups(docs).collect()
+    by_rep = {r.representative_id: r.n_dups for r in rows}
+    assert by_rep == {1: 2, 3: 1}
+
+
+def test_fingerprint_dedup_normalizes(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "HELLO WORLD?")],
+        "doc_id long, text string",
+    )
+    rows = fingerprint_dup_groups(docs).collect()
+    assert len(rows) == 1 and rows[0].n_dups == 3
+
+
+def test_shingles_and_jaccard(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], "doc_id long, text string"
+    )
+    sh = docs.select(
+        "doc_id", shingles_expr(F.col("text"), 3).alias("sh")
+    ).collect()
+    assert sorted(sh[0].sh) == ["a b c", "b c d"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.99).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == 1.0
+
+
+def test_short_doc_shingle_is_whole_text(spark):
+    docs = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    sh = docs.select(shingles_expr(F.col("text"), 3).alias("sh")).collect()[0].sh
+    assert sh == ["ab cd"]
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """The rows-only LSH query is validated here: every exact-Jaccard
+    pair >= 0.7 must be found by MinHash-LSH (high-sim pairs are caught
+    by 16x4 banding with probability ~1), and everything LSH reports
+    passes the same exact verification filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact_hi = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact_hi, "fixture should contain planted near-dups"
+    missed = exact_hi - set(lsh)
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+    assert all(j >= 0.5 for j in lsh.values())  # verification filter holds
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    sim = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    # simhash is an approximation: it must at least see most J>=0.9 clones
+    if exact:
+        found = len(exact & sim) / len(exact)
+        assert found >= 0.5, f"simhash recall too low: {found}"

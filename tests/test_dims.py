@@ -1,0 +1,70 @@
+"""Dimensional-build operator tests: dim_date conventions (golden tests
+SURVEY.md §7.3 requires), surrogate keys, idempotent upsert, fact
+assembly left-join semantics, audits."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from retail_sales_analysis_etl_bi_project_spark.operators.dims import (
+    assemble_fact,
+    build_dim_date,
+    fk_violations,
+    null_audit,
+    upsert_new_rows,
+    with_surrogate_key,
+)
+
+
+def test_dim_date_weekday_is_iso_monday_1(spark):
+    """2024-01-01 is a Monday -> weekday 1; 2024-01-07 Sunday -> 7.
+    date_key is int YYYYMMDD (etl/etl.py:112,118)."""
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 10, 30),),
+         (datetime.datetime(2024, 1, 7, 23, 59),),
+         (datetime.datetime(2024, 1, 1, 5, 0),)],  # same day, different time
+        "ts timestamp",
+    )
+    rows = {r.date_key: r for r in build_dim_date(df, "ts").collect()}
+    assert set(rows) == {20240101, 20240107}  # normalized + dedup'd
+    assert rows[20240101].weekday == 1 and rows[20240107].weekday == 7
+    assert rows[20240101].quarter == 1
+    assert rows[20240101].calendar_date == datetime.date(2024, 1, 1)
+
+
+def test_surrogate_keys_dense_from_1(spark):
+    df = spark.createDataFrame([(30,), (10,), (20,)], "nk int")
+    rows = with_surrogate_key(df, "nk", "sk").orderBy("sk").collect()
+    assert [(r.sk, r.nk) for r in rows] == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_upsert_insert_only_new_and_idempotent(spark):
+    existing = spark.createDataFrame([(1,), (2,)], "k int")
+    staging = spark.createDataFrame([(2,), (3,)], "k int")
+    once = upsert_new_rows(existing, staging, "k")
+    assert sorted(r.k for r in once.collect()) == [1, 2, 3]
+    twice = upsert_new_rows(once, staging, "k")
+    assert sorted(r.k for r in twice.collect()) == [1, 2, 3]  # idempotent
+
+
+def test_assemble_fact_left_join_null_on_miss(spark):
+    fact = spark.createDataFrame([(1, 100), (2, 999)], "id int, cust_id int")
+    dim = spark.createDataFrame([(100, 7)], "cust_id int, cust_key int")
+    out = assemble_fact(fact, [(dim, "cust_id", "cust_key")]).orderBy("id").collect()
+    assert out[0].cust_key == 7
+    assert out[1].cust_key is None  # missing key -> NULL (pandas .map parity)
+
+
+def test_fk_violations_counts(spark):
+    fact = spark.createDataFrame([(1,), (2,), (99,)], "k int")
+    dim = spark.createDataFrame([(1,), (2,)], "k int")
+    rows = fk_violations(fact, [(dim, "k")]).collect()
+    assert rows[0].violations == 1
+
+
+def test_null_audit(spark):
+    df = spark.createDataFrame(
+        [(1, None), (None, "x"), (3, "y")], "a int, b string"
+    )
+    row = null_audit(df).collect()[0]
+    assert row.a == 1 and row.b == 1

