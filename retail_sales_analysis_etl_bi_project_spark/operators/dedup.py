@@ -112,12 +112,18 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------- minhash + lsh
 
 def minhash_signature_expr(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per hash function i, min over shingles of
-    xxhash64(i, shingle). xxhash64 is Spark-builtin, deterministic, and
-    seedable via the extra literal column — one pass, JVM-side."""
-    # NB: closures must be built via a factory — a `lambda s, i=i:` default
-    # arg changes the lambda's arity and PySpark binds the extra parameter
-    # to the array-index lambda variable instead of the captured value.
+    """MinHash signature as a single expression: per hash function i, min
+    over shingles of xxhash64(i, shingle).
+
+    NOTE: expression form only — every one of the num_hashes array_min
+    terms re-evaluates the ``shingles`` subtree, so on real data use
+    minhash_signatures() (explode + grouped partial mins), which computes
+    shingles once. Kept for tiny inputs and as the semantic spec.
+
+    Closures are built via a factory — a `lambda s, i=i:` default arg
+    changes the lambda's arity and PySpark binds the extra parameter to
+    the array-index lambda variable instead of the captured value."""
+
     def seeded(i: int):
         return lambda s: F.xxhash64(F.lit(i), s)
 
@@ -125,6 +131,39 @@ def minhash_signature_expr(shingles: Column, num_hashes: int = 64) -> Column:
         F.array_min(F.transform(shingles, seeded(i))) for i in range(num_hashes)
     ]
     return F.array(*sigs)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures, scalable form: explode shingles to a tall
+    (doc, shingle) relation — shingle construction happens ONCE — then
+    num_hashes grouped MINs. Each min is a partial+final HashAggregate,
+    so the shuffle carries one 64-long signature row per doc regardless
+    of document size. Returns (doc_id_, sig array<bigint>).
+
+    The input is repartitioned by id first: document corpora often
+    arrive as few large files, and the explode + 64 hashes/row is the
+    compute-heavy phase — it must run at full cluster parallelism, not
+    at input-file granularity."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    tall = docs.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id_"),
+        F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        tall.groupBy("doc_id_")
+        .agg(*mins)
+        .select("doc_id_", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
 
 
 def minhash_candidate_pairs(
@@ -141,8 +180,10 @@ def minhash_candidate_pairs(
     a groupBy on (band_idx, band_hash) — a single shuffle — instead of a
     cross join. Pairs with estimated similarity via signature agreement."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_expr(shingles_expr(F.col(text_col), n), num_hashes)
-    with_sig = docs.select(F.col(id_col).alias("doc_id_"), sig.alias("sig"))
+    # Signatures are reused by the band explode (16x) and twice by the
+    # estimate join — cache the (tiny: one row of 64 longs per doc)
+    # signature relation instead of recomputing the shingle pipeline.
+    with_sig = minhash_signatures(docs, num_hashes, n, text_col, id_col).cache()
 
     band_cols = F.array(
         *[
@@ -155,9 +196,11 @@ def minhash_candidate_pairs(
             for i in range(bands)
         ]
     )
-    banded = with_sig.select(
-        "doc_id_", "sig", F.explode(band_cols).alias("band")
-    ).select("doc_id_", "sig", "band.band_idx", "band.band_hash")
+    # band rows carry only (id, band_idx, band_hash) — never the 64-long
+    # signature — so the exploded shuffle moves 3 fixed-size values/row
+    banded = with_sig.select("doc_id_", F.explode(band_cols).alias("band")).select(
+        "doc_id_", "band.band_idx", "band.band_hash"
+    )
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -171,22 +214,23 @@ def minhash_candidate_pairs(
         .select(
             F.col("a.doc_id_").alias("doc_a"),
             F.col("b.doc_id_").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # signature-agreement estimate, joined onto the (small) candidate set
+    sig_a = with_sig.select(F.col("doc_id_").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = with_sig.select(F.col("doc_id_").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
         ).cast("double")
         / F.lit(float(num_hashes))
     )
-    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).orderBy(
-        "doc_a", "doc_b"
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -204,9 +248,11 @@ def minhash_dedup_pairs(
     two-phase scheme — verification cost is proportional to candidate
     count, not corpus^2)."""
     cand = minhash_candidate_pairs(docs, num_hashes, bands, n, text_col, id_col)
+    # shingle arrays appear on both sides of the verification join —
+    # cache one copy instead of re-tokenizing the corpus twice
     sh = docs.select(
         F.col(id_col).alias("did"), shingles_expr(F.col(text_col), n).alias("sh")
-    )
+    ).cache()
     return (
         cand.join(sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
@@ -247,6 +293,38 @@ def hamming_expr(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_signatures(
+    docs: DataFrame,
+    bits: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash, scalable form (same explode-then-aggregate shape as
+    minhash_signatures): tokenize once into a tall relation, hash each
+    token once, then ``bits`` grouped +1/-1 SUM votes — all partial-
+    aggregated before the shuffle. Returns (doc_id_, sh bigint).
+    Docs with no tokens produce no row (nothing to hash).
+    Repartitioned by id for the same reason as minhash_signatures."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    tall = docs.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id_"),
+        F.explode(tokens_expr(F.col(text_col))).alias("tok"),
+    ).select("doc_id_", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tall.groupBy("doc_id_").agg(*votes)
+    sim = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(0)
+    return agg.select("doc_id_", sim.alias("sh"))
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -261,8 +339,8 @@ def simhash_near_dup_pairs(
     Hamming verification. Bucketed join — same scale shape as MinHash."""
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    sh = docs.select(
-        F.col(id_col).alias("did"), simhash_expr(F.col(text_col), bits).alias("sh")
+    sh = simhash_signatures(docs, bits, text_col, id_col).withColumnRenamed(
+        "doc_id_", "did"
     )
     chunk_arr = F.array(
         *[
