@@ -21,6 +21,8 @@ def _registry():
     for mod in (
         "retail_sales_analysis_etl_bi_project_spark.plans.etl_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.sql_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.extra_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.agg_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.window_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.events_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.text_queries",

@@ -32,6 +32,10 @@ HEADLINE = [
     "q03_revenue_by_supplier_nation",
     "q04_custbal_segment_revenue",
     "k4_category_revenue_share",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "agg_rollup_year_month",
+    "derived_profit_by_brand",
     "etl_fact_assembly",
     "etl_dim_date_build",
     "window_top3_parts_per_brand",

@@ -1,0 +1,74 @@
+"""Aggregate-surface extensions beyond the reference (which only has
+plain GROUP BY sums — SURVEY.md §2.4): hierarchical ROLLUP totals and
+exact percentiles, both oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import dec, revenue_expr
+from ..sources.tables import load_table
+from .bi import REVENUE_SQL
+from .registry import query
+
+
+@query(
+    "agg_rollup_year_month",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS year,
+           CAST(month(o.o_orderdate) AS INTEGER) AS month,
+           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY ROLLUP(1, 2)
+    ORDER BY 1, 2
+    """,
+)
+def agg_rollup_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(year, month): monthly rows + yearly subtotals + grand
+    total in one pass (Spark expands grouping sets in a single shuffle).
+    The BI 'drill-up' companion to q02."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .rollup(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .orderBy("year", "month")
+    )
+
+
+@query(
+    "agg_order_value_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def agg_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of order value per priority class. Spark
+    ``percentile`` and DuckDB ``quantile_cont`` both use linear
+    interpolation over the sorted multiset -> identical doubles. (At
+    100 TB swap to approx_percentile with a fixed accuracy for a
+    single-pass sketch; exact percentile sorts per group.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+            F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,56 @@
+"""Dump physical-plan summaries for the headline queries: verifies the
+plans we claim in SCALE.md (broadcast joins, pushed filters, partial
+aggregation, TakeOrderedAndProject) are the plans Spark actually runs.
+
+Usage: python tools/explain_plans.py [sf_dir] > PLANS.txt
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+from retail_sales_analysis_etl_bi_project_spark.session import get_spark
+import __spark_entry__ as entrymod
+
+INTERESTING = re.compile(
+    r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|Exchange|HashAggregate"
+    r"|TakeOrderedAndProject|PushedFilters|WholeStageCodegen|Window|Scan parquet"
+)
+
+
+def summarize(name, df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    lines = [
+        ln for ln in buf.getvalue().splitlines() if INTERESTING.search(ln)
+    ]
+    return f"== {name} ==\n" + "\n".join(lines[:40])
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("explain-plans")
+    qs = entrymod.queries()
+    names = sys.argv[2].split(",") if len(sys.argv) > 2 else [
+        "q01_top5_products_by_revenue",
+        "q02_monthly_revenue_trend",
+        "q03_revenue_by_supplier_nation",
+        "tpch_q1_pricing_summary",
+        "tpch_q5_local_supplier_volume",
+        "etl_fact_assembly",
+        "dedup_exact_groups",
+        "events_sessionization",
+    ]
+    for name in names:
+        print(summarize(name, qs[name](spark, sf_dir)))
+        print()
+
+
+if __name__ == "__main__":
+    main()
