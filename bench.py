@@ -48,6 +48,11 @@ HEADLINE = [
     "text_quality_scores",
     "sim_bruteforce_topk",
     "sim_lsh_ann_topk",
+    "sim_ivf_ann_topk",
+    "skew_salted_revenue_by_segment",
+    "events_sliding_3h_daily",
+    "corpus_filter_pipeline",
+    "multimodal_feature_extract",
 ]
 
 

@@ -104,6 +104,74 @@ def signature_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def ivf_assignments(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantization with deterministic centroids: the first
+    ``n_centroids`` vectors by id serve as the codebook (a k-means
+    refinement would drop in here; sampled centroids keep it
+    deterministic and dependency-free). Returns (assignments, codebook)
+    where assignments adds a ``centroid_id`` column = argmax cosine.
+
+    The codebook is collected to the driver (n_centroids x dim floats —
+    KBs) and shipped as literals, so assignment is a pure per-row
+    expression: no join, no shuffle."""
+    rows = (
+        emb.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    codebook = [[float(x) for x in r[0]] for r in rows]
+    v = _dbl(vec_col)
+    # argmax via array_max + array_position: each cosine expression
+    # appears exactly once. (An iterative when-chain would nest every
+    # previous comparison inside the next — exponential expression
+    # blowup beyond ~10 centroids.)
+    sims_arr = F.array(
+        *[cosine_expr(v, F.array(*[F.lit(x) for x in c])) for c in codebook]
+    )
+    best = (F.array_position(sims_arr, F.array_max(sims_arr)) - 1).cast("int")
+    return emb.withColumn("centroid_id", best), codebook
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with nprobe=1: queries score only the corpus vectors
+    assigned to their own centroid. The probe join is an equi-join on
+    centroid_id — at 100 TB each query touches ~corpus/n_centroids
+    rows, and the inverted lists shard naturally by centroid."""
+    assigned, _ = ivf_assignments(corpus, n_centroids, id_col, vec_col)
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
+    )
+    q_assigned, _ = ivf_assignments(queries, n_centroids, id_col, vec_col)
+    q = q_assigned.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.tables import load_table
 from .registry import query
 
@@ -43,6 +43,17 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(
         emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K
+    )
+
+
+@query("sim_ivf_ann_topk")  # approximate by construction -> rows-only
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe=1, 16 sampled centroids): each query scores only
+    its centroid's inverted list — the other classic scale path next to
+    LSH. Recall vs brute force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K, n_centroids=16
     )
 
 

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
     brute_force_topk,
     cosine_expr,
+    ivf_topk,
     lsh_topk,
 )
 from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
@@ -60,3 +61,27 @@ def test_lsh_results_subset_of_brute_force_scores(spark, sf_dir):
             assert abs(bf_scores[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
     recall = len(bf_pairs & lsh_pairs) / len(bf_pairs)
     assert recall >= 0.1, f"recall {recall}"
+
+
+def test_ivf_topk_wiring_and_scores_exact(spark, sf_dir):
+    """IVF results carry exact cosines; every query's bucket-mates are
+    ranked identically to brute force within the probed list."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf_scores = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(emb, queries, k=50).collect()
+    }
+    ivf = ivf_topk(emb, queries, k=10, n_centroids=8).collect()
+    assert ivf, "ivf returned nothing"
+    assert all(r.query_id < 5 for r in ivf)
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in bf_scores:
+            assert abs(bf_scores[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+    # ranks are 1..k contiguous per query
+    from collections import defaultdict
+    by_q = defaultdict(list)
+    for r in ivf:
+        by_q[r.query_id].append(r.rank)
+    for ranks in by_q.values():
+        assert ranks == list(range(1, len(ranks) + 1))
