@@ -25,6 +25,7 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.agg_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.misc_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.corpus_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.json_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.window_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.events_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.text_queries",
