@@ -53,6 +53,8 @@ HEADLINE = [
     "events_sliding_3h_daily",
     "corpus_filter_pipeline",
     "multimodal_feature_extract",
+    "json_props_map_agg",
+    "stats_value_moments",
 ]
 
 
