@@ -180,10 +180,14 @@ def minhash_candidate_pairs(
     a groupBy on (band_idx, band_hash) — a single shuffle — instead of a
     cross join. Pairs with estimated similarity via signature agreement."""
     rows_per_band = num_hashes // bands
-    # Signatures are reused by the band explode (16x) and twice by the
-    # estimate join — cache the (tiny: one row of 64 longs per doc)
-    # signature relation instead of recomputing the shingle pipeline.
-    with_sig = minhash_signatures(docs, num_hashes, n, text_col, id_col).cache()
+    # The signature relation is reused by the band explode and twice by
+    # the estimate join. No .cache(): the builder contract returns lazy
+    # plans (nobody could unpersist), and Spark's ReuseExchange / AQE
+    # stage reuse shares the expensive groupBy exchange of
+    # minhash_signatures across all three references — only the cheap
+    # final merge re-runs. (An unmanaged cache here leaked storage
+    # memory across the 28-query bench session in round 1.)
+    with_sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
 
     band_cols = F.array(
         *[
@@ -248,11 +252,14 @@ def minhash_dedup_pairs(
     two-phase scheme — verification cost is proportional to candidate
     count, not corpus^2)."""
     cand = minhash_candidate_pairs(docs, num_hashes, bands, n, text_col, id_col)
-    # shingle arrays appear on both sides of the verification join —
-    # cache one copy instead of re-tokenizing the corpus twice
+    # shingle arrays appear on both sides of the verification join; the
+    # projection is a cheap scan-fused transform, so recomputing twice
+    # beats an unmanaged .cache() that would leak in a lazy-builder
+    # session (round-1 bench leak). The two join exchanges hash the same
+    # underlying column, so ReuseExchange shares the shuffle.
     sh = docs.select(
         F.col(id_col).alias("did"), shingles_expr(F.col(text_col), n).alias("sh")
-    ).cache()
+    )
     return (
         cand.join(sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")

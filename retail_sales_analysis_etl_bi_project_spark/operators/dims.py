@@ -87,16 +87,37 @@ def assemble_fact(
     return out
 
 
-def fk_violations(fact: DataFrame, dims: list[tuple[DataFrame, str]]) -> DataFrame:
+def fk_violations(
+    fact: DataFrame,
+    dims: list[tuple[DataFrame, str, str, str, bool]],
+) -> DataFrame:
     """Referential-integrity audit (generate_data.py:299-304): count of
     fact rows whose FK has no match in each dim (expect all zeros).
-    Implemented as broadcast left-anti joins; one aggregate row out."""
-    counts = []
-    for dim, key in dims:
-        n = fact.join(F.broadcast(dim.select(key)), on=key, how="left_anti").count()
-        counts.append((key, n))
-    spark = fact.sparkSession
-    return spark.createDataFrame(counts, "fk_column string, violations bigint")
+
+    ``dims`` entries are (dim, dim_key, fact_key, out_alias, small).
+    ONE lazy plan, ONE scan of the fact: each dim contributes a left
+    join on a 1-column key relation tagged with a match flag; the counts
+    are conditional sums over the joined row in a single aggregate.
+    Small dims are broadcast; large ones (``small=False``) go through a
+    regular shuffled join — never broadcast a fact-sized side. Returns
+    an UNEXECUTED one-row DataFrame (the lazy builder contract)."""
+    out = fact.select(*[fact_key for _, _, fact_key, _, _ in dims])
+    flags = []
+    for i, (dim, dim_key, fact_key, out_alias, small) in enumerate(dims):
+        flag = f"_fk_match_{i}"
+        lookup = dim.select(F.col(dim_key).alias(fact_key)).withColumn(
+            flag, F.lit(1)
+        )
+        if small:
+            lookup = F.broadcast(lookup)
+        out = out.join(lookup, on=fact_key, how="left")
+        flags.append((flag, out_alias))
+    return out.agg(
+        *[
+            F.sum(F.col(flag).isNull().cast("bigint")).alias(out_alias)
+            for flag, out_alias in flags
+        ]
+    )
 
 
 def null_audit(df: DataFrame) -> DataFrame:

@@ -27,8 +27,12 @@ def validation_report(
         lines.append(f"null cells in {name}: {sum(nulls.asDict().values())}")
     if fact_name and fk_map:
         fact = tables[fact_name]
-        dims = [(tables[dim_name], key) for dim_name, key in fk_map]
-        total_bad = sum(r.violations for r in fk_violations(fact, dims).collect())
+        dims = [
+            (tables[dim_name], key, key, f"bad_{key}", True)
+            for dim_name, key in fk_map
+        ]
+        audit = fk_violations(fact, dims).collect()[0]
+        total_bad = sum(audit.asDict().values())
         lines.append(f"{fact_name} rows with bad foreign keys: {total_bad}")
     return "\n".join(lines) + "\n"
 

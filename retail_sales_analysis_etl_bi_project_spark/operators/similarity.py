@@ -109,6 +109,7 @@ def ivf_assignments(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantization with deterministic centroids: the first
     ``n_centroids`` vectors by id serve as the codebook (a k-means
@@ -116,13 +117,19 @@ def ivf_assignments(
     deterministic and dependency-free). Returns (assignments, codebook)
     where assignments adds a ``centroid_id`` column = argmax cosine.
 
+    Pass ``codebook`` to assign against an EXISTING codebook — required
+    when assigning queries, which must share the CORPUS codebook or
+    their centroid_ids index a different partitioning and the probe
+    join compares unrelated inverted lists.
+
     The codebook is collected to the driver (n_centroids x dim floats —
     KBs) and shipped as literals, so assignment is a pure per-row
     expression: no join, no shuffle."""
-    rows = (
-        emb.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-    )
-    codebook = [[float(x) for x in r[0]] for r in rows]
+    if codebook is None:
+        rows = (
+            emb.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+        )
+        codebook = [[float(x) for x in r[0]] for r in rows]
     v = _dbl(vec_col)
     # argmax via array_max + array_position: each cosine expression
     # appears exactly once. (An iterative when-chain would nest every
@@ -147,11 +154,15 @@ def ivf_topk(
     assigned to their own centroid. The probe join is an equi-join on
     centroid_id — at 100 TB each query touches ~corpus/n_centroids
     rows, and the inverted lists shard naturally by centroid."""
-    assigned, _ = ivf_assignments(corpus, n_centroids, id_col, vec_col)
+    assigned, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
     )
-    q_assigned, _ = ivf_assignments(queries, n_centroids, id_col, vec_col)
+    # queries MUST be assigned against the CORPUS codebook: a
+    # query-derived codebook would give centroid_ids that index a
+    # different partitioning, and the nprobe=1 equi-join would probe
+    # semantically unrelated inverted lists (recall collapse).
+    q_assigned, _ = ivf_assignments(queries, n_centroids, id_col, vec_col, codebook=cb)
     q = q_assigned.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
     )

@@ -181,30 +181,22 @@ def etl_upsert_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def etl_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FK-integrity audit (J8, generate_data.py:299-304): count fact rows
-    with dangling FKs per dim via broadcast anti-joins (expect zeros)."""
+    with dangling FKs per dim (expect zeros) — ONE lazy plan, ONE scan of
+    lineitem: left joins to flagged key relations + conditional sums.
+    part/supplier are broadcast; orders is fact-sized and shuffles."""
+    from ..operators.dims import fk_violations
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
-
-    def bad(dim: DataFrame, dim_key: str, fact_key: str) -> int:
-        return (
-            lineitem.join(
-                F.broadcast(dim.select(F.col(dim_key).alias(fact_key))),
-                on=fact_key,
-                how="left_anti",
-            ).count()
-        )
-
-    rows = [
-        (
-            bad(part, "p_partkey", "l_partkey"),
-            bad(supplier, "s_suppkey", "l_suppkey"),
-            bad(orders, "o_orderkey", "l_orderkey"),
-        )
-    ]
-    return spark.createDataFrame(
-        rows, "bad_partkeys bigint, bad_suppkeys bigint, bad_orderkeys bigint"
+    return fk_violations(
+        lineitem,
+        [
+            (part, "p_partkey", "l_partkey", "bad_partkeys", True),
+            (supplier, "s_suppkey", "l_suppkey", "bad_suppkeys", True),
+            (orders, "o_orderkey", "l_orderkey", "bad_orderkeys", False),
+        ],
     )
 
 

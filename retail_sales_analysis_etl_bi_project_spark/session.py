@@ -57,4 +57,21 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_nanos_as_long(spark)
+    return spark
+
+
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Engine-wide policy: parquet TIMESTAMP(NANOS) columns (events.ts in
+    the driver testdata) are read as raw nanos longs and truncated to
+    microsecond timestamps by the loader (sources/tables.py) — the value
+    DuckDB produces for the same file.
+
+    This is the ONLY place the conf is mutated. Loaders call this helper
+    (rather than ``spark.conf.set`` inline) so sessions built outside
+    ``get_spark`` — e.g. the driver's vanilla session — behave
+    identically, and the policy stays greppable in one location."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")

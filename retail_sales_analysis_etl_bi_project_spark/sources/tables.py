@@ -45,7 +45,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from ..session import ensure_nanos_as_long
+
+        ensure_nanos_as_long(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")

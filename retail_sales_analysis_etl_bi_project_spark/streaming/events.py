@@ -35,7 +35,9 @@ def read_events_stream(
     """File-source stream over the events parquet (tests / local dev).
     The nanos timestamp issue (sources/tables.py) is avoided by reading
     through an explicit schema with ts as long nanos, then converting."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..session import ensure_nanos_as_long
+
+    ensure_nanos_as_long(spark)
     raw = (
         spark.readStream.schema(
             "event_id bigint, ts bigint, user_id bigint, event_type string, "

@@ -58,8 +58,23 @@ def test_assemble_fact_left_join_null_on_miss(spark):
 def test_fk_violations_counts(spark):
     fact = spark.createDataFrame([(1,), (2,), (99,)], "k int")
     dim = spark.createDataFrame([(1,), (2,)], "k int")
-    rows = fk_violations(fact, [(dim, "k")]).collect()
-    assert rows[0].violations == 1
+    row = fk_violations(fact, [(dim, "k", "k", "bad_k", True)]).collect()[0]
+    assert row.bad_k == 1
+
+
+def test_fk_violations_single_pass_multi_dim(spark):
+    """One lazy plan, multiple dims, mixed broadcast/shuffle joins."""
+    fact = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], "a int, b int")
+    dim_a = spark.createDataFrame([(1,), (2,), (3,)], "a int")
+    dim_b = spark.createDataFrame([(10,), (20,)], "b int")
+    df = fk_violations(
+        fact,
+        [(dim_a, "a", "a", "bad_a", True), (dim_b, "b", "b", "bad_b", False)],
+    )
+    row = df.collect()[0]
+    assert row.bad_a == 0 and row.bad_b == 1
+    # lazy contract: the builder returns one unexecuted aggregate row
+    assert df.schema.fieldNames() == ["bad_a", "bad_b"]
 
 
 def test_null_audit(spark):

@@ -38,12 +38,12 @@ def test_fk_integrity_zero_violations(spark):
     rep = fk_violations(
         sales,
         [
-            (customers, "customer_id"),
-            (products, "product_id"),
-            (stores, "store_id"),
+            (customers, "customer_id", "customer_id", "bad_customer", True),
+            (products, "product_id", "product_id", "bad_product", True),
+            (stores, "store_id", "store_id", "bad_store", True),
         ],
-    ).collect()
-    assert all(r.violations == 0 for r in rep)
+    ).collect()[0]
+    assert all(v == 0 for v in rep.asDict().values())
 
 
 def test_business_rules_hold(spark):

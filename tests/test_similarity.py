@@ -85,3 +85,24 @@ def test_ivf_topk_wiring_and_scores_exact(spark, sf_dir):
         by_q[r.query_id].append(r.rank)
     for ranks in by_q.values():
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_queries_share_corpus_codebook(spark, sf_dir):
+    """Regression for the round-1 advisor finding: queries that are NOT
+    a prefix of the corpus must still be assigned against the CORPUS
+    codebook. Each query's probed list must be exactly the corpus rows
+    sharing the query's corpus-codebook centroid."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # deliberately non-prefix query ids
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    assigned, cb = ivf_assignments(emb, n_centroids=8)
+    corpus_cent = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    out = ivf_topk(emb, queries, k=5, n_centroids=8).collect()
+    assert out, "ivf returned nothing for non-prefix queries"
+    for r in out:
+        # neighbor shares the query's centroid under the CORPUS codebook
+        assert corpus_cent[r.neighbor_id] == corpus_cent[r.query_id]
