@@ -9,11 +9,16 @@ Design for 100 TB:
   exactness baseline; the scale path is candidate generation by
   bucketing (MinHash bands / SimHash chunks), which turns O(n^2) into a
   shuffle-on-bucket-key equi-join + per-bucket verification.
-- everything is built-in expressions (xxhash64, md5, array HOFs) — no
-  Python in the hot path.
+- everything is built-in expressions (md5-derived integer hashes, array
+  HOFs) — no Python in the hot path. The hash primitive is hash60
+  (first 60 bits of md5) + a universal multiply-add-mod family, chosen
+  so DuckDB computes bit-identical signatures and the SQL oracle can
+  hash-verify MinHash-LSH and SimHash end to end.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -111,9 +116,44 @@ def ngram_jaccard_pairs(
 
 # --------------------------------------------------------- minhash + lsh
 
+P31 = 2_147_483_647
+"""Mersenne prime 2^31-1: modulus of the universal hash family. Products
+``a * h`` with a, h < 2^31 stay under 2^62, so the arithmetic is exact in
+a signed 64-bit long in BOTH Spark and DuckDB — no overflow, no engine-
+specific wrap semantics."""
+
+BAND_MASK = (1 << 40) - 1
+"""Horner-accumulator mask for LSH band hashes: keeps the running value
+within 2^45 (< long overflow for any rows-per-band) while remaining a
+plain ``&`` both engines compute identically."""
+
+HASH_SEED = 7
+
+
+def hash60_expr(c: Column | str) -> Column:
+    """First 60 bits (15 hex chars) of md5 as a non-negative bigint.
+
+    Chosen over xxhash64 as the dedup hash primitive because DuckDB can
+    compute the IDENTICAL value (shift-sum over the md5 hex digits), so
+    MinHash/SimHash outputs are hash-verifiable against the SQL oracle —
+    xxhash64 has no DuckDB twin and forced rows-only checks in round 1."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_params(num_hashes: int, seed: int = HASH_SEED) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal family
+    h_i(x) = (a_i * x + b_i) mod P31 — same literals are embedded in the
+    Spark plan and the DuckDB oracle SQL."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, P31), rng.randrange(0, P31)) for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature_expr(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature as a single expression: per hash function i, min
-    over shingles of xxhash64(i, shingle).
+    over shingles of (a_i * hash60(shingle) + b_i) mod P31.
 
     NOTE: expression form only — every one of the num_hashes array_min
     terms re-evaluates the ``shingles`` subtree, so on real data use
@@ -124,11 +164,14 @@ def minhash_signature_expr(shingles: Column, num_hashes: int = 64) -> Column:
     changes the lambda's arity and PySpark binds the extra parameter to
     the array-index lambda variable instead of the captured value."""
 
-    def seeded(i: int):
-        return lambda s: F.xxhash64(F.lit(i), s)
+    def seeded(a: int, b: int):
+        return lambda s: (
+            F.lit(a).cast("bigint") * (hash60_expr(s) % P31) + F.lit(b)
+        ) % P31
 
     sigs = [
-        F.array_min(F.transform(shingles, seeded(i))) for i in range(num_hashes)
+        F.array_min(F.transform(shingles, seeded(a, b)))
+        for a, b in minhash_params(num_hashes)
     ]
     return F.array(*sigs)
 
@@ -155,15 +198,80 @@ def minhash_signatures(
         F.col(id_col).alias("doc_id_"),
         F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
     )
+    # ONE md5 per shingle; the num_hashes family members are cheap
+    # multiply-add-mod derivations of that base (universal hashing) —
+    # far less per-row work than num_hashes independent string hashes,
+    # and exactly reproducible in the DuckDB oracle.
+    tall = tall.select("doc_id_", (hash60_expr("shingle") % P31).alias("hb"))
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(
+            (F.lit(a).cast("bigint") * F.col("hb") + F.lit(b)) % P31
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return (
         tall.groupBy("doc_id_")
         .agg(*mins)
         .select("doc_id_", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
     )
+
+
+def _bucket_pairs(
+    bucketed: DataFrame,
+    key_cols: list[str],
+    item_fields: list[str],
+) -> DataFrame:
+    """All intra-bucket ordered pairs in ONE pass: groupBy bucket key,
+    collect the sorted member list, emit each bucket's combinations via
+    array HOFs, explode.
+
+    Why not a self-join on the bucket key: Spark plans a self-join as
+    TWO full computations of the input subtree (no exchange/stage reuse
+    fires across self-join sides — measured, not assumed), which doubles
+    the dominant signature-pipeline cost. The collect_list form computes
+    the pipeline once; per-bucket pair expansion is the same quadratic
+    the self-join would produce, just generated bucket-locally. Buckets
+    are LSH-sized (a few members), so per-group state is tiny; a
+    pathological giant bucket hurts either formulation equally.
+
+    Members are structs of ``item_fields`` (sorted lexicographically, so
+    the FIRST field must be the id — pairs come out id-ordered, a < b).
+    Output columns are ``<field>_a`` then ``<field>_b``."""
+    item = F.struct(*[F.col(f).alias(f) for f in item_fields])
+    buckets = (
+        bucketed.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(item)).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    out = buckets.select(F.explode(pairs_arr).alias("p"))
+    cols = [F.col(f"p.a.{f}").alias(f"{f}_a") for f in item_fields] + [
+        F.col(f"p.b.{f}").alias(f"{f}_b") for f in item_fields
+    ]
+    return out.select(*cols)
+
+
+def band_hash_expr(sig_col: Column | str, band_idx: int, rows_per_band: int) -> Column:
+    """Band bucket key: Horner-31 fold of the band's signature values,
+    masked to 40 bits each step. Exact same integer sequence in Spark and
+    DuckDB (plain * + & on longs) — unlike xxhash64, which DuckDB cannot
+    reproduce. Occasional fold collisions only add false candidates,
+    which verification removes (and both engines collide identically)."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    acc = F.element_at(sig, band_idx * rows_per_band + 1)
+    for j in range(1, rows_per_band):
+        acc = (acc * 31 + F.element_at(sig, band_idx * rows_per_band + j + 1)).bitwiseAND(
+            F.lit(BAND_MASK)
+        )
+    return acc
 
 
 def minhash_candidate_pairs(
@@ -173,29 +281,31 @@ def minhash_candidate_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    include_estimate: bool = True,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` rows of
     ``num_hashes/bands`` values, hash each band, and emit pairs of docs
     sharing any band bucket. This is the scale path: candidates come from
     a groupBy on (band_idx, band_hash) — a single shuffle — instead of a
-    cross join. Pairs with estimated similarity via signature agreement."""
+    cross join.
+
+    ``include_estimate=True`` (default) attaches the signature-agreement
+    similarity estimate, which re-joins the signature relation twice.
+    Callers that immediately re-verify with exact Jaccard (e.g.
+    minhash_dedup_pairs) pass False and skip those two joins — the
+    estimate would be discarded, and inner joins can't be pruned by the
+    optimizer because they affect cardinality."""
     rows_per_band = num_hashes // bands
-    # The signature relation is reused by the band explode and twice by
-    # the estimate join. No .cache(): the builder contract returns lazy
-    # plans (nobody could unpersist), and Spark's ReuseExchange / AQE
-    # stage reuse shares the expensive groupBy exchange of
-    # minhash_signatures across all three references — only the cheap
-    # final merge re-runs. (An unmanaged cache here leaked storage
-    # memory across the 28-query bench session in round 1.)
+    # No .cache(): the builder contract returns lazy plans (nobody could
+    # unpersist), and an unmanaged cache leaked storage memory across the
+    # 28-query bench session in round 1.
     with_sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
 
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band_idx"),
-                F.xxhash64(
-                    *[F.element_at("sig", i * rows_per_band + j + 1) for j in range(rows_per_band)]
-                ).alias("band_hash"),
+                band_hash_expr("sig", i, rows_per_band).alias("band_hash"),
             )
             for i in range(bands)
         ]
@@ -205,22 +315,16 @@ def minhash_candidate_pairs(
     banded = with_sig.select("doc_id_", F.explode(band_cols).alias("band")).select(
         "doc_id_", "band.band_idx", "band.band_hash"
     )
-
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id_") < F.col("b.doc_id_")),
-        )
+        _bucket_pairs(banded, ["band_idx", "band_hash"], ["doc_id_"])
         .select(
-            F.col("a.doc_id_").alias("doc_a"),
-            F.col("b.doc_id_").alias("doc_b"),
+            F.col("doc_id__a").alias("doc_a"),
+            F.col("doc_id__b").alias("doc_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    if not include_estimate:
+        return cand
     # signature-agreement estimate, joined onto the (small) candidate set
     sig_a = with_sig.select(F.col("doc_id_").alias("doc_a"), F.col("sig").alias("sig_a"))
     sig_b = with_sig.select(F.col("doc_id_").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -251,7 +355,9 @@ def minhash_dedup_pairs(
     n-gram-Jaccard verification of ONLY the candidates (the classic
     two-phase scheme — verification cost is proportional to candidate
     count, not corpus^2)."""
-    cand = minhash_candidate_pairs(docs, num_hashes, bands, n, text_col, id_col)
+    cand = minhash_candidate_pairs(
+        docs, num_hashes, bands, n, text_col, id_col, include_estimate=False
+    )
     # shingle arrays appear on both sides of the verification join; the
     # projection is a cheap scan-fused transform, so recomputing twice
     # beats an unmanaged .cache() that would leak in a lazy-builder
@@ -271,14 +377,14 @@ def minhash_dedup_pairs(
 
 # --------------------------------------------------------------- simhash
 
-def simhash_expr(text: Column | str, bits: int = 64) -> Column:
+def simhash_expr(text: Column | str, bits: int = 60) -> Column:
     """SimHash: per bit position, sum +1/-1 over token hashes; bit is 1
-    when the sum is positive. Returns a bigint (bit 63 = sign bit, used
-    as a plain bit pattern). Tokens hashed with xxhash64 (JVM-side,
-    deterministic)."""
-    assert bits <= 64
+    when the sum is positive. Returns a bigint bit pattern. Tokens
+    hashed with hash60 (md5-derived — DuckDB-reproducible, hence the
+    60-bit default: one md5 supplies exactly 60 verifiable bits)."""
+    assert bits <= 60
     toks = tokens_expr(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, hash60_expr)
 
     def voter(b: int):
         # factory, not default-arg capture — see minhash_signature_expr
@@ -302,7 +408,7 @@ def hamming_expr(a: Column, b: Column) -> Column:
 
 def simhash_signatures(
     docs: DataFrame,
-    bits: int = 64,
+    bits: int = 60,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -312,11 +418,12 @@ def simhash_signatures(
     aggregated before the shuffle. Returns (doc_id_, sh bigint).
     Docs with no tokens produce no row (nothing to hash).
     Repartitioned by id for the same reason as minhash_signatures."""
+    assert bits <= 60  # hash60 supplies 60 DuckDB-verifiable bits
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     tall = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("doc_id_"),
         F.explode(tokens_expr(F.col(text_col))).alias("tok"),
-    ).select("doc_id_", F.xxhash64("tok").alias("h"))
+    ).select("doc_id_", hash60_expr("tok").alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -335,7 +442,7 @@ def simhash_signatures(
 def simhash_near_dup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
-    bits: int = 64,
+    bits: int = 60,
     chunks: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -361,18 +468,16 @@ def simhash_near_dup_pairs(
     chunked = sh.select("did", "sh", F.explode(chunk_arr).alias("c")).select(
         "did", "sh", "c.chunk_idx", "c.chunk_val"
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
+    # single-pass intra-bucket pairs (see _bucket_pairs: a self-join
+    # would execute the signature pipeline twice); signatures ride along
+    # in the bucket items (8 bytes each), so Hamming verification needs
+    # no re-join.
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.did") < F.col("b.did")),
-        )
+        _bucket_pairs(chunked, ["chunk_idx", "chunk_val"], ["did", "sh"])
         .select(
-            F.col("a.did").alias("doc_a"),
-            F.col("b.did").alias("doc_b"),
-            hamming_expr(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+            F.col("did_a").alias("doc_a"),
+            F.col("did_b").alias("doc_b"),
+            hamming_expr(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)

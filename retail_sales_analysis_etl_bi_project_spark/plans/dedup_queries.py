@@ -1,9 +1,12 @@
 """Driver-checkable deduplication queries (north-star extension): exact,
 fingerprint, n-gram Jaccard, MinHash-LSH, SimHash, embedding-cosine.
 
-MinHash/SimHash rely on xxhash64, which DuckDB doesn't provide — those
-two are registered without oracles (rows-only check); their *verified*
-outputs are cross-checked against the exact-Jaccard oracle in tests.
+ALL six carry full DuckDB oracles. MinHash/SimHash signatures use the
+hash60 primitive (first 60 bits of md5) + a universal multiply-add-mod
+family (operators/dedup.py), so the oracle SQL below reproduces the
+exact same signatures, band buckets, candidate sets, and verified
+outputs — the round-1 xxhash64 primitive had no DuckDB twin and forced
+rows-only checks on the two flagship scale-path operators.
 """
 
 from __future__ import annotations
@@ -11,10 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
+    BAND_MASK,
+    P31,
     embedding_near_dup_pairs,
     exact_dup_groups,
     fingerprint_dup_groups,
     minhash_dedup_pairs,
+    minhash_params,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
@@ -33,6 +39,108 @@ _SQL_SHINGLES = """
                       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
           FROM documents)
 """
+
+
+def _hex60(x: str) -> str:
+    """DuckDB twin of operators.dedup.hash60_expr: first 15 hex chars of
+    md5 parsed as a bigint via a shift-sum over hex digits (list_sum
+    accumulates in HUGEINT, so no intermediate overflow)."""
+    return (
+        "CAST(list_sum(list_transform(generate_series(1,15), "
+        f"i -> CAST(strpos('0123456789abcdef', substr(md5({x}), i, 1)) - 1 AS BIGINT)"
+        " << (4*(15-i)))) AS BIGINT)"
+    )
+
+
+def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    """Full MinHash-LSH pipeline in DuckDB SQL: shingles -> base hash ->
+    universal-family grouped MINs -> Horner band buckets -> candidate
+    self-join -> exact-Jaccard verification. Mirrors
+    operators/dedup.py minhash_dedup_pairs step for step."""
+    rpb = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN(({a} * hb + {b}) % {P31}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+
+    def band_select(i: int) -> str:
+        expr = f"h{i * rpb}"
+        for j in range(1, rpb):
+            expr = f"((({expr}) * 31 + h{i * rpb + j}) & {BAND_MASK})"
+        return f"SELECT doc_id, {i} AS band_idx, {expr} AS band_hash FROM sig"
+
+    bands_sql = "\n      UNION ALL ".join(band_select(i) for i in range(bands))
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    tall AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    hb_t AS (SELECT doc_id, {_hex60('shingle')} % {P31} AS hb FROM tall),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM hb_t GROUP BY doc_id),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT cand.doc_a, cand.doc_b,
+             CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                  THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                  ELSE 0.0 END AS jaccard
+      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+                JOIN sh sb ON sb.doc_id = cand.doc_b
+    ) WHERE jaccard >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_oracle(bits: int = 60, chunks: int = 4, max_hamming: int = 3) -> str:
+    """SimHash near-dup pipeline in DuckDB SQL: token hash60 -> per-bit
+    +1/-1 votes -> bit assembly -> chunk buckets -> Hamming verify.
+    Mirrors operators/dedup.py simhash_near_dup_pairs step for step."""
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN ((hv >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    assemble = "\n              + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    chunked = "\n      UNION ALL ".join(
+        f"SELECT doc_id, sh, {i} AS chunk_idx, ((sh >> {chunk_bits * i}) & {mask}) AS chunk_val FROM sig"
+        for i in range(chunks)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+      FROM documents),
+    hv_t AS (SELECT doc_id, {_hex60('tok')} AS hv FROM toks),
+    votes AS (SELECT doc_id,
+             {votes}
+            FROM hv_t GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+              {assemble}
+            AS sh FROM votes),
+    chunked AS ({chunked}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sh AS sh_a, b.sh AS sh_b
+      FROM chunked a JOIN chunked b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
 
 
 @query(
@@ -91,12 +199,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # xxhash64 has no DuckDB twin -> rows-only
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH banding (16x4) candidates, verified with exact
     3-gram Jaccard >= 0.5. The scale path: candidate generation is a
-    shuffle on band hashes, not a cross join. Recall vs the exact
-    baseline is asserted in tests/test_dedup.py."""
+    shuffle on band hashes, not a cross join. Fully hash-verified: the
+    DuckDB oracle reproduces signatures, buckets, and verification via
+    the shared md5-derived hash family (round-1 upgrade from
+    rows-only)."""
     return minhash_dedup_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=0.5,
@@ -105,13 +215,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # xxhash64 has no DuckDB twin -> rows-only
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs, Hamming <= 3, candidates via
-    16-bit chunk buckets (pigeonhole: hamming<=3 with 4 chunks forces at
-    least one identical chunk)."""
+    """SimHash(60-bit) near-dup pairs, Hamming <= 3, candidates via
+    15-bit chunk buckets (pigeonhole: hamming<=3 with 4 chunks forces at
+    least one identical chunk). Fully hash-verified against the DuckDB
+    oracle via the shared hash60 primitive."""
     return simhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=3, bits=64, chunks=4
+        load_table(spark, sf_dir, "documents"), max_hamming=3, bits=60, chunks=4
     )
 
 

@@ -95,13 +95,54 @@ def events_sliding_3h_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract")  # pandas-kernel stub -> rows-only
+def _hexbyte(h: str, i: int) -> str:
+    """DuckDB expr: byte ``i`` of the hex digest string ``h``."""
+    return (
+        f"((strpos('0123456789abcdef', substr({h}, {2 * i + 1}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({h}, {2 * i + 2}, 1)) - 1))"
+    )
+
+
+def _multimodal_oracle() -> str:
+    """DuckDB replay of the multimodal stub kernels: the decode stubs
+    derive every output from sha256(payload) (operators/multimodal.py
+    _decode_stub), and payload is the UTF-8 text bytes — so DuckDB's
+    sha256() reproduces width/height/n_frames byte for byte. This
+    upgrades the mapInPandas pipeline from rows-only to hash-verified:
+    the Arrow batch plumbing must deliver exactly the kernel outputs."""
+    b0, b1, b2, b3, b4 = (_hexbyte("sha", i) for i in range(5))
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             sha256(text) AS sha
+      FROM documents
+    )
+    SELECT media_id, kind, n_bytes, sha AS sha256,
+           CAST(CASE kind WHEN 'image' THEN 64 + {b0} % 192
+                          WHEN 'audio' THEN 0
+                          ELSE 320 + {b0} % 64 END AS INTEGER) AS width,
+           CAST(CASE kind WHEN 'image' THEN 64 + {b1} % 192
+                          WHEN 'audio' THEN 0
+                          ELSE 240 + {b1} % 48 END AS INTEGER) AS height,
+           CAST(CASE kind WHEN 'image' THEN 1
+                          WHEN 'audio' THEN 8000 + ({b2} * 256 + {b3}) % 8000
+                          ELSE 24 + {b4} % 240 END AS INTEGER) AS n_frames
+    FROM m
+    """
+
+
+@query("multimodal_feature_extract", oracle=_multimodal_oracle())
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end: documents-as-media binary
     payloads -> mapInPandas decode/feature kernels (deterministic
     stubs — no codec libs in this container) -> typed feature rows.
-    Rows-only check: the Arrow/mapInPandas plumbing is what's under
-    test; kernel math is unit-tested (tests/test_multimodal.py)."""
+    Hash-verified: the stub kernels derive everything from
+    sha256(payload), which DuckDB replays in SQL — so the driver
+    compare exercises the full Arrow/mapInPandas round trip."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media).select(
         "media_id", "kind", "n_bytes", "sha256", "width", "height", "n_frames"

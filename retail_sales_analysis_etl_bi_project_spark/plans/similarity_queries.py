@@ -1,19 +1,102 @@
 """Driver-checkable similarity-search queries (north-star extension):
-brute-force cosine top-k (exact baseline, full DuckDB oracle) and the
-LSH-bucketed approximate variant (rows-only; recall asserted in tests).
-"""
+brute-force cosine top-k (exact baseline) plus the LSH-bucketed and IVF
+approximate variants — ALL with full DuckDB oracles.
+
+The approximate variants are deterministic pipelines (fixed-seed
+hyperplanes; first-N-by-id codebook), so the oracle replays them
+exactly: hyperplanes are embedded as literal DOUBLE[] arrays, the IVF
+codebook is derived in a CTE, and DuckDB's list_dot_product /
+list_cosine_similarity folds match Spark's zip_with+aggregate folds
+bit-for-bit (established by the round-1 brute-force oracle)."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, hyperplanes, ivf_topk, lsh_topk
 from ..sources.tables import load_table
 from .registry import query
 
 _N_QUERIES = 5
 _K = 10
+_DIM = 64
+_N_PLANES = 8
+_N_CENTROIDS = 16
+
+
+def _lsh_oracle() -> str:
+    """DuckDB replay of lsh_topk: same fixed-seed hyperplanes as the
+    Spark plan (literal arrays), same sign-bit bucket string, same
+    bucket equi-join + exact cosine + dense rank."""
+    planes = hyperplanes(_DIM, _N_PLANES, seed=42)
+    bits = ",\n             ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             concat({bits}) AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS cosine
+      FROM base q JOIN base c
+        ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+                  AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """
+
+
+def _ivf_oracle() -> str:
+    """DuckDB replay of ivf_topk: codebook = first n vectors by id
+    (derived in a CTE from the SAME corpus, so it tracks the data at any
+    scale factor), argmax-cosine assignment with Spark's first-index
+    tie-break (ORDER BY cosine DESC, centroid_id ASC), nprobe=1 probe
+    join. Queries are assigned against the corpus codebook — the same
+    semantics the round-2 ivf_topk fix enforces."""
+    return f"""
+    WITH cb AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_N_CENTROIDS})
+    ),
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT b.vec_id, b.v, cb.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY list_cosine_similarity(b.v, cb.cvec) DESC,
+                                           cb.centroid_id) AS rn
+        FROM base b CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS cosine
+      FROM assign q JOIN assign c
+        ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+                  AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """
 
 
 @query(
@@ -46,24 +129,28 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_ann_topk")  # approximate by construction -> rows-only
+@query("sim_ivf_ann_topk", oracle=_ivf_oracle())
 def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (nprobe=1, 16 sampled centroids): each query scores only
     its centroid's inverted list — the other classic scale path next to
-    LSH. Recall vs brute force asserted in tests/test_similarity.py."""
+    LSH. Deterministic end to end, so fully hash-verified against the
+    DuckDB replay; recall vs brute force additionally asserted in
+    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K, n_centroids=16
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K, n_centroids=_N_CENTROIDS
     )
 
 
-@query("sim_lsh_ann_topk")  # approximate by construction -> rows-only
+@query("sim_lsh_ann_topk", oracle=_lsh_oracle())
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: 8 sign bits -> ~256 buckets; each query
     scores only its bucket (the 100 TB path: equi-join on signature
-    instead of cross product). Recall vs brute force asserted in
+    instead of cross product). Fixed-seed hyperplanes make it
+    deterministic, so fully hash-verified against the DuckDB replay;
+    recall vs brute force additionally asserted in
     tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(
-        emb, emb.filter(F.col("vec_id") < _N_QUERIES), dim=64, k=_K, n_planes=8
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), dim=_DIM, k=_K, n_planes=_N_PLANES
     )
