@@ -59,8 +59,8 @@ def agg_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles of order value per priority class. Spark
     ``percentile`` and DuckDB ``quantile_cont`` both use linear
     interpolation over the sorted multiset -> identical doubles. (At
-    100 TB swap to approx_percentile with a fixed accuracy for a
-    single-pass sketch; exact percentile sorts per group.)"""
+    100 TB use agg_order_value_percentiles_approx — exact percentile
+    sorts per group.)"""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
@@ -72,3 +72,39 @@ def agg_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query("agg_order_value_percentiles_approx")  # sketch-based -> rows-only
+def agg_order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honest 100 TB percentile path: approx_percentile builds a
+    bounded-memory mergeable sketch per group in ONE pass — no per-group
+    sort, partial sketches merge map-side like any aggregate. DuckDB's
+    approx sketches differ, so no hash oracle; accuracy vs the exact
+    variant is tolerance-checked in tests/test_agg_approx.py (driver
+    applies the rows-only check)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+            F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("agg_approx_distinct_customers")  # HLL sketch -> rows-only
+def agg_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honest 100 TB COUNT(DISTINCT) path: HyperLogLog++ sketches
+    (approx_count_distinct, rsd=1%) merge map-side in fixed memory,
+    versus exact distinct's full shuffle of every key. Spark's HLL++ and
+    DuckDB's approx_count_distinct use different sketch params, so no
+    hash oracle; error vs the exact k3 query is tolerance-checked in
+    tests/test_agg_approx.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).orderBy("o_orderpriority")

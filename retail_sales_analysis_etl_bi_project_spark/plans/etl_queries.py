@@ -277,6 +277,55 @@ def etl_coerce_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "etl_csv_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+    FROM orders
+    """,
+)
+def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 driver check — the reference's primary ingestion is CSV with
+    string-typed staging then coercion (etl/etl.py:50-58,127-137): write
+    orders to a CSV staging dir (dates serialized d-M-yyyy, the
+    reference's format — P8), read it back with an explicit all-string
+    schema, and coerce types (to_date 'd-M-yyyy' + decimal cast). The
+    oracle reads the parquet directly, so the compare proves the CSV
+    write+read+coerce cycle is lossless.
+
+    The staging write is a deliberate eager side effect — this query IS
+    the sink test; everything downstream of the write stays lazy."""
+    import os
+
+    from ..sources.csv import write_staging
+
+    orders = load_table(spark, sf_dir, "orders")
+    staged = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "d-M-yyyy").alias("order_date_raw"),
+        # decimal -> text is exact ('123.45'); double -> text would risk
+        # shortest-repr vs oracle formatting mismatches
+        F.col("o_totalprice").cast("decimal(12,2)").alias("total_price_raw"),
+    )
+    stage_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..",
+        "spark-warehouse", f"csv_stage_orders_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_staging(staged, stage_dir, fmt="csv")
+    back = (
+        spark.read.option("header", True)
+        .schema("o_orderkey bigint, order_date_raw string, total_price_raw string")
+        .csv(stage_dir)
+    )
+    return back.select(
+        "o_orderkey",
+        F.to_date("order_date_raw", "d-M-yyyy").alias("order_date"),
+        F.col("total_price_raw").cast("decimal(12,2)").cast("double").alias("total_price"),
+    )
+
+
+@query(
     "etl_theta_and_positive_filters",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount

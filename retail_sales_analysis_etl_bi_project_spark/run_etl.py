@@ -38,20 +38,55 @@ from .sources.generator import gen_customers, gen_products, gen_sales, gen_store
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--config-root",
+        help="dir containing config.ini / .env — layered settings "
+        "(reference etl/hybrid_settings.py); CLI flags override",
+    )
     ap.add_argument("--data-dir", help="dir with reference-shaped raw CSVs")
-    ap.add_argument("--out", default="./warehouse", help="output base dir")
-    ap.add_argument("--rows", type=int, default=50_000, help="generator base rows")
+    ap.add_argument("--out", help="output base dir (default ./warehouse)")
+    ap.add_argument("--rows", type=int, help="generator base rows")
     args = ap.parse_args(argv)
 
-    spark = get_spark("retail-etl")
+    # Precedence (reference parity): CLI flag > env var > .env file >
+    # config.ini > coded default.
+    from .config import Settings, load_settings
 
-    if args.data_dir:
+    settings = (
+        load_settings(args.config_root) if args.config_root else Settings().validate()
+    )
+    data_dir = args.data_dir or settings.data_path or None
+    n_rows = args.rows or settings.generator_rows
+    if args.out:  # --out overrides both configured paths
+        staging_base = f"{args.out}/staging"
+        gold_base = f"{args.out}/gold"
+        report_path = f"{args.out}/validation_report.txt"
+    else:
+        from pathlib import Path
+
+        staging_base = settings.staging_path
+        gold_base = settings.warehouse_path
+        report_path = str(Path(gold_base).parent / "validation_report.txt")
+
+    spark = get_spark(
+        "retail-etl",
+        master=settings.master or None,
+        shuffle_partitions=settings.shuffle_partitions or None,
+        extra_conf=(
+            {"spark.driver.memory": settings.driver_memory}
+            if settings.driver_memory
+            else None
+        ),
+    )
+    spark.sparkContext.setLogLevel(settings.log_level)
+
+    if data_dir:
         raw = {
-            t: read_raw_csv(spark, f"{args.data_dir}/{t}.csv", t)
+            t: read_raw_csv(spark, f"{data_dir}/{t}.csv", t)
             for t in ("customers", "products", "stores", "sales")
         }
     else:
-        n = args.rows
+        n = n_rows
         products = gen_products(spark, n)
         raw = {
             "customers": gen_customers(spark, n),
@@ -72,12 +107,12 @@ def main(argv: list[str] | None = None) -> None:
         "sales": clean_sales(raw["sales"]),
     }
     for t, df in cleaned.items():
-        write_staging(df, f"{args.out}/staging/stg_{t}")
+        write_staging(df, f"{staging_base}/stg_{t}")
 
     wh = build_warehouse(
         cleaned["customers"], cleaned["products"], cleaned["stores"], cleaned["sales"]
     )
-    save_warehouse(wh, f"{args.out}/gold")
+    save_warehouse(wh, gold_base)
 
     report = validation_report(
         cleaned,
@@ -88,7 +123,7 @@ def main(argv: list[str] | None = None) -> None:
             ("stores", "store_id"),
         ],
     )
-    write_validation_report(f"{args.out}/validation_report.txt", report)
+    write_validation_report(report_path, report)
     print(report)
 
 

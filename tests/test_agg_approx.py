@@ -1,0 +1,49 @@
+"""Tolerance checks for the sketch-based scale-path aggregates: the
+driver can only rows-check them (sketches aren't SQL-oracle-able), so
+accuracy vs the exact twins is asserted here."""
+
+from pyspark.sql import functions as F
+
+import retail_sales_analysis_etl_bi_project_spark.plans.agg_queries  # noqa: F401 (registers)
+from retail_sales_analysis_etl_bi_project_spark.plans.registry import QUERIES
+from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    exact = {
+        r.o_orderpriority: r
+        for r in QUERIES["agg_order_value_percentiles"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.o_orderpriority: r
+        for r in QUERIES["agg_order_value_percentiles_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for prio, e in exact.items():
+        a = approx[prio]
+        assert a.n_orders == e.n_orders  # count is exact either way
+        for col in ("p50", "p90", "p99"):
+            rel = abs(getattr(a, col) - getattr(e, col)) / max(getattr(e, col), 1.0)
+            # approx_percentile returns a real element of the multiset
+            # (no interpolation), so at small N the dominant error is the
+            # gap between adjacent values, not sketch error — 5% bounds
+            # that; at scale the gap (and the bound) tightens.
+            assert rel < 0.05, f"{prio}.{col}: rel err {rel}"
+
+
+def test_approx_count_distinct_close_to_exact(spark, sf_dir):
+    approx = {
+        r.o_orderpriority: r.approx_customers
+        for r in QUERIES["agg_approx_distinct_customers"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for prio, n in exact.items():
+        rel = abs(approx[prio] - n) / max(n, 1)
+        assert rel < 0.05, f"{prio}: rel err {rel} (approx {approx[prio]} vs {n})"
