@@ -44,11 +44,15 @@ HEADLINE = [
     "events_sessionization",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_token_stats",
     "text_quality_scores",
     "sim_bruteforce_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_ann_topk",
+    "sim_ivf_kmeans_topk",
+    "agg_order_value_percentiles_approx",
+    "etl_csv_roundtrip",
     "skew_salted_revenue_by_segment",
     "events_sliding_3h_daily",
     "corpus_filter_pipeline",

@@ -142,6 +142,51 @@ def ivf_assignments(
     return emb.withColumn("centroid_id", best), codebook
 
 
+def kmeans_codebook(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd refinement of the IVF codebook: init = first
+    n_centroids vectors by id (the same seed ivf_assignments uses), then
+    ``iters`` rounds of assign -> per-centroid mean.
+
+    Determinism at any partitioning: component sums are EXACT decimal
+    (DECIMAL(38,20) — associative, no float summation-order drift), cast
+    to double once, divided by the exact count. Per iteration: one
+    assignment expression (no shuffle) + one posexplode groupBy
+    (centroid, dim) aggregate — n_centroids*dim result rows collected
+    (KBs). Centroids that capture no vectors keep their previous
+    position. At 100 TB each iteration is one scan + one small shuffle."""
+    _, cb = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    dim = len(cb[0])
+    for _ in range(iters):
+        assigned, _ = ivf_assignments(emb, n_centroids, id_col, vec_col, codebook=cb)
+        rows = (
+            assigned.select(
+                "centroid_id", F.posexplode(_dbl(vec_col)).alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(38,20)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in rows:
+            means.setdefault(r.centroid_id, {})[r.pos] = r.m
+        cb = [
+            [means[c][p] for p in range(dim)] if c in means else cb[c]
+            for c in range(n_centroids)
+        ]
+    return cb
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -149,12 +194,19 @@ def ivf_topk(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN with nprobe=1: queries score only the corpus vectors
     assigned to their own centroid. The probe join is an equi-join on
     centroid_id — at 100 TB each query touches ~corpus/n_centroids
-    rows, and the inverted lists shard naturally by centroid."""
-    assigned, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)
+    rows, and the inverted lists shard naturally by centroid.
+    ``kmeans_iters > 0`` refines the sampled codebook with that many
+    deterministic Lloyd iterations (kmeans_codebook) before assigning."""
+    if kmeans_iters > 0:
+        cb = kmeans_codebook(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+        assigned, _ = ivf_assignments(corpus, n_centroids, id_col, vec_col, codebook=cb)
+    else:
+        assigned, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
     )

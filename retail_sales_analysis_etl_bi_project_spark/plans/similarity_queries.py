@@ -142,6 +142,82 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_kmeans_oracle(iters: int = 2) -> str:
+    """DuckDB replay of ivf_topk(kmeans_iters=N): the Lloyd rounds are
+    unrolled as CTE pairs (assign_i, cb_{i+1}). Means use the same
+    exact-decimal-sum-then-double-divide arithmetic as the Spark side,
+    so the refined codebooks are bit-identical and the probe join
+    compares the same inverted lists."""
+    assign_tpl = """
+    assign{i} AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT b.vec_id, b.v, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY list_cosine_similarity(b.v, c.cvec) DESC,
+                                           c.centroid_id) AS rn
+        FROM base b CROSS JOIN cb{i} c
+      ) WHERE rn = 1
+    )"""
+    cb_tpl = """
+    cb{next} AS (
+      SELECT c.centroid_id, COALESCE(m.cvec_new, c.cvec) AS cvec
+      FROM cb{i} c LEFT JOIN (
+        SELECT centroid_id, list(m ORDER BY pos) AS cvec_new FROM (
+          SELECT centroid_id, pos,
+                 CAST(SUM(CAST(val AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS m
+          FROM (SELECT centroid_id, unnest(v) AS val,
+                       unnest(generate_series(1, len(v))) AS pos
+                FROM assign{i})
+          GROUP BY centroid_id, pos
+        ) GROUP BY centroid_id
+      ) m USING (centroid_id)
+    )"""
+    ctes = []
+    for i in range(iters):
+        ctes.append(assign_tpl.format(i=i))
+        ctes.append(cb_tpl.format(i=i, next=i + 1))
+    ctes.append(assign_tpl.format(i=iters))
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
+             v AS cvec
+      FROM (SELECT * FROM base ORDER BY vec_id LIMIT {_N_CENTROIDS})
+    ),{",".join(ctes)},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS cosine
+      FROM assign{iters} q JOIN assign{iters} c
+        ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+                  AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("sim_ivf_kmeans_topk", oracle=_ivf_kmeans_oracle(iters=2))
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a k-means-refined codebook (2 deterministic Lloyd
+    iterations over the sampled init — operators/similarity.py
+    kmeans_codebook). Exact-decimal mean arithmetic keeps the refinement
+    reproducible at any partitioning AND lets DuckDB replay the entire
+    iterative pipeline for a full hash check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        kmeans_iters=2,
+    )
+
+
 @query("sim_lsh_ann_topk", oracle=_lsh_oracle())
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: 8 sign bits -> ~256 buckets; each query
