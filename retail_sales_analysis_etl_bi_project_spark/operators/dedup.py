@@ -375,6 +375,46 @@ def minhash_dedup_pairs(
     )
 
 
+# ------------------------------------------------- winnowing fingerprints
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (the MOSS
+    scheme): hash every ORDERED word k-gram, slide a ``window`` over the
+    hash sequence, keep each window's minimum, emit the distinct minima
+    as the document's fingerprint set. Two documents sharing a long
+    enough passage share a fingerprint regardless of position.
+
+    One row out per (doc, fingerprint) — the inverted-index shape: at
+    100 TB, grouping by fingerprint finds cross-document shared passages
+    with one shuffle, same scale story as exact_dup_groups. All array
+    HOFs + hash60, zero Python; DuckDB replays it exactly
+    (plans/dedup_queries.py)."""
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    # ordered, duplicate-preserving grams (unlike shingles_expr, which
+    # dedups — winnowing needs the positional sequence)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    hashes = F.transform(grams, lambda g: hash60_expr(g) % P31)
+    m = F.size(hashes)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    fps = F.array_sort(F.array_distinct(wins))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(fps).alias("fingerprint")
+    )
+
+
 # --------------------------------------------------------------- simhash
 
 def simhash_expr(text: Column | str, bits: int = 60) -> Column:
@@ -509,6 +549,59 @@ def embedding_near_dup_pairs(
         .select(
             "vec_a", "vec_b", cosine_expr(F.col("ea"), F.col("eb")).alias("cosine")
         )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup, SCALE path: banded (multi-table) sign-bit
+    LSH — a pair is a candidate if it matches on ALL bits of ANY band,
+    then exact cosine verifies only candidates. Banding is what makes
+    moderate-similarity recall workable: P(candidate) =
+    1-(1-p^bits)^bands with p = 1 - theta/pi per bit, vs p^bits for a
+    single wide table. Replaces the all-pairs O(n^2) of
+    embedding_near_dup_pairs with a groupBy on (band, signature) — one
+    shuffle. Same single-pass _bucket_pairs shape as MinHash (self-joins
+    execute the input twice); vectors ride in the bucket items so
+    verification needs no re-join."""
+    from .similarity import cosine_expr, hyperplanes, signature_expr
+
+    planes = hyperplanes(dim, bands * bits_per_band, seed)
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                signature_expr(
+                    F.col(vec_col),
+                    planes[b * bits_per_band : (b + 1) * bits_per_band],
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bucketed = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.explode(band_sigs).alias("band"),
+    ).select("vid", "v", "band.band_idx", "band.band_sig")
+    return (
+        _bucket_pairs(bucketed, ["band_idx", "band_sig"], ["vid", "v"])
+        .select(
+            F.col("vid_a").alias("vec_a"),
+            F.col("vid_b").alias("vec_b"),
+            cosine_expr(F.col("v_a"), F.col("v_b")).alias("cosine"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )

@@ -33,6 +33,23 @@ def token_count_expr(text: Column | str) -> Column:
     return F.size(tokens_expr(text)).cast("bigint")
 
 
+# BPE-style pre-tokenizer regex (GPT-2 family shape): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+# Restricted to ASCII classes + non-capturing groups so Java regex
+# (Spark) and RE2 (DuckDB) match identically.
+BPE_TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count_expr(text: Column | str) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches — the cheap
+    JVM-side proxy for 'how many tokens will the tokenizer emit', the
+    budgeting metric of every LLM-data pipeline. (A real byte-pair
+    merge table would multiply each match by its merge count; the match
+    segmentation is the expensive, regex-able part.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_TOKEN_REGEX)).cast("bigint")
+
+
 def stopword_count_expr(text: Column | str) -> Column:
     """Count of English stopword occurrences (word-bounded)."""
     c = F.col(text) if isinstance(text, str) else text

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.dedup import (
     BAND_MASK,
     P31,
+    embedding_lsh_near_dup_pairs,
     embedding_near_dup_pairs,
     exact_dup_groups,
     fingerprint_dup_groups,
@@ -23,6 +24,7 @@ from ..operators.dedup import (
     minhash_params,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
+    winnow_fingerprints,
 )
 from ..sources.tables import load_table
 from .registry import query
@@ -223,6 +225,104 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle via the shared hash60 primitive."""
     return simhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=3, bits=60, chunks=4
+    )
+
+
+def _winnow_oracle(k: int = 3, window: int = 4) -> str:
+    """DuckDB replay of winnow_fingerprints: ordered k-gram hashes,
+    sliding-window minima, distinct sorted fingerprints, exploded."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(toks) - {k - 1}, 1)),
+               i -> array_to_string(toks[i:i+{k - 1}], ' ')) AS grams
+      FROM t),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, x -> {_hex60('x')} % {P31}) AS hs
+      FROM g),
+    w AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(hs) - {window - 1}, 1)),
+               i -> list_min(hs[i:i+{window - 1}])) AS wins
+      FROM h)
+    SELECT doc_id, unnest(list_sort(list_distinct(wins))) AS fingerprint
+    FROM w
+    ORDER BY doc_id, fingerprint
+    """
+
+
+@query("text_winnow_fingerprints", oracle=_winnow_oracle())
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS): one (doc, fingerprint)
+    row per retained window minimum — the inverted-index primitive for
+    shared-passage detection. Fully hash-verified via hash60."""
+    return winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=3, window=4
+    )
+
+
+def _embedding_lsh_oracle(
+    threshold: float = 0.4, bands: int = 4, bits_per_band: int = 4
+) -> str:
+    """DuckDB replay of embedding_lsh_near_dup_pairs: literal fixed-seed
+    hyperplanes split into bands; candidates match ANY band exactly;
+    exact cosine verifies candidates only."""
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, bands * bits_per_band, seed=42)
+
+    def band_bits(b: int) -> str:
+        return ",\n             ".join(
+            "CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in p)
+            + "]) >= 0 THEN '1' ELSE '0' END"
+            for p in planes[b * bits_per_band : (b + 1) * bits_per_band]
+        )
+
+    banded = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band_idx, concat({band_bits(b)}) AS band_sig FROM base"
+        for b in range(bands)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    banded AS ({banded}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+           AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           list_cosine_similarity(va.v, vb.v) AS cosine
+    FROM cand c JOIN base va ON va.vec_id = c.vec_a
+                JOIN base vb ON vb.vec_id = c.vec_b
+    WHERE list_cosine_similarity(va.v, vb.v) >= {threshold}
+    ORDER BY vec_a, vec_b
+    """
+
+
+@query("dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via banded LSH — the scale path twin of
+    dedup_embedding_cosine (all-pairs baseline): 4 bands x 4 sign bits,
+    exact cosine only within band buckets. Hash-verified against the
+    literal-hyperplane DuckDB replay."""
+    return embedding_lsh_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        dim=64,
+        bands=4,
+        bits_per_band=4,
     )
 
 

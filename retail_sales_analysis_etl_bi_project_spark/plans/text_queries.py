@@ -9,7 +9,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import (
+    BPE_TOKEN_REGEX,
     EN_STOPWORDS,
+    bpe_token_count_expr,
     fingerprint_expr,
     predicted_lang_expr,
     punct_count_expr,
@@ -99,6 +101,29 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", "lang", predicted_lang_expr("text").alias("predicted_lang")
+    )
+
+
+@query(
+    "text_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_REGEX.replace("'", "''")}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST({_SQL_NTOK} AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer token counts (GPT-2-shape regex) next to
+    the whitespace count — the token-budgeting metric of LLM-data
+    pipelines. Same regex evaluates identically in Java regex and RE2
+    (ASCII classes + non-capturing groups only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count_expr("text").alias("n_bpe_tokens"),
+        token_count_expr("text").alias("n_ws_tokens"),
     )
 
 

@@ -73,6 +73,56 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     assert all(j >= 0.5 for j in lsh.values())  # verification filter holds
 
 
+def test_winnow_shared_passage_shares_fingerprint(spark):
+    """Documents sharing a long passage must share >=1 winnowed
+    fingerprint regardless of position; unrelated docs share none."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words first {passage}"),
+            (2, f"{passage} completely different tail content here"),
+            (3, "nothing in common with anything else at all truly"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=3, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared passage produced no shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_embedding_lsh_recall_vs_all_pairs(spark, sf_dir):
+    """Banded LSH must catch most high-cosine pairs (p_bit^4 per band is
+    ~0.5 at cosine 0.9; 1-(1-p)^4 ~ 0.95) and report the exact same
+    cosines as the all-pairs baseline for pairs it finds."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        embedding_lsh_near_dup_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup_pairs(emb, threshold=0.7).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_lsh_near_dup_pairs(emb, threshold=0.7).collect()
+    }
+    assert set(lsh) <= set(exact)  # never invents pairs
+    for pair, c in lsh.items():
+        assert abs(exact[pair] - c) < 1e-12
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.5, f"banded-LSH recall too low: {recall}"
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = {
