@@ -31,6 +31,7 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.text_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.dedup_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.similarity_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.join_queries",
     ):
         try:
             __import__(mod)

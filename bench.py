@@ -53,6 +53,8 @@ HEADLINE = [
     "sim_ivf_kmeans_topk",
     "agg_order_value_percentiles_approx",
     "etl_csv_roundtrip",
+    "join_asof_last_purchase",
+    "join_range_value_bands",
     "skew_salted_revenue_by_segment",
     "events_sliding_3h_daily",
     "corpus_filter_pipeline",

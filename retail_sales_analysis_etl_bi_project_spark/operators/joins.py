@@ -1,0 +1,121 @@
+"""Join shapes Spark's API lacks as primitives, built as compositions
+of DataFrame ops (the brief's prescribed order: composition first,
+Pandas UDF only if semantics demand it — these don't).
+
+- asof_join   : most-recent-match time join (point-in-time lookup) via
+                union + running last() window — ONE shuffle on the key,
+                state per key = one running value. The classic
+                backtest / feature-lookup primitive.
+- range_join  : interval membership join via grid bucketing — turns a
+                BETWEEN theta-join (BroadcastNestedLoop at best,
+                cartesian at worst) into an equi-join on grid cell +
+                residual filter. The standard trick for joining events
+                to non-uniform value/time bands at scale.
+
+No reference analog (the reference is equi-join only); these extend
+SURVEY §2.3 for the LLM-pipeline/event surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    value_col: str,
+    out_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """For every left row, attach the latest ``value_col`` from ``right``
+    with ``right.ts <= left.ts`` for the same ``on`` key (NULL if no
+    prior right row) — as-of/backward join semantics.
+
+    Implementation: tag and union both inputs, sort within each key by
+    (ts, side, tiebreak) — right rows BEFORE left rows at equal ts, so
+    a same-instant right row is visible (the <= in the spec); among
+    equal-ts right rows the highest ``tiebreak`` wins — then a running
+    ``last(value, ignorenulls)`` window carries the latest right value
+    onto every left row. One shuffle on the key; the window state is a
+    single value per key, so it scales to arbitrarily long histories.
+    (Per-key output order is deterministic even though equal-ts left
+    rows sort arbitrarily: they all see the same carried value.)"""
+    rv_type = dict(right.dtypes)[value_col]
+    lcols = left.columns
+    payload = [c for c in lcols if c not in (on, ts)]
+    l2 = left.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("bigint").alias("_tb"),
+        F.lit(None).cast(rv_type).alias("_rv"),
+        *[F.col(c) for c in payload],
+    )
+    r2 = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        F.col(tiebreak).cast("bigint").alias("_tb"),
+        F.col(value_col).alias("_rv"),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c in payload],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        l2.unionByName(r2)
+        .withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select(*lcols, out_col)
+    )
+
+
+def range_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    grid: float,
+    small: bool = True,
+) -> DataFrame:
+    """Join fact rows to the interval [lo, hi) containing ``value_col``.
+
+    Scale path: every interval explodes into the grid cells it covers
+    (ceil(width/grid) rows — intervals are dims, this is tiny); every
+    fact row computes its single cell; the join is an EQUI-join on cell
+    plus the exact residual predicate. A naive ``ON v >= lo AND v < hi``
+    plans as BroadcastNestedLoopJoin — per-row scan of all intervals —
+    and can't shuffle-partition at all when the dim outgrows broadcast;
+    the grid form shuffles on cell like any equi-join (``small=False``
+    drops the broadcast hint for interval tables beyond broadcast
+    size). ``grid`` should be on the order of the median interval
+    width. A boundary-aligned ``hi`` emits one extra cell; the residual
+    filter removes those rows, so no epsilon arithmetic is needed."""
+    cells = intervals.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / grid).cast("bigint"),
+                F.floor(F.col(hi_col) / grid).cast("bigint"),
+            )
+        ).alias("_cell"),
+    )
+    if small:
+        cells = F.broadcast(cells)
+    tagged = fact.withColumn(
+        "_cell", F.floor(F.col(value_col) / grid).cast("bigint")
+    )
+    return (
+        tagged.join(cells, on="_cell", how="inner")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+        )
+        .drop("_cell")
+    )

@@ -1,0 +1,98 @@
+"""Driver-checkable queries for the composed join operators
+(operators/joins.py): as-of join and grid-bucketed range join, both
+with full DuckDB oracles (LATERAL top-1 replay / plain BETWEEN join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join, range_join
+from ..sources.tables import load_table
+from .registry import query
+
+# value bands over events.value (observed range ~0.01-490): deliberately
+# NON-uniform so the range join is a real interval join, not width_bucket
+VALUE_BANDS = [
+    ("micro", 0.0, 1.0),
+    ("small", 1.0, 5.0),
+    ("medium", 5.0, 20.0),
+    ("large", 20.0, 100.0),
+    ("huge", 100.0, 500.0),
+]
+
+
+@query(
+    "join_asof_last_purchase",
+    oracle="""
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts, p.value AS last_purchase_value
+    FROM clicks c LEFT JOIN LATERAL (
+      SELECT p.value FROM purchases p
+      WHERE p.user_id = c.user_id AND p.ts <= c.ts
+      ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+    ) p ON true
+    ORDER BY c.event_id
+    """,
+)
+def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: every click event annotated with the
+    user's most recent purchase value at or before the click — the
+    feature-lookup / backtest primitive. One shuffle on user_id; the
+    oracle replays it as a LATERAL top-1 per click."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts="ts",
+        value_col="value",
+        out_col="last_purchase_value",
+        tiebreak="event_id",
+    ).orderBy("event_id")
+
+
+@query(
+    "join_range_value_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('micro', 0.0, 1.0), ('small', 1.0, 5.0), ('medium', 5.0, 20.0),
+      ('large', 20.0, 100.0), ('huge', 100.0, 500.0))
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def join_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events bucketed into non-uniform value
+    bands via the grid-cell equi-join composition (operators/joins.py
+    range_join), then aggregated per band with exact-decimal sums. The
+    oracle is the naive BETWEEN join — same rows, any plan."""
+    events = load_table(spark, sf_dir, "events")
+    bands = events.sparkSession.createDataFrame(
+        VALUE_BANDS, "band string, lo double, hi double"
+    )
+    joined = range_join(
+        events.select("event_id", "value"), bands, "value", "lo", "hi", grid=20.0
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .orderBy("band")
+    )

@@ -1,0 +1,95 @@
+"""Composed-join operator tests: as-of join edge semantics (equal
+timestamps, tiebreaks, no-prior-match) and range-join boundary/grid
+behavior on hand-built fixtures."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from retail_sales_analysis_etl_bi_project_spark.operators.joins import (
+    asof_join,
+    range_join,
+)
+
+
+def _ts(minute):
+    return datetime.datetime(2024, 1, 1, 10, minute)
+
+
+def test_asof_takes_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (2, 100, _ts(30)), (3, 100, _ts(5))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(11, 100, _ts(8), 1.0), (12, 100, _ts(20), 2.0)],
+        "rid long, k long, ts timestamp, v double",
+    )
+    out = {
+        r.id: r.last_v
+        for r in asof_join(left, right, "k", "ts", "v", "last_v", "rid").collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: None}  # 3 precedes any right row
+
+
+def test_asof_equal_ts_right_visible_and_tiebreak(spark):
+    """A right row AT the left timestamp counts (<= semantics); among
+    equal-ts right rows the highest tiebreak id wins."""
+    left = spark.createDataFrame([(1, 7, _ts(10))], "id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(21, 7, _ts(10), 5.0), (22, 7, _ts(10), 9.0)],
+        "rid long, k long, ts timestamp, v double",
+    )
+    out = asof_join(left, right, "k", "ts", "v", "last_v", "rid").collect()
+    assert out[0].last_v == 9.0
+
+
+def test_asof_keys_are_independent(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10)), (2, 2, _ts(10))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(31, 1, _ts(5), 1.5)], "rid long, k long, ts timestamp, v double"
+    )
+    out = {
+        r.id: r.last_v
+        for r in asof_join(left, right, "k", "ts", "v", "last_v", "rid").collect()
+    }
+    assert out == {1: 1.5, 2: None}
+
+
+def test_range_join_boundaries_and_gaps(spark):
+    fact = spark.createDataFrame(
+        [(1, 0.5), (2, 1.0), (3, 4.99), (4, 5.0), (5, 99.9)],
+        "id long, v double",
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 1.0), ("b", 1.0, 5.0)], "band string, lo double, hi double"
+    )
+    out = {r.id: r.band for r in range_join(fact, bands, "v", "lo", "hi", 2.0).collect()}
+    # hi is exclusive, lo inclusive; values outside every band drop out
+    assert out == {1: "a", 2: "b", 3: "b"}
+
+
+def test_range_join_matches_naive_between(spark):
+    import random
+
+    rng = random.Random(3)
+    fact = spark.createDataFrame(
+        [(i, rng.uniform(0, 50)) for i in range(500)], "id long, v double"
+    )
+    bands = spark.createDataFrame(
+        [("x", 0.0, 7.5), ("y", 7.5, 8.0), ("z", 8.0, 41.0)],
+        "band string, lo double, hi double",
+    )
+    grid = {
+        (r.id, r.band)
+        for r in range_join(fact, bands, "v", "lo", "hi", 5.0).collect()
+    }
+    naive = {
+        (r.id, r.band)
+        for r in fact.join(
+            bands, (fact.v >= bands.lo) & (fact.v < bands.hi)
+        ).collect()
+    }
+    assert grid == naive
