@@ -106,17 +106,41 @@ def session_windows(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the ingest-time twin of
+    operators.dedup.exact_dup_groups: records whose key was already seen
+    within the watermark horizon are dropped.
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    EXPIRES it once the watermark passes, so state is bounded by the
+    key arrival rate x watermark window — an unwatermarked
+    dropDuplicates would grow state forever on an infinite stream. This
+    is the exactly-once-ish guard every streaming corpus ingest needs
+    in front of the batch dedup operators."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def run_to_memory(
-    spark: SparkSession, stream_df: DataFrame, table_name: str, timeout_sec: int = 120
+    spark: SparkSession,
+    stream_df: DataFrame,
+    table_name: str,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drive a streaming plan to completion against a finite file source
     (availableNow + memory sink); returns the materialized result. Test
     harness — production would use writeStream to a real sink with
-    checkpointing."""
+    checkpointing. ``output_mode``: 'complete' for aggregations,
+    'append' for row-wise plans (dedup)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

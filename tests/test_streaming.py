@@ -51,3 +51,19 @@ def test_streaming_session_windows_match_batch_sessions(spark, sf_dir):
         (r.user_id, r.session_start, r.n_events) for r in batch.collect()
     }
     assert g == b
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """Doubling the stream (union with itself) then dedup_stream must
+    restore the original distinct count — duplicate keys arriving
+    within the watermark are dropped, with bounded per-key state."""
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+    from retail_sales_analysis_etl_bi_project_spark.streaming.events import dedup_stream
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    got = run_to_memory(
+        spark, dedup_stream(doubled), "t_dedup", output_mode="append"
+    )
+    assert got.count() == load_table(spark, sf_dir, "events").count()
