@@ -50,7 +50,7 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_ann_topk",
-    "sim_ivf_kmeans_topk",
+    "sim_ivf_kmedians_topk",
     "agg_order_value_percentiles_approx",
     "etl_csv_roundtrip",
     "join_asof_last_purchase",

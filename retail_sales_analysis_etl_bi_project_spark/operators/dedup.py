@@ -358,11 +358,13 @@ def minhash_dedup_pairs(
     cand = minhash_candidate_pairs(
         docs, num_hashes, bands, n, text_col, id_col, include_estimate=False
     )
-    # shingle arrays appear on both sides of the verification join; the
-    # projection is a cheap scan-fused transform, so recomputing twice
-    # beats an unmanaged .cache() that would leak in a lazy-builder
-    # session (round-1 bench leak). The two join exchanges hash the same
-    # underlying column, so ReuseExchange shares the shuffle.
+    # shingle arrays appear on both sides of the verification join, and
+    # Spark computes duplicated join sides twice (no stage reuse — see
+    # _bucket_pairs). That is accepted here: the projection is a cheap
+    # scan-fused tokenize (no shuffle, no 64-hash aggregate), and the
+    # alternative — an unmanaged .cache() — leaked storage memory
+    # across round 1's bench session. Cost ∝ 2 corpus scans, not
+    # candidates².
     sh = docs.select(
         F.col(id_col).alias("did"), shingles_expr(F.col(text_col), n).alias("sh")
     )

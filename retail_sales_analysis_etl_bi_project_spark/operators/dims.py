@@ -105,8 +105,13 @@ def fk_violations(
     flags = []
     for i, (dim, dim_key, fact_key, out_alias, small) in enumerate(dims):
         flag = f"_fk_match_{i}"
-        lookup = dim.select(F.col(dim_key).alias(fact_key)).withColumn(
-            flag, F.lit(1)
+        # distinct: a dim with a duplicated key (exactly the corruption
+        # an integrity audit must survive) would otherwise multiply the
+        # fact rows through the join and inflate every later count
+        lookup = (
+            dim.select(F.col(dim_key).alias(fact_key))
+            .distinct()
+            .withColumn(flag, F.lit(1))
         )
         if small:
             lookup = F.broadcast(lookup)
@@ -114,7 +119,11 @@ def fk_violations(
         flags.append((flag, out_alias))
     return out.agg(
         *[
-            F.sum(F.col(flag).isNull().cast("bigint")).alias(out_alias)
+            # coalesce: SUM over an empty fact is NULL, the audit
+            # contract is a 0 count
+            F.coalesce(
+                F.sum(F.col(flag).isNull().cast("bigint")), F.lit(0)
+            ).alias(out_alias)
             for flag, out_alias in flags
         ]
     )

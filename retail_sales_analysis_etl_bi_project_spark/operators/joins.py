@@ -39,11 +39,16 @@ def asof_join(
     (ts, side, tiebreak) — right rows BEFORE left rows at equal ts, so
     a same-instant right row is visible (the <= in the spec); among
     equal-ts right rows the highest ``tiebreak`` wins — then a running
-    ``last(value, ignorenulls)`` window carries the latest right value
-    onto every left row. One shuffle on the key; the window state is a
-    single value per key, so it scales to arbitrarily long histories.
-    (Per-key output order is deterministic even though equal-ts left
-    rows sort arbitrarily: they all see the same carried value.)"""
+    ``last(..., ignorenulls)`` window carries the latest right row onto
+    every left row. The carried payload is a STRUCT wrapping the value:
+    every right row yields a non-null struct even when its value is
+    NULL, so the semantics are "value of the latest right row" (a NULL
+    value from the latest row IS returned), not "latest non-null
+    value" — matching the LATERAL top-1 oracle. One shuffle on the key;
+    the window state is a single struct per key, so it scales to
+    arbitrarily long histories. (Per-key output order is deterministic
+    even though equal-ts left rows sort arbitrarily: they all see the
+    same carried struct.)"""
     rv_type = dict(right.dtypes)[value_col]
     lcols = left.columns
     payload = [c for c in lcols if c not in (on, ts)]
@@ -52,7 +57,7 @@ def asof_join(
         F.col(ts),
         F.lit(1).alias("_side"),
         F.lit(0).cast("bigint").alias("_tb"),
-        F.lit(None).cast(rv_type).alias("_rv"),
+        F.lit(None).cast(f"struct<v:{rv_type}>").alias("_rv"),
         *[F.col(c) for c in payload],
     )
     r2 = right.select(
@@ -60,7 +65,7 @@ def asof_join(
         F.col(ts),
         F.lit(0).alias("_side"),
         F.col(tiebreak).cast("bigint").alias("_tb"),
-        F.col(value_col).alias("_rv"),
+        F.struct(F.col(value_col).alias("v")).alias("_rv"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c in payload],
     )
     w = (
@@ -70,9 +75,9 @@ def asof_join(
     )
     return (
         l2.unionByName(r2)
-        .withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
+        .withColumn("_carried", F.last("_rv", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
-        .select(*lcols, out_col)
+        .select(*lcols, F.col("_carried.v").alias(out_col))
     )
 
 

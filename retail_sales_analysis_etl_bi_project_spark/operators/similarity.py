@@ -142,24 +142,31 @@ def ivf_assignments(
     return emb.withColumn("centroid_id", best), codebook
 
 
-def kmeans_codebook(
+def kmedians_codebook(
     emb: DataFrame,
     n_centroids: int = 16,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[float]]:
-    """Deterministic Lloyd refinement of the IVF codebook: init = first
-    n_centroids vectors by id (the same seed ivf_assignments uses), then
-    ``iters`` rounds of assign -> per-centroid mean.
+    """Deterministic Lloyd-style refinement of the IVF codebook using
+    per-dimension MEDIANS (k-medians): init = first n_centroids vectors
+    by id (the same seed ivf_assignments uses), then ``iters`` rounds of
+    assign -> per-centroid component-wise median.
 
-    Determinism at any partitioning: component sums are EXACT decimal
-    (DECIMAL(38,20) — associative, no float summation-order drift), cast
-    to double once, divided by the exact count. Per iteration: one
-    assignment expression (no shuffle) + one posexplode groupBy
-    (centroid, dim) aggregate — n_centroids*dim result rows collected
-    (KBs). Centroids that capture no vectors keep their previous
-    position. At 100 TB each iteration is one scan + one small shuffle."""
+    Median, not mean, deliberately: the exact median of a sorted double
+    multiset is partitioning-independent AND bit-identical across
+    engines (Spark ``percentile`` == DuckDB ``quantile_cont``, proven by
+    the percentile oracle), whereas cross-engine double->decimal casts
+    round differently (DuckDB multiplies in double arithmetic, Spark
+    goes through shortest-repr BigDecimal), so a mean-based codebook
+    could diverge in the last ulp and flip a borderline argmax. Per
+    iteration: one assignment expression (no shuffle) + one posexplode
+    groupBy (centroid, dim) aggregate — n_centroids*dim result rows
+    collected (KBs). Centroids that capture no vectors keep their
+    previous position. At 100 TB each iteration is one scan + one
+    small shuffle (exact per-group median sorts per group — swap in
+    approx_percentile if the inverted lists are huge)."""
     _, cb = ivf_assignments(emb, n_centroids, id_col, vec_col)
     dim = len(cb[0])
     for _ in range(iters):
@@ -169,19 +176,14 @@ def kmeans_codebook(
                 "centroid_id", F.posexplode(_dbl(vec_col)).alias("pos", "val")
             )
             .groupBy("centroid_id", "pos")
-            .agg(
-                (
-                    F.sum(F.col("val").cast("decimal(38,20)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
+            .agg(F.percentile("val", F.lit(0.5)).alias("m"))
             .collect()
         )
-        means: dict[int, dict[int, float]] = {}
+        medians: dict[int, dict[int, float]] = {}
         for r in rows:
-            means.setdefault(r.centroid_id, {})[r.pos] = r.m
+            medians.setdefault(r.centroid_id, {})[r.pos] = r.m
         cb = [
-            [means[c][p] for p in range(dim)] if c in means else cb[c]
+            [medians[c][p] for p in range(dim)] if c in medians else cb[c]
             for c in range(n_centroids)
         ]
     return cb
@@ -194,16 +196,16 @@ def ivf_topk(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    kmeans_iters: int = 0,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN with nprobe=1: queries score only the corpus vectors
     assigned to their own centroid. The probe join is an equi-join on
     centroid_id — at 100 TB each query touches ~corpus/n_centroids
     rows, and the inverted lists shard naturally by centroid.
-    ``kmeans_iters > 0`` refines the sampled codebook with that many
-    deterministic Lloyd iterations (kmeans_codebook) before assigning."""
-    if kmeans_iters > 0:
-        cb = kmeans_codebook(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+    ``refine_iters > 0`` refines the sampled codebook with that many
+    deterministic k-medians iterations (kmedians_codebook) first."""
+    if refine_iters > 0:
+        cb = kmedians_codebook(corpus, n_centroids, refine_iters, id_col, vec_col)
         assigned, _ = ivf_assignments(corpus, n_centroids, id_col, vec_col, codebook=cb)
     else:
         assigned, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)

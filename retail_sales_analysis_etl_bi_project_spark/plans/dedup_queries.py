@@ -276,15 +276,13 @@ def _embedding_lsh_oracle(
     hyperplanes split into bands; candidates match ANY band exactly;
     exact cosine verifies candidates only."""
     from ..operators.similarity import hyperplanes
+    from .similarity_queries import plane_bits_sql
 
     planes = hyperplanes(64, bands * bits_per_band, seed=42)
 
     def band_bits(b: int) -> str:
-        return ",\n             ".join(
-            "CASE WHEN list_dot_product(v, ["
-            + ", ".join(repr(x) for x in p)
-            + "]) >= 0 THEN '1' ELSE '0' END"
-            for p in planes[b * bits_per_band : (b + 1) * bits_per_band]
+        return plane_bits_sql(
+            planes[b * bits_per_band : (b + 1) * bits_per_band], "v"
         )
 
     banded = "\n      UNION ALL ".join(

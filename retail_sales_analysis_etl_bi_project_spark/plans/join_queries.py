@@ -12,14 +12,18 @@ from ..operators.joins import asof_join, range_join
 from ..sources.tables import load_table
 from .registry import query
 
-# value bands over events.value (observed range ~0.01-490): deliberately
-# NON-uniform so the range join is a real interval join, not width_bucket
+# value bands over events.value: deliberately NON-uniform so the range
+# join is a real interval join, not width_bucket. The top band's bound
+# comfortably exceeds any observed value (max ~560 at sf0.1 and grows
+# with scale factor) so the bands COVER the domain — a short top band
+# would silently drop rows in both engines and the driver compare
+# would never notice.
 VALUE_BANDS = [
     ("micro", 0.0, 1.0),
     ("small", 1.0, 5.0),
     ("medium", 5.0, 20.0),
     ("large", 20.0, 100.0),
-    ("huge", 100.0, 500.0),
+    ("huge", 100.0, 100000.0),
 ]
 
 
@@ -65,7 +69,7 @@ def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bands(band, lo, hi) AS (VALUES
       ('micro', 0.0, 1.0), ('small', 1.0, 5.0), ('medium', 5.0, 20.0),
-      ('large', 20.0, 100.0), ('huge', 100.0, 500.0))
+      ('large', 20.0, 100.0), ('huge', 100.0, 100000.0))
     SELECT band,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value

@@ -25,17 +25,25 @@ _N_PLANES = 8
 _N_CENTROIDS = 16
 
 
+def plane_bits_sql(planes: list[list[float]], vec_expr: str) -> str:
+    """Shared DuckDB builder for the sign-bit expressions of literal
+    hyperplanes — single source of truth for every LSH oracle here and
+    in dedup_queries (a drifting copy would silently desynchronize the
+    replays)."""
+    return ",\n             ".join(
+        f"CASE WHEN list_dot_product({vec_expr}, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+
+
 def _lsh_oracle() -> str:
     """DuckDB replay of lsh_topk: same fixed-seed hyperplanes as the
     Spark plan (literal arrays), same sign-bit bucket string, same
     bucket equi-join + exact cosine + dense rank."""
     planes = hyperplanes(_DIM, _N_PLANES, seed=42)
-    bits = ",\n             ".join(
-        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
-        + ", ".join(repr(x) for x in p)
-        + "]) >= 0 THEN '1' ELSE '0' END"
-        for p in planes
-    )
+    bits = plane_bits_sql(planes, "CAST(embedding AS DOUBLE[])")
     return f"""
     WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -59,33 +67,59 @@ def _lsh_oracle() -> str:
     """
 
 
-def _ivf_oracle() -> str:
-    """DuckDB replay of ivf_topk: codebook = first n vectors by id
-    (derived in a CTE from the SAME corpus, so it tracks the data at any
-    scale factor), argmax-cosine assignment with Spark's first-index
-    tie-break (ORDER BY cosine DESC, centroid_id ASC), nprobe=1 probe
-    join. Queries are assigned against the corpus codebook — the same
-    semantics the round-2 ivf_topk fix enforces."""
-    return f"""
-    WITH cb AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
-             CAST(embedding AS DOUBLE[]) AS cvec
-      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_N_CENTROIDS})
-    ),
-    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    assign AS (
+def _ivf_oracle(iters: int = 0) -> str:
+    """DuckDB replay of ivf_topk(refine_iters=iters), one builder for
+    both the plain (iters=0) and k-medians-refined variants so the
+    assignment/tie-break/rank SQL can never drift between them.
+
+    Codebook init = first n vectors by id (derived in a CTE from the
+    SAME corpus, so it tracks the data at any scale factor); assignment
+    = argmax cosine with Spark's first-index tie-break (ORDER BY cosine
+    DESC, centroid_id ASC); refinement rounds are unrolled CTE pairs
+    (assign_i, cb_{i+1}) whose per-dimension medians use quantile_cont —
+    bit-identical to Spark ``percentile`` on the same double multiset,
+    unlike cross-engine decimal casts of doubles, which round
+    differently. Queries are assigned against the corpus codebook — the
+    same semantics the round-2 ivf_topk fix enforces."""
+    assign_tpl = """
+    assign{i} AS (
       SELECT vec_id, v, centroid_id FROM (
-        SELECT b.vec_id, b.v, cb.centroid_id,
+        SELECT b.vec_id, b.v, c.centroid_id,
                ROW_NUMBER() OVER (PARTITION BY b.vec_id
-                                  ORDER BY list_cosine_similarity(b.v, cb.cvec) DESC,
-                                           cb.centroid_id) AS rn
-        FROM base b CROSS JOIN cb
+                                  ORDER BY list_cosine_similarity(b.v, c.cvec) DESC,
+                                           c.centroid_id) AS rn
+        FROM base b CROSS JOIN cb{i} c
       ) WHERE rn = 1
-    ),
+    )"""
+    cb_tpl = """
+    cb{next} AS (
+      SELECT c.centroid_id, COALESCE(m.cvec_new, c.cvec) AS cvec
+      FROM cb{i} c LEFT JOIN (
+        SELECT centroid_id, list(m ORDER BY pos) AS cvec_new FROM (
+          SELECT centroid_id, pos, quantile_cont(val, 0.5) AS m
+          FROM (SELECT centroid_id, unnest(v) AS val,
+                       unnest(generate_series(1, len(v))) AS pos
+                FROM assign{i})
+          GROUP BY centroid_id, pos
+        ) GROUP BY centroid_id
+      ) m USING (centroid_id)
+    )"""
+    ctes = []
+    for i in range(iters):
+        ctes.append(assign_tpl.format(i=i))
+        ctes.append(cb_tpl.format(i=i, next=i + 1))
+    ctes.append(assign_tpl.format(i=iters))
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
+             v AS cvec
+      FROM (SELECT * FROM base ORDER BY vec_id LIMIT {_N_CENTROIDS})
+    ),{",".join(ctes)},
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_cosine_similarity(q.v, c.v) AS cosine
-      FROM assign q JOIN assign c
+      FROM assign{iters} q JOIN assign{iters} c
         ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
       WHERE q.vec_id < {_N_QUERIES}
     )
@@ -142,71 +176,13 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_kmeans_oracle(iters: int = 2) -> str:
-    """DuckDB replay of ivf_topk(kmeans_iters=N): the Lloyd rounds are
-    unrolled as CTE pairs (assign_i, cb_{i+1}). Means use the same
-    exact-decimal-sum-then-double-divide arithmetic as the Spark side,
-    so the refined codebooks are bit-identical and the probe join
-    compares the same inverted lists."""
-    assign_tpl = """
-    assign{i} AS (
-      SELECT vec_id, v, centroid_id FROM (
-        SELECT b.vec_id, b.v, c.centroid_id,
-               ROW_NUMBER() OVER (PARTITION BY b.vec_id
-                                  ORDER BY list_cosine_similarity(b.v, c.cvec) DESC,
-                                           c.centroid_id) AS rn
-        FROM base b CROSS JOIN cb{i} c
-      ) WHERE rn = 1
-    )"""
-    cb_tpl = """
-    cb{next} AS (
-      SELECT c.centroid_id, COALESCE(m.cvec_new, c.cvec) AS cvec
-      FROM cb{i} c LEFT JOIN (
-        SELECT centroid_id, list(m ORDER BY pos) AS cvec_new FROM (
-          SELECT centroid_id, pos,
-                 CAST(SUM(CAST(val AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS m
-          FROM (SELECT centroid_id, unnest(v) AS val,
-                       unnest(generate_series(1, len(v))) AS pos
-                FROM assign{i})
-          GROUP BY centroid_id, pos
-        ) GROUP BY centroid_id
-      ) m USING (centroid_id)
-    )"""
-    ctes = []
-    for i in range(iters):
-        ctes.append(assign_tpl.format(i=i))
-        ctes.append(cb_tpl.format(i=i, next=i + 1))
-    ctes.append(assign_tpl.format(i=iters))
-    return f"""
-    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cb0 AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
-             v AS cvec
-      FROM (SELECT * FROM base ORDER BY vec_id LIMIT {_N_CENTROIDS})
-    ),{",".join(ctes)},
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(q.v, c.v) AS cosine
-      FROM assign{iters} q JOIN assign{iters} c
-        ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
-      WHERE q.vec_id < {_N_QUERIES}
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, neighbor_id) AS INTEGER)
-                  AS rank
-      FROM scored
-    ) WHERE rank <= {_K}
-    ORDER BY query_id, rank
-    """
-
-
-@query("sim_ivf_kmeans_topk", oracle=_ivf_kmeans_oracle(iters=2))
-def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a k-means-refined codebook (2 deterministic Lloyd
-    iterations over the sampled init — operators/similarity.py
-    kmeans_codebook). Exact-decimal mean arithmetic keeps the refinement
-    reproducible at any partitioning AND lets DuckDB replay the entire
+@query("sim_ivf_kmedians_topk", oracle=_ivf_oracle(iters=2))
+def sim_ivf_kmedians_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a k-medians-refined codebook (2 deterministic Lloyd-
+    style iterations over the sampled init — operators/similarity.py
+    kmedians_codebook). Per-dimension exact medians keep the refinement
+    reproducible at any partitioning AND bit-identical across engines
+    (percentile == quantile_cont), so DuckDB replays the entire
     iterative pipeline for a full hash check."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
@@ -214,7 +190,7 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < _N_QUERIES),
         k=_K,
         n_centroids=_N_CENTROIDS,
-        kmeans_iters=2,
+        refine_iters=2,
     )
 
 

@@ -49,12 +49,12 @@ def main(argv: list[str] | None = None) -> None:
     args = ap.parse_args(argv)
 
     # Precedence (reference parity): CLI flag > env var > .env file >
-    # config.ini > coded default.
-    from .config import Settings, load_settings
+    # config.ini > coded default. Always layered: without --config-root
+    # the ini/.env are looked up in cwd (reference hybrid_settings
+    # loads unconditionally too), so env-var overrides work either way.
+    from .config import load_settings
 
-    settings = (
-        load_settings(args.config_root) if args.config_root else Settings().validate()
-    )
+    settings = load_settings(args.config_root)
     data_dir = args.data_dir or settings.data_path or None
     n_rows = args.rows or settings.generator_rows
     if args.out:  # --out overrides both configured paths

@@ -62,6 +62,25 @@ def test_fk_violations_counts(spark):
     assert row.bad_k == 1
 
 
+def test_fk_violations_survives_dup_dim_keys_and_empty_fact(spark):
+    """A dim with a duplicated key (the corruption an audit must
+    survive) must not inflate counts via join multiplication; an empty
+    fact must report 0, not NULL."""
+    fact = spark.createDataFrame([(1, 10), (2, 10), (99, 10)], "a int, b int")
+    dim_a = spark.createDataFrame([(1,), (1,), (2,)], "a int")  # dup key 1
+    dim_b = spark.createDataFrame([(10,), (10,)], "b int")  # all dups
+    row = fk_violations(
+        fact,
+        [(dim_a, "a", "a", "bad_a", True), (dim_b, "b", "b", "bad_b", True)],
+    ).collect()[0]
+    assert row.bad_a == 1 and row.bad_b == 0
+    empty = spark.createDataFrame([], "a int")
+    row = fk_violations(
+        empty, [(dim_a.select("a"), "a", "a", "bad_a", True)]
+    ).collect()[0]
+    assert row.bad_a == 0
+
+
 def test_fk_violations_single_pass_multi_dim(spark):
     """One lazy plan, multiple dims, mixed broadcast/shuffle joins."""
     fact = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], "a int, b int")

@@ -44,6 +44,19 @@ def test_asof_equal_ts_right_visible_and_tiebreak(spark):
     assert out[0].last_v == 9.0
 
 
+def test_asof_latest_row_wins_even_with_null_value(spark):
+    """Contract is 'value of the LATEST right row' — a NULL value on the
+    latest row must be returned, not skipped in favor of an older
+    non-null value (matches the LATERAL top-1 oracle semantics)."""
+    left = spark.createDataFrame([(1, 5, _ts(30))], "id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(41, 5, _ts(10), 7.0), (42, 5, _ts(20), None)],
+        "rid long, k long, ts timestamp, v double",
+    )
+    out = asof_join(left, right, "k", "ts", "v", "last_v", "rid").collect()
+    assert out[0].last_v is None
+
+
 def test_asof_keys_are_independent(spark):
     left = spark.createDataFrame(
         [(1, 1, _ts(10)), (2, 2, _ts(10))], "id long, k long, ts timestamp"

@@ -87,24 +87,24 @@ def test_ivf_topk_wiring_and_scores_exact(spark, sf_dir):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
-def test_kmeans_codebook_deterministic_and_refines(spark, sf_dir):
-    """Lloyd refinement must be bit-identical across runs (exact-decimal
-    means — no float summation-order drift) and must actually move the
-    sampled init centroids."""
+def test_kmedians_codebook_deterministic_and_refines(spark, sf_dir):
+    """K-medians refinement must be bit-identical across runs (exact
+    per-dimension medians — partitioning-independent) and must actually
+    move the sampled init centroids."""
     from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
         ivf_assignments,
-        kmeans_codebook,
+        kmedians_codebook,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cb1 = kmeans_codebook(emb, n_centroids=8, iters=2)
-    cb2 = kmeans_codebook(emb, n_centroids=8, iters=2)
+    cb1 = kmedians_codebook(emb, n_centroids=8, iters=2)
+    cb2 = kmedians_codebook(emb, n_centroids=8, iters=2)
     assert cb1 == cb2  # bit-identical, not approximately equal
     _, init = ivf_assignments(emb, n_centroids=8)
     assert cb1 != init  # refinement moved centroids
     # refined ivf still returns well-formed exact-cosine results
     queries = emb.filter(F.col("vec_id") < 3)
-    out = ivf_topk(emb, queries, k=5, n_centroids=8, kmeans_iters=2).collect()
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, refine_iters=2).collect()
     assert out and all(r.rank >= 1 for r in out)
 
 
