@@ -50,9 +50,11 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_ann_topk",
+    "sim_ivf_multiprobe_topk",
     "sim_ivf_kmedians_topk",
     "agg_order_value_percentiles_approx",
     "etl_csv_roundtrip",
+    "etl_scd2_priority_history",
     "join_asof_last_purchase",
     "join_range_value_bands",
     "skew_salted_revenue_by_segment",

@@ -129,6 +129,44 @@ def fk_violations(
     )
 
 
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    attrs: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event/snapshot
+    stream: one output row per (key, attribute-run) with
+    ``valid_from``/``valid_to`` (NULL valid_to = current version). The
+    reference's MERGE is type-1 (insert-only-new, etl/etl.py:211-218);
+    this is the type-2 extension every real warehouse eventually needs.
+
+    Change points are rows where any attr IS DISTINCT FROM its
+    predecessor (eqNullSafe — NULL-to-value transitions count) in
+    (ts, tiebreak) order per key; ``valid_to`` is the next change's
+    ``valid_from`` via lead(). Two windows over the same key
+    partitioning — one shuffle, state per key is a single previous
+    row. Fully SQL-expressible (LAG/LEAD + IS DISTINCT FROM), so
+    DuckDB oracles it exactly."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    # explicit first-row marker: relying on lag(attr) IS NULL would miss
+    # a first version whose attr is itself NULL (eqNullSafe(NULL,NULL))
+    changed = F.lag(F.lit(1)).over(w).isNull()
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    points = df.withColumn("_chg", changed).filter(F.col("_chg"))
+    w2 = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), F.col(tiebreak).asc()
+    )
+    return points.select(
+        key,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+    )
+
+
 def null_audit(df: DataFrame) -> DataFrame:
     """Per-column null-cell counts in ONE pass (generate_data.py:294-296
     did isnull().sum()); single aggregate row, no shuffle beyond the

@@ -189,6 +189,33 @@ def kmedians_codebook(
     return cb
 
 
+def probe_assignments(
+    queries: DataFrame,
+    codebook: list[list[float]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``nprobe`` centroids per query (multi-probe): posexplode the
+    per-centroid cosine array and rank (cosine DESC, centroid_id ASC —
+    the same tie-break as single-probe argmax). The explode+window runs
+    over the QUERY set only, which is small by assumption; the corpus
+    keeps its pure-expression single assignment."""
+    v = _dbl(vec_col)
+    sims = F.array(
+        *[cosine_expr(v, F.array(*[F.lit(x) for x in c])) for c in codebook]
+    )
+    exploded = queries.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(sims).alias("centroid_id", "_sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -197,13 +224,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN with nprobe=1: queries score only the corpus vectors
-    assigned to their own centroid. The probe join is an equi-join on
-    centroid_id — at 100 TB each query touches ~corpus/n_centroids
-    rows, and the inverted lists shard naturally by centroid.
-    ``refine_iters > 0`` refines the sampled codebook with that many
-    deterministic k-medians iterations (kmedians_codebook) first."""
+    """IVF ANN: queries score only the corpus vectors assigned to their
+    ``nprobe`` closest centroids. The probe join is an equi-join on
+    centroid_id — at 100 TB each query touches ~nprobe*corpus/
+    n_centroids rows, and the inverted lists shard naturally by
+    centroid. ``refine_iters > 0`` refines the sampled codebook with
+    that many deterministic k-medians iterations (kmedians_codebook)
+    first; ``nprobe > 1`` trades proportionally more scanning for
+    recall (the standard IVF knob)."""
     if refine_iters > 0:
         cb = kmedians_codebook(corpus, n_centroids, refine_iters, id_col, vec_col)
         assigned, _ = ivf_assignments(corpus, n_centroids, id_col, vec_col, codebook=cb)
@@ -214,9 +244,14 @@ def ivf_topk(
     )
     # queries MUST be assigned against the CORPUS codebook: a
     # query-derived codebook would give centroid_ids that index a
-    # different partitioning, and the nprobe=1 equi-join would probe
+    # different partitioning, and the probe equi-join would compare
     # semantically unrelated inverted lists (recall collapse).
-    q_assigned, _ = ivf_assignments(queries, n_centroids, id_col, vec_col, codebook=cb)
+    if nprobe > 1:
+        q_assigned = probe_assignments(queries, cb, nprobe, id_col, vec_col)
+    else:
+        q_assigned, _ = ivf_assignments(
+            queries, n_centroids, id_col, vec_col, codebook=cb
+        )
     q = q_assigned.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
     )

@@ -277,6 +277,47 @@ def etl_coerce_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "etl_scd2_priority_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+             (LAG(1) OVER w IS NULL
+              OR o_orderpriority IS DISTINCT FROM LAG(o_orderpriority) OVER w) AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    )
+    SELECT o_custkey, o_orderpriority,
+           d AS valid_from,
+           LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS valid_to
+    FROM ordered WHERE chg
+    ORDER BY o_custkey, valid_from
+    """,
+)
+def etl_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD historization (operators/dims.py scd2_history): each
+    customer's order-priority regime changes become versioned rows with
+    valid_from/valid_to — the type-2 extension of the reference's
+    type-1 MERGE. One shuffle on the key; oracle replays LAG/LEAD +
+    IS DISTINCT FROM exactly."""
+    from ..operators.dims import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    return scd2_history(
+        orders, key="o_custkey", ts="d", attrs=["o_orderpriority"], tiebreak="o_orderkey"
+    ).select(
+        "o_custkey",
+        "o_orderpriority",
+        "valid_from",
+        "valid_to",
+    ).orderBy("o_custkey", "valid_from")
+
+
+@query(
     "etl_csv_roundtrip",
     oracle="""
     SELECT o_orderkey,

@@ -67,10 +67,12 @@ def _lsh_oracle() -> str:
     """
 
 
-def _ivf_oracle(iters: int = 0) -> str:
-    """DuckDB replay of ivf_topk(refine_iters=iters), one builder for
-    both the plain (iters=0) and k-medians-refined variants so the
-    assignment/tie-break/rank SQL can never drift between them.
+def _ivf_oracle(iters: int = 0, nprobe: int = 1) -> str:
+    """DuckDB replay of ivf_topk(refine_iters=iters, nprobe=nprobe),
+    one builder for the plain, k-medians-refined, and multi-probe
+    variants so the assignment/tie-break/rank SQL can never drift
+    between them. Multi-probe: the query side keeps its top-``nprobe``
+    centroids (rn <= nprobe, same ordering as argmax) instead of rn=1.
 
     Codebook init = first n vectors by id (derived in a CTE from the
     SAME corpus, so it tracks the data at any scale factor); assignment
@@ -116,12 +118,21 @@ def _ivf_oracle(iters: int = 0) -> str:
              v AS cvec
       FROM (SELECT * FROM base ORDER BY vec_id LIMIT {_N_CENTROIDS})
     ),{",".join(ctes)},
+    assignq AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT b.vec_id, b.v, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY list_cosine_similarity(b.v, c.cvec) DESC,
+                                           c.centroid_id) AS rn
+        FROM base b CROSS JOIN cb{iters} c
+        WHERE b.vec_id < {_N_QUERIES}
+      ) WHERE rn <= {nprobe}
+    ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_cosine_similarity(q.v, c.v) AS cosine
-      FROM assign{iters} q JOIN assign{iters} c
+      FROM assignq q JOIN assign{iters} c
         ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
-      WHERE q.vec_id < {_N_QUERIES}
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -173,6 +184,22 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K, n_centroids=_N_CENTROIDS
+    )
+
+
+@query("sim_ivf_multiprobe_topk", oracle=_ivf_oracle(iters=0, nprobe=3))
+def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=3: each query scans its 3 closest inverted
+    lists — the standard recall knob (3x the scan of nprobe=1, still
+    ~5x less than brute force at 16 centroids). Fully hash-verified
+    against the shared IVF oracle builder."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        nprobe=3,
     )
 
 

@@ -96,6 +96,36 @@ def test_fk_violations_single_pass_multi_dim(spark):
     assert df.schema.fieldNames() == ["bad_a", "bad_b"]
 
 
+def test_scd2_history_versions(spark):
+    """Change-point detection: runs collapse to one version; reverting
+    to an earlier value opens a NEW version; NULL first version is
+    emitted; valid_to chains to the next valid_from (NULL = current)."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dims import scd2_history
+
+    d = datetime.date
+    rows = [
+        (1, None, d(2024, 1, 1), 1),   # first version, NULL attr
+        (1, "A", d(2024, 1, 2), 2),
+        (1, "A", d(2024, 1, 3), 3),    # same run — no new version
+        (1, "B", d(2024, 1, 4), 4),
+        (1, "A", d(2024, 1, 5), 5),    # revert -> new version
+        (2, "X", d(2024, 1, 1), 6),
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts date, id long")
+    out = sorted(
+        scd2_history(df, "k", "ts", ["attr"], "id").collect(),
+        key=lambda r: (r.k, r.valid_from),
+    )
+    got = [(r.k, r.attr, r.valid_from, r.valid_to) for r in out]
+    assert got == [
+        (1, None, d(2024, 1, 1), d(2024, 1, 2)),
+        (1, "A", d(2024, 1, 2), d(2024, 1, 4)),
+        (1, "B", d(2024, 1, 4), d(2024, 1, 5)),
+        (1, "A", d(2024, 1, 5), None),
+        (2, "X", d(2024, 1, 1), None),
+    ]
+
+
 def test_null_audit(spark):
     df = spark.createDataFrame(
         [(1, None), (None, "x"), (3, "y")], "a int, b string"
