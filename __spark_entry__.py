@@ -18,7 +18,14 @@ def _registry():
     from retail_sales_analysis_etl_bi_project_spark.plans import registry
     import retail_sales_analysis_etl_bi_project_spark.plans.bi  # noqa: F401
 
+    # Scale-path modules (dedup / similarity / joins) register FIRST so
+    # that if the surface ever grows past the driver's 50-query
+    # correctness window again, only long-tail spine variants spill out.
     for mod in (
+        "retail_sales_analysis_etl_bi_project_spark.plans.dedup_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.similarity_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.join_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.text_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.etl_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.sql_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.extra_queries",
@@ -28,10 +35,6 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.json_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.window_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.events_queries",
-        "retail_sales_analysis_etl_bi_project_spark.plans.text_queries",
-        "retail_sales_analysis_etl_bi_project_spark.plans.dedup_queries",
-        "retail_sales_analysis_etl_bi_project_spark.plans.similarity_queries",
-        "retail_sales_analysis_etl_bi_project_spark.plans.join_queries",
     ):
         try:
             __import__(mod)

@@ -2,15 +2,19 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed once after a warm-up action so JVM/codegen
-startup isn't billed to the first query. Timings are wall-clock per
-query (plan + execute + collect of the small result).
+Each query is executed REPEATS (3) times after a warm-up action so
+JVM/codegen startup isn't billed, and the reported per-query number is
+the MEDIAN wall-clock (plan + execute + collect of the small result).
+Medians make one-off outliers (GC pause, first-touch page faults)
+self-diagnosing: the per-query spread (max-min)/median is reported
+alongside so a flaky timing is visible in the artifact itself.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,6 +25,7 @@ from retail_sales_analysis_etl_bi_project_spark.session import get_spark
 import __spark_entry__ as entrymod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 # Headline set: the reference-parity BI spine + one of each north-star
 # operator family (dedup, similarity, text, events). Heavy quadratic
@@ -31,28 +36,29 @@ HEADLINE = [
     "q02_monthly_revenue_trend",
     "q03_revenue_by_supplier_nation",
     "q04_custbal_segment_revenue",
+    "k_core_kpis",
     "k4_category_revenue_share",
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
     "agg_rollup_year_month",
-    "derived_profit_by_brand",
     "etl_fact_assembly",
     "etl_dim_date_build",
+    "etl_quality_audit",
     "window_top3_parts_per_brand",
     "window_customer_running_total",
     "events_hourly_agg",
     "events_sessionization",
-    "dedup_exact_groups",
+    "events_dedup_first_per_key",
+    "dedup_hash_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "text_token_stats",
-    "text_quality_scores",
+    "text_profile",
     "sim_bruteforce_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_ann_topk",
     "sim_ivf_multiprobe_topk",
     "sim_ivf_kmedians_topk",
-    "agg_order_value_percentiles_approx",
+    "agg_sketch_profile",
     "etl_csv_roundtrip",
     "etl_scd2_priority_history",
     "join_asof_last_purchase",
@@ -61,9 +67,12 @@ HEADLINE = [
     "events_sliding_3h_daily",
     "corpus_filter_pipeline",
     "multimodal_feature_extract",
-    "json_props_map_agg",
-    "stats_value_moments",
+    "events_json_and_moments",
 ]
+
+# Queries whose result is fact-sized: count() instead of collect() so the
+# bench measures the plan, not driver materialization of 60k+ rows.
+COUNT_ONLY_PREFIXES = ("etl_fact", "window_customer")
 
 
 def main() -> None:
@@ -76,16 +85,24 @@ def main() -> None:
     qs["q01_top5_products_by_revenue"](spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count() if name.startswith(("etl_fact", "window_customer")) else len(
-            df.collect()
-        )
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        runs: list[float] = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            n = (
+                df.count()
+                if name.startswith(COUNT_ONLY_PREFIXES)
+                else len(df.collect())
+            )
+            runs.append(time.perf_counter() - t0)
+            assert n >= 0
+        med = statistics.median(runs)
+        timings[name] = round(med, 3)
+        spreads[name] = round((max(runs) - min(runs)) / med, 2) if med > 0 else 0.0
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -94,6 +111,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "repeats": REPEATS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -148,11 +148,21 @@ def kmedians_codebook(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_mod: int = 4,
 ) -> list[list[float]]:
     """Deterministic Lloyd-style refinement of the IVF codebook using
-    per-dimension MEDIANS (k-medians): init = first n_centroids vectors
-    by id (the same seed ivf_assignments uses), then ``iters`` rounds of
-    assign -> per-centroid component-wise median.
+    per-dimension MEDIANS (k-medians), trained on a deterministic
+    SAMPLE: rows with ``id_col % train_mod == 0`` (train_mod=1 trains on
+    everything). Init = first n_centroids sample vectors by id, then
+    ``iters`` rounds of assign -> per-centroid component-wise median.
+
+    Sampling is the 100 TB posture: codebook TRAINING must never scan
+    the full corpus per iteration — a codebook is a statistical summary
+    and converges on a fraction of the data, so each Lloyd round runs
+    on corpus/train_mod rows and the full corpus is assigned exactly
+    ONCE afterwards (by the caller). The modulus predicate (not
+    ``sample()``) keeps the training set reproducible at any
+    parallelism and replayable in the SQL oracle.
 
     Median, not mean, deliberately: the exact median of a sorted double
     multiset is partitioning-independent AND bit-identical across
@@ -164,13 +174,14 @@ def kmedians_codebook(
     iteration: one assignment expression (no shuffle) + one posexplode
     groupBy (centroid, dim) aggregate — n_centroids*dim result rows
     collected (KBs). Centroids that capture no vectors keep their
-    previous position. At 100 TB each iteration is one scan + one
-    small shuffle (exact per-group median sorts per group — swap in
-    approx_percentile if the inverted lists are huge)."""
-    _, cb = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    previous position. (Exact per-group median sorts per group — swap
+    in approx_percentile if the sampled inverted lists are still
+    huge.)"""
+    train = emb.filter((F.col(id_col) % train_mod) == 0) if train_mod > 1 else emb
+    _, cb = ivf_assignments(train, n_centroids, id_col, vec_col)
     dim = len(cb[0])
     for _ in range(iters):
-        assigned, _ = ivf_assignments(emb, n_centroids, id_col, vec_col, codebook=cb)
+        assigned, _ = ivf_assignments(train, n_centroids, id_col, vec_col, codebook=cb)
         rows = (
             assigned.select(
                 "centroid_id", F.posexplode(_dbl(vec_col)).alias("pos", "val")
@@ -225,17 +236,21 @@ def ivf_topk(
     vec_col: str = "embedding",
     refine_iters: int = 0,
     nprobe: int = 1,
+    train_mod: int = 4,
 ) -> DataFrame:
     """IVF ANN: queries score only the corpus vectors assigned to their
     ``nprobe`` closest centroids. The probe join is an equi-join on
     centroid_id — at 100 TB each query touches ~nprobe*corpus/
     n_centroids rows, and the inverted lists shard naturally by
-    centroid. ``refine_iters > 0`` refines the sampled codebook with
-    that many deterministic k-medians iterations (kmedians_codebook)
-    first; ``nprobe > 1`` trades proportionally more scanning for
-    recall (the standard IVF knob)."""
+    centroid. ``refine_iters > 0`` refines the codebook with that many
+    deterministic k-medians iterations (kmedians_codebook) trained on
+    the ``id % train_mod == 0`` sample — the full corpus is then
+    assigned exactly once; ``nprobe > 1`` trades proportionally more
+    scanning for recall (the standard IVF knob)."""
     if refine_iters > 0:
-        cb = kmedians_codebook(corpus, n_centroids, refine_iters, id_col, vec_col)
+        cb = kmedians_codebook(
+            corpus, n_centroids, refine_iters, id_col, vec_col, train_mod
+        )
         assigned, _ = ivf_assignments(corpus, n_centroids, id_col, vec_col, codebook=cb)
     else:
         assigned, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)

@@ -74,14 +74,22 @@ def agg_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_order_value_percentiles_approx")  # sketch-based -> rows-only
-def agg_order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The honest 100 TB percentile path: approx_percentile builds a
-    bounded-memory mergeable sketch per group in ONE pass — no per-group
-    sort, partial sketches merge map-side like any aggregate. DuckDB's
-    approx sketches differ, so no hash oracle; accuracy vs the exact
-    variant is tolerance-checked in tests/test_agg_approx.py (driver
-    applies the rows-only check)."""
+@query("agg_sketch_profile")  # sketch-based -> rows-only
+def agg_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honest 100 TB approximate-aggregation path, both sketches in
+    one single-pass groupBy:
+
+    - approx_percentile (KLL-style): a bounded-memory mergeable sketch
+      per group — no per-group sort; partial sketches merge map-side
+      like any aggregate.
+    - approx_count_distinct (HyperLogLog++, rsd=1%): fixed-memory
+      map-side-mergeable distinct counts, versus exact distinct's full
+      shuffle of every key.
+
+    DuckDB's sketch implementations differ, so no hash oracle; accuracy
+    vs the exact variants (agg_order_value_percentiles / the exact
+    distinct in k_core_kpis) is tolerance-checked in
+    tests/test_agg_approx.py (driver applies the rows-only check)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
@@ -89,22 +97,8 @@ def agg_order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> Data
             F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
             F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
             F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("o_orderpriority")
     )
-
-
-@query("agg_approx_distinct_customers")  # HLL sketch -> rows-only
-def agg_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The honest 100 TB COUNT(DISTINCT) path: HyperLogLog++ sketches
-    (approx_count_distinct, rsd=1%) merge map-side in fixed memory,
-    versus exact distinct's full shuffle of every key. Spark's HLL++ and
-    DuckDB's approx_count_distinct use different sketch params, so no
-    hash oracle; error vs the exact k3 query is tolerance-checked in
-    tests/test_agg_approx.py."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
-    ).orderBy("o_orderpriority")

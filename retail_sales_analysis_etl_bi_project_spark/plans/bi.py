@@ -145,58 +145,50 @@ def q04_custbal_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k1_total_revenue",
+    "k_core_kpis",
     oracle=f"""
-    SELECT CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS total_revenue FROM lineitem l
+    SELECT
+      (SELECT CAST(SUM({REVENUE_SQL}) AS DOUBLE) FROM lineitem l) AS total_revenue,
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+       FROM orders) AS avg_order_value,
+      (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_customers
     """,
 )
-def k1_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KPI 'Total Revenue' (project-doc docx §5, A9)."""
+def k_core_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference dashboard's three scalar KPIs in one row (project-doc
+    docx §5): A9 total revenue (exact-decimal sum over lineitem), A10
+    average order value (exact sum / exact count -> one deterministic
+    double division), A11 exact distinct customers. Two independent
+    single-row aggregates crossJoined — each is a map-side partial +
+    one final combine; the crossJoin is 1x1."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.agg(sum_money(revenue_expr(), "total_revenue"))
-
-
-@query(
-    "k2_avg_order_value",
-    oracle="""
-    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
-           AS avg_order_value
-    FROM orders
-    """,
-)
-def k2_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KPI 'Average Order Amount' (project-doc docx §5, A10). Exact decimal
-    sum / exact count -> one deterministic double division."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
+    rev = lineitem.agg(sum_money(revenue_expr(), "total_revenue"))
+    ord_kpis = orders.agg(
         (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
             "avg_order_value"
-        )
+        ),
+        F.countDistinct("o_custkey").alias("n_customers"),
     )
-
-
-@query(
-    "k3_distinct_customers",
-    oracle="""
-    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers FROM orders
-    """,
-)
-def k3_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KPI 'Total Customers' (project-doc docx §5, A11) — exact distinct."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(F.countDistinct("o_custkey").alias("n_customers"))
+    return rev.crossJoin(ord_kpis)
 
 
 @query(
     "k4_category_revenue_share",
     oracle=f"""
     WITH cat AS (
-      SELECT p.p_brand AS category, SUM({REVENUE_SQL}) AS rev
+      SELECT p.p_brand AS category, SUM({REVENUE_SQL}) AS rev,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                 - CAST(l_quantity AS DECIMAL(12,2)) *
+                   CAST(p.p_retailprice AS DECIMAL(12,2)) *
+                   CAST(0.6 AS DECIMAL(3,2))) AS prof
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY 1
     )
     SELECT category,
            CAST(rev AS DOUBLE) AS revenue,
+           CAST(prof AS DOUBLE) AS profit,
            CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) * 100
              AS share_pct
     FROM cat
@@ -205,20 +197,27 @@ def k3_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def k4_category_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KPI 'revenue share by category' (project-doc docx §5, A12) — brand
-    plays category. Share via an unpartitioned window over the (tiny)
-    aggregated frame, not over the fact."""
+    plays category — plus the P11/P12 derived-profit business rule
+    (README.md:95-98): profit = revenue - cost with cost modeled as 60%
+    of retail price x quantity (the reference's cost = price x U(0.4,0.9)
+    rule, generate_data.py:161, fixed at its midpoint for determinism).
+    Exact decimal end-to-end; share via an unpartitioned window over the
+    (tiny) aggregated frame, not over the fact."""
     from pyspark.sql.window import Window
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    rev_e = revenue_expr()
+    cost_e = dec("l_quantity") * dec("p_retailprice") * F.lit(0.6).cast("decimal(3,2)")
     cat = (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("category"))
-        .agg(F.sum(revenue_expr()).alias("rev"))
+        .agg(F.sum(rev_e).alias("rev"), F.sum(rev_e - cost_e).alias("prof"))
     )
     return cat.select(
         "category",
         F.col("rev").cast("double").alias("revenue"),
+        F.col("prof").cast("double").alias("profit"),
         (
             F.col("rev").cast("double")
             / F.sum("rev").over(Window.partitionBy()).cast("double")

@@ -12,6 +12,7 @@ rows-only checks on the two flagship scale-path operators.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     BAND_MASK,
@@ -146,34 +147,43 @@ def _simhash_oracle(bits: int = 60, chunks: int = 4, max_hamming: int = 3) -> st
 
 
 @query(
-    "dedup_exact_groups",
+    "dedup_hash_groups",
     oracle="""
-    SELECT md5(text) AS text_hash,
+    SELECT 'exact' AS method, md5(text) AS group_key,
            MIN(doc_id) AS representative_id,
            CAST(COUNT(*) AS BIGINT) AS n_dups
     FROM documents
-    GROUP BY 1
-    """,
-)
-def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on md5(text) — the O(n) scalable
-    primitive (one shuffle of 32-byte keys)."""
-    return exact_dup_groups(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "dedup_fingerprint_groups",
-    oracle="""
-    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+    GROUP BY 2
+    UNION ALL
+    SELECT 'fingerprint' AS method,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS group_key,
            MIN(doc_id) AS representative_id,
            CAST(COUNT(*) AS BIGINT) AS n_dups
     FROM documents
-    GROUP BY 1
+    GROUP BY 2
     """,
 )
-def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-exact dedup after normalization (case/punct/whitespace)."""
-    return fingerprint_dup_groups(load_table(spark, sf_dir, "documents"))
+def dedup_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-key dedup, both flavors in one result (discriminated by
+    ``method``): 'exact' groups on md5(text) — the O(n) scalable
+    primitive (one shuffle of 32-byte keys) — and 'fingerprint' groups
+    on the case/punct/whitespace-normalized md5 (near-exact dedup).
+    Each branch is its own scan+groupBy; the union concatenates
+    partition-wise with no extra shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = exact_dup_groups(docs).select(
+        F.lit("exact").alias("method"),
+        F.col("text_hash").alias("group_key"),
+        "representative_id",
+        "n_dups",
+    )
+    fp = fingerprint_dup_groups(docs).select(
+        F.lit("fingerprint").alias("method"),
+        F.col("fingerprint").alias("group_key"),
+        "representative_id",
+        "n_dups",
+    )
+    return exact.unionAll(fp)
 
 
 @query(

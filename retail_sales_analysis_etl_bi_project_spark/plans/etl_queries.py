@@ -165,7 +165,7 @@ def etl_upsert_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "etl_fk_integrity",
+    "etl_quality_audit",
     oracle="""
     SELECT
       CAST((SELECT COUNT(*) FROM lineitem l
@@ -176,21 +176,34 @@ def etl_upsert_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS bad_suppkeys,
       CAST((SELECT COUNT(*) FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
-        AS bad_orderkeys
+        AS bad_orderkeys,
+      (SELECT CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer)
+        AS c_custkey,
+      (SELECT CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer)
+        AS c_name,
+      (SELECT CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer)
+        AS c_nationkey,
+      (SELECT CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer)
+        AS c_acctbal,
+      (SELECT CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer)
+        AS c_mktsegment
     """,
 )
-def etl_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FK-integrity audit (J8, generate_data.py:299-304): count fact rows
-    with dangling FKs per dim (expect zeros) — ONE lazy plan, ONE scan of
-    lineitem: left joins to flagged key relations + conditional sums.
-    part/supplier are broadcast; orders is fact-sized and shuffles."""
+def etl_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's two data-quality gates in one audit row:
+    J8 FK-integrity (generate_data.py:299-304) — count fact rows with
+    dangling FKs per dim (expect zeros) in ONE lazy plan, ONE scan of
+    lineitem (left joins to flagged key relations + conditional sums;
+    part/supplier broadcast, orders fact-sized and shuffled) — plus the
+    A8 null-cell audit over every customer column
+    (generate_data.py:294-296). Two 1-row aggregates crossJoined 1x1."""
     from ..operators.dims import fk_violations
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
-    return fk_violations(
+    fk = fk_violations(
         lineitem,
         [
             (part, "p_partkey", "l_partkey", "bad_partkeys", True),
@@ -198,39 +211,8 @@ def etl_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (orders, "o_orderkey", "l_orderkey", "bad_orderkeys", False),
         ],
     )
-
-
-@query(
-    "etl_null_audit_customer",
-    oracle="""
-    SELECT CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_custkey,
-           CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_name,
-           CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nationkey,
-           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_acctbal,
-           CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment
-    FROM customer
-    """,
-)
-def etl_null_audit_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-cell audit (A8, generate_data.py:294-296) — one aggregation
-    pass over all columns."""
-    return null_audit(load_table(spark, sf_dir, "customer"))
-
-
-@query(
-    "etl_distinct_order_days",
-    oracle="""
-    SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days
-    FROM orders
-    """,
-)
-def etl_distinct_order_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: distinct normalized days (etl/etl.py:110 drop_duplicates on
-    dt.normalize)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
-        F.countDistinct(F.to_date("o_orderdate")).alias("n_days")
-    )
+    nulls = null_audit(load_table(spark, sf_dir, "customer"))
+    return fk.crossJoin(nulls)
 
 
 @query(

@@ -108,33 +108,33 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_type_value_stats",
-    oracle=f"""
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS {_SQL_DEC})) AS DOUBLE) / COUNT(*) AS avg_value,
-           MIN(value) AS min_value,
-           MAX(value) AS max_value
-    FROM events
-    GROUP BY 1
-    ORDER BY 1
+    "events_dedup_first_per_key",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
     """,
 )
-def events_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type value stats; avg as exact-sum / exact-count (one
-    deterministic double division)."""
+def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dedup (streaming/events.py
+    dedup_stream): keep the FIRST row per (user_id, event_type) key in
+    event-time order — exactly what dropDuplicatesWithinWatermark keeps
+    when arrival order matches event time (the equivalence the streaming
+    tests assert). row_number()=1 plans as a WindowGroupLimit: per-key
+    top-1 without materializing full ranks — one shuffle on the key,
+    O(1) state per key."""
     events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
-        events.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
-                "avg_value"
-            ),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-        .orderBy("event_type")
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
     )
 
 

@@ -45,44 +45,6 @@ def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "derived_profit_by_brand",
-    oracle=f"""
-    SELECT p.p_brand AS brand,
-           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-                    - CAST(l_quantity AS DECIMAL(12,2)) *
-                      CAST(p.p_retailprice AS DECIMAL(12,2)) *
-                      CAST(0.6 AS DECIMAL(3,2)))
-                AS DOUBLE) AS profit
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    GROUP BY 1
-    ORDER BY profit DESC
-    """,
-)
-def derived_profit_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P11 derived arithmetic: profit = revenue - cost (README.md:95-98)
-    with cost modeled as 60% of retail price x quantity (the reference's
-    cost = price x U(0.4,0.9) rule, generate_data.py:161, fixed at its
-    midpoint for determinism). Exact decimal end-to-end."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
-    cost = (
-        dec("l_quantity") * dec("p_retailprice") * F.lit(0.6).cast("decimal(3,2)")
-    )
-    return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"))
-        .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
-            F.sum(revenue - cost).cast("double").alias("profit"),
-        )
-        .orderBy(F.desc("profit"))
-    )
-
-
-@query(
     "tpch_q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,

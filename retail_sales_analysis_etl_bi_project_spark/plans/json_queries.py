@@ -16,41 +16,13 @@ from .registry import query
 
 
 @query(
-    "json_props_map_agg",
+    "events_json_and_moments",
     oracle="""
     SELECT event_type,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
              AS k_sum,
            CAST(COUNT(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
-                           THEN 1 END) AS BIGINT) AS k_present
-    FROM events
-    GROUP BY 1
-    ORDER BY 1
-    """,
-)
-def json_props_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """from_json -> MapType extraction + aggregation: props parsed once
-    into map<string,bigint>, key looked up with element_at (NULL when
-    absent — same as JSON path extraction)."""
-    events = load_table(spark, sf_dir, "events")
-    parsed = events.withColumn(
-        "props_map", F.from_json("props", MapType(StringType(), LongType()))
-    )
-    k = F.element_at("props_map", F.lit("k"))
-    return (
-        parsed.groupBy("event_type")
-        .agg(
-            F.sum(k).alias("k_sum"),
-            F.count(k).alias("k_present"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@query(
-    "stats_value_moments",
-    oracle="""
-    SELECT event_type,
+                           THEN 1 END) AS BIGINT) AS k_present,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean,
            ROUND((CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
@@ -63,22 +35,35 @@ def json_props_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1
     """,
 )
-def stats_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample variance via exact decimal moments: sum and sum-of-squares
-    aggregate exactly, then one fixed sequence of double ops. A plain
-    stddev_samp over doubles is partition-order-dependent; this
-    formulation is deterministic at any parallelism (the same reason
-    money sums use decimals). The final variance is rounded to 6dp:
-    the s2 - s1^2/n subtraction cancels ~6 digits, surfacing a 1-ulp
-    engine difference (FMA contraction) that rounding absorbs."""
+def events_json_and_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction + deterministic statistics in ONE
+    single-pass groupBy over events:
+
+    - from_json -> MapType: props parsed once into map<string,bigint>,
+      key looked up with element_at (NULL when absent — same as JSON
+      path extraction), summed and presence-counted per type.
+    - sample variance via exact decimal moments: sum and sum-of-squares
+      aggregate exactly, then one fixed sequence of double ops. A plain
+      stddev_samp over doubles is partition-order-dependent; this
+      formulation is deterministic at any parallelism (the same reason
+      money sums use decimals). The final variance is rounded to 6dp:
+      the s2 - s1^2/n subtraction cancels ~6 digits, surfacing a 1-ulp
+      engine difference (FMA contraction) that rounding absorbs.
+    """
     events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "props_map", F.from_json("props", MapType(StringType(), LongType()))
+    )
+    k = F.element_at("props_map", F.lit("k"))
     v = F.col("value").cast("decimal(18,6)")
     n = F.count(F.lit(1))
     s1 = F.sum(v).cast("double")
     s2 = F.sum(v * v).cast("double")
     return (
-        events.groupBy("event_type")
+        parsed.groupBy("event_type")
         .agg(
+            F.sum(k).alias("k_sum"),
+            F.count(k).alias("k_present"),
             n.alias("n"),
             (s1 / n).alias("mean"),
             F.round((s2 - s1 * s1 / n) / (n - F.lit(1)), 6).alias("variance"),

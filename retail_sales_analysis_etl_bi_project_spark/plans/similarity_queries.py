@@ -67,22 +67,28 @@ def _lsh_oracle() -> str:
     """
 
 
-def _ivf_oracle(iters: int = 0, nprobe: int = 1) -> str:
+def _ivf_oracle(iters: int = 0, nprobe: int = 1, train_mod: int = 4) -> str:
     """DuckDB replay of ivf_topk(refine_iters=iters, nprobe=nprobe),
     one builder for the plain, k-medians-refined, and multi-probe
     variants so the assignment/tie-break/rank SQL can never drift
     between them. Multi-probe: the query side keeps its top-``nprobe``
     centroids (rn <= nprobe, same ordering as argmax) instead of rn=1.
 
-    Codebook init = first n vectors by id (derived in a CTE from the
-    SAME corpus, so it tracks the data at any scale factor); assignment
-    = argmax cosine with Spark's first-index tie-break (ORDER BY cosine
-    DESC, centroid_id ASC); refinement rounds are unrolled CTE pairs
-    (assign_i, cb_{i+1}) whose per-dimension medians use quantile_cont —
-    bit-identical to Spark ``percentile`` on the same double multiset,
-    unlike cross-engine decimal casts of doubles, which round
-    differently. Queries are assigned against the corpus codebook — the
-    same semantics the round-2 ivf_topk fix enforces."""
+    When iters > 0, refinement mirrors kmedians_codebook's sampled
+    training: a ``train`` CTE keeps ``vec_id % train_mod = 0`` rows,
+    the init codebook and every Lloyd round read ONLY the sample, and
+    the full corpus is assigned once at the end — the same
+    scan-the-corpus-once discipline the Spark operator enforces.
+
+    Codebook init = first n training vectors by id (derived in a CTE
+    from the SAME corpus, so it tracks the data at any scale factor);
+    assignment = argmax cosine with Spark's first-index tie-break
+    (ORDER BY cosine DESC, centroid_id ASC); refinement rounds are
+    unrolled CTE pairs (assign_i, cb_{i+1}) whose per-dimension medians
+    use quantile_cont — bit-identical to Spark ``percentile`` on the
+    same double multiset, unlike cross-engine decimal casts of doubles,
+    which round differently. Queries are assigned against the corpus
+    codebook — the same semantics the round-2 ivf_topk fix enforces."""
     assign_tpl = """
     assign{i} AS (
       SELECT vec_id, v, centroid_id FROM (
@@ -90,7 +96,7 @@ def _ivf_oracle(iters: int = 0, nprobe: int = 1) -> str:
                ROW_NUMBER() OVER (PARTITION BY b.vec_id
                                   ORDER BY list_cosine_similarity(b.v, c.cvec) DESC,
                                            c.centroid_id) AS rn
-        FROM base b CROSS JOIN cb{i} c
+        FROM {src} b CROSS JOIN cb{i} c
       ) WHERE rn = 1
     )"""
     cb_tpl = """
@@ -106,17 +112,23 @@ def _ivf_oracle(iters: int = 0, nprobe: int = 1) -> str:
         ) GROUP BY centroid_id
       ) m USING (centroid_id)
     )"""
+    init_src = "train" if iters > 0 else "base"
     ctes = []
     for i in range(iters):
-        ctes.append(assign_tpl.format(i=i))
+        ctes.append(assign_tpl.format(i=i, src="train"))
         ctes.append(cb_tpl.format(i=i, next=i + 1))
-    ctes.append(assign_tpl.format(i=iters))
+    ctes.append(assign_tpl.format(i=iters, src="base"))
+    train_cte = (
+        f"\n    train AS (SELECT * FROM base WHERE vec_id % {train_mod} = 0),"
+        if iters > 0
+        else ""
+    )
     return f"""
-    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),{train_cte}
     cb0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
              v AS cvec
-      FROM (SELECT * FROM base ORDER BY vec_id LIMIT {_N_CENTROIDS})
+      FROM (SELECT * FROM {init_src} ORDER BY vec_id LIMIT {_N_CENTROIDS})
     ),{",".join(ctes)},
     assignq AS (
       SELECT vec_id, v, centroid_id FROM (
@@ -206,11 +218,14 @@ def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_ivf_kmedians_topk", oracle=_ivf_oracle(iters=2))
 def sim_ivf_kmedians_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a k-medians-refined codebook (2 deterministic Lloyd-
-    style iterations over the sampled init — operators/similarity.py
-    kmedians_codebook). Per-dimension exact medians keep the refinement
-    reproducible at any partitioning AND bit-identical across engines
-    (percentile == quantile_cont), so DuckDB replays the entire
-    iterative pipeline for a full hash check."""
+    style iterations — operators/similarity.py kmedians_codebook)
+    TRAINED ON the vec_id % 4 == 0 sample: each refinement round scans
+    only the sample and the full corpus is assigned exactly once, the
+    discipline that keeps codebook training off the 100 TB scan path.
+    Per-dimension exact medians keep the refinement reproducible at any
+    partitioning AND bit-identical across engines (percentile ==
+    quantile_cont), so DuckDB replays the entire iterative pipeline —
+    sampling predicate included — for a full hash check."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb,

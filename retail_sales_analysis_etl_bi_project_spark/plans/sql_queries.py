@@ -24,27 +24,12 @@ _Q1 = f"""
     LIMIT 5
 """
 
-_Q2 = f"""
-    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS year,
-           CAST(month(o.o_orderdate) AS INTEGER) AS month,
-           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY 1, 2
-    ORDER BY 1, 2
-"""
-
-
 @query("sql_q01_top5_products", oracle=_Q1)
 def sql_q01_top5_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docx:q1 via spark.sql — Catalyst parses/plans the same physical
     plan as the DataFrame builder (BroadcastHashJoin + partial agg +
-    TakeOrderedAndProject)."""
+    TakeOrderedAndProject). The single SQL-API parity query: it proves
+    the spark.sql path end-to-end; the other flagship shapes are
+    verified through their DataFrame builders."""
     register_views(spark, sf_dir, ("lineitem", "part"))
     return spark.sql(_Q1)
-
-
-@query("sql_q02_monthly_trend", oracle=_Q2)
-def sql_q02_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """docx:q2 via spark.sql."""
-    register_views(spark, sf_dir, ("lineitem", "orders"))
-    return spark.sql(_Q2)

@@ -16,7 +16,7 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
     }
     approx = {
         r.o_orderpriority: r
-        for r in QUERIES["agg_order_value_percentiles_approx"](spark, sf_dir).collect()
+        for r in QUERIES["agg_sketch_profile"](spark, sf_dir).collect()
     }
     assert set(exact) == set(approx)
     for prio, e in exact.items():
@@ -34,7 +34,7 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
 def test_approx_count_distinct_close_to_exact(spark, sf_dir):
     approx = {
         r.o_orderpriority: r.approx_customers
-        for r in QUERIES["agg_approx_distinct_customers"](spark, sf_dir).collect()
+        for r in QUERIES["agg_sketch_profile"](spark, sf_dir).collect()
     }
     orders = load_table(spark, sf_dir, "orders")
     exact = {

@@ -44,8 +44,8 @@ def main():
         "tpch_q1_pricing_summary",
         "tpch_q5_local_supplier_volume",
         "etl_fact_assembly",
-        "etl_fk_integrity",
-        "dedup_exact_groups",
+        "etl_quality_audit",
+        "dedup_hash_groups",
         "dedup_minhash_lsh",
         "sim_ivf_ann_topk",
         "events_sessionization",
