@@ -40,3 +40,46 @@ def sum_money(col: Column, alias: str) -> Column:
     """Exact decimal SUM, exposed as double. Equivalent DuckDB oracle:
     CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)."""
     return F.sum(col).cast("double").alias(alias)
+
+
+# ---------------------------------------------------- full-precision doubles
+#
+# The decimal casts above are cross-engine-safe because money columns are
+# GENERATED with 2 decimal digits: rounding a double that is within 1e-13
+# of an exact 2dp value at scale 2 has ~0.005 of margin, so Spark
+# (shortest-repr BigDecimal) and DuckDB (double multiply) can never
+# disagree. A FULL-PRECISION double (events.value) is different: casting
+# it to DECIMAL(18,6) performs a genuine rounding at the 6th decimal,
+# where a last-ulp representation difference between the engines' cast
+# paths can flip the result. For those columns, sums go through
+# fixed_point_sum: round(x * 10^scale) is one IEEE multiply plus a
+# round-half-away-from-zero — Spark's round() (BigDecimal HALF_UP on the
+# shortest repr) and DuckDB's round() (half away from zero) agree on
+# EVERY double, positive or negative — and the resulting integers
+# aggregate exactly in decimal. (round, not floor: for k-decimal
+# generated data the scaled product lands within ~1e-8 of an integer,
+# and floor would truncate the ones sitting just below it, turning a
+# 33.01 into 33.009999.)
+
+def fixed_point_sum(col: Column | str, scale: int = 6) -> Column:
+    """Deterministic cross-engine SUM of a double column: quantize to
+    ``scale`` decimal digits in double arithmetic (round of x * 10^scale
+    — identical in both engines for every double, see module comment),
+    sum the integer parts exactly (decimal(28,0): no overflow until
+    1e28 micro-units), divide once at the end. SQL twin:
+    fixed_point_sum_sql."""
+    c = F.col(col) if isinstance(col, str) else col
+    factor = float(10**scale)
+    return (
+        F.sum(F.round(c * F.lit(factor)).cast("decimal(28,0)")).cast("double")
+        / F.lit(factor)
+    )
+
+
+def fixed_point_sum_sql(col: str, scale: int = 6) -> str:
+    """DuckDB twin of fixed_point_sum — same floor/sum/divide sequence."""
+    factor = f"{10**scale}.0"
+    return (
+        f"CAST(SUM(CAST(ROUND(({col}) * {factor}) AS DECIMAL(28,0))) AS DOUBLE)"
+        f" / {factor}"
+    )

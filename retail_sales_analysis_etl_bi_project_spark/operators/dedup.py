@@ -216,45 +216,88 @@ def minhash_signatures(
     )
 
 
+def _bucket_members(
+    bucketed: DataFrame, key_cols: list[str], item_fields: list[str]
+) -> DataFrame:
+    """groupBy bucket key -> sorted member-struct list, buckets of one
+    dropped (no pairs). Shared base of _bucket_pairs/oversize_buckets."""
+    item = F.struct(*[F.col(f).alias(f) for f in item_fields])
+    return (
+        bucketed.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(item)).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+
+
+def oversize_buckets(
+    bucketed: DataFrame,
+    key_cols: list[str],
+    item_fields: list[str],
+    max_bucket: int,
+) -> DataFrame:
+    """The buckets a ``max_bucket`` cap would drop, with their sizes —
+    the companion audit for _bucket_pairs(max_bucket=...): a capped
+    production run should count/log these (they are almost always
+    degenerate duplicate clusters — empty strings, boilerplate — whose
+    members are better handled by exact_dup_groups than by pairwise
+    comparison)."""
+    return (
+        _bucket_members(bucketed, key_cols, item_fields)
+        .filter(F.size("items") > max_bucket)
+        .select(*key_cols, F.size("items").alias("n_members"))
+    )
+
+
 def _bucket_pairs(
     bucketed: DataFrame,
     key_cols: list[str],
     item_fields: list[str],
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All intra-bucket ordered pairs in ONE pass: groupBy bucket key,
-    collect the sorted member list, emit each bucket's combinations via
-    array HOFs, explode.
+    collect the sorted member list, posexplode members, pair each member
+    with the tail of the list after it.
 
     Why not a self-join on the bucket key: Spark plans a self-join as
     TWO full computations of the input subtree (no exchange/stage reuse
     fires across self-join sides — measured, not assumed), which doubles
     the dominant signature-pipeline cost. The collect_list form computes
-    the pipeline once; per-bucket pair expansion is the same quadratic
-    the self-join would produce, just generated bucket-locally. Buckets
-    are LSH-sized (a few members), so per-group state is tiny; a
-    pathological giant bucket hurts either formulation equally.
+    the pipeline once.
+
+    Memory shape: pair expansion is two chained generators (posexplode
+    -> slice -> explode), so no single row ever holds the O(m^2) pair
+    array — per-row state is the O(m) member list, and the m^2 output
+    rows stream through the generators. (An earlier form flattened all
+    pairs into one array per bucket first; a degenerate hot bucket —
+    e.g. thousands of exact duplicates sharing every LSH band —
+    concentrated quadratic memory in a single aggregation row.)
+
+    Quadratic TIME per bucket is inherent to pair generation;
+    ``max_bucket`` caps it: buckets with more members are dropped
+    entirely (use oversize_buckets to count/log them — at 100 TB a cap
+    plus an audit of what it dropped is the production posture, since a
+    10k-member bucket means 50M pairs that exact-group dedup handles
+    for free). Default None keeps every bucket — the registered
+    oracle-checked queries run uncapped so the SQL twin needs no cap
+    predicate.
 
     Members are structs of ``item_fields`` (sorted lexicographically, so
     the FIRST field must be the id — pairs come out id-ordered, a < b).
     Output columns are ``<field>_a`` then ``<field>_b``."""
-    item = F.struct(*[F.col(f).alias(f) for f in item_fields])
-    buckets = (
-        bucketed.groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_list(item)).alias("items"))
-        .filter(F.size("items") > 1)
+    buckets = _bucket_members(bucketed, key_cols, item_fields)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("items") <= max_bucket)
+    lhs = buckets.select(
+        "items", F.posexplode("items").alias("i", "a")
     )
-    pairs_arr = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    out = lhs.select(
+        "a",
+        F.explode(
+            F.slice("items", F.col("i") + 2, F.size("items"))
+        ).alias("b"),
     )
-    out = buckets.select(F.explode(pairs_arr).alias("p"))
-    cols = [F.col(f"p.a.{f}").alias(f"{f}_a") for f in item_fields] + [
-        F.col(f"p.b.{f}").alias(f"{f}_b") for f in item_fields
+    cols = [F.col(f"a.{f}").alias(f"{f}_a") for f in item_fields] + [
+        F.col(f"b.{f}").alias(f"{f}_b") for f in item_fields
     ]
     return out.select(*cols)
 
@@ -281,7 +324,8 @@ def minhash_candidate_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    include_estimate: bool = True,
+    include_estimate: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` rows of
     ``num_hashes/bands`` values, hash each band, and emit pairs of docs
@@ -289,12 +333,19 @@ def minhash_candidate_pairs(
     a groupBy on (band_idx, band_hash) — a single shuffle — instead of a
     cross join.
 
-    ``include_estimate=True`` (default) attaches the signature-agreement
-    similarity estimate, which re-joins the signature relation twice.
-    Callers that immediately re-verify with exact Jaccard (e.g.
-    minhash_dedup_pairs) pass False and skip those two joins — the
-    estimate would be discarded, and inner joins can't be pruned by the
-    optimizer because they affect cardinality."""
+    ``include_estimate=True`` attaches the signature-agreement
+    similarity estimate, which re-joins the signature relation twice —
+    and since these are lazy uncached plans, that means computing the
+    full shingle+hash signature pipeline three times. It therefore
+    defaults to FALSE: callers that immediately re-verify with exact
+    Jaccard (minhash_dedup_pairs) would discard the estimate anyway,
+    and inner joins can't be pruned by the optimizer because they
+    affect cardinality. Opt in only when the estimate IS the output
+    (e.g. ranking candidates without verification), and persist the
+    signature relation around the call if you do it repeatedly.
+
+    ``max_bucket`` drops degenerate hot buckets before pair expansion
+    (see _bucket_pairs; audit the drops with oversize_buckets)."""
     rows_per_band = num_hashes // bands
     # No .cache(): the builder contract returns lazy plans (nobody could
     # unpersist), and an unmanaged cache leaked storage memory across the
@@ -316,7 +367,7 @@ def minhash_candidate_pairs(
         "doc_id_", "band.band_idx", "band.band_hash"
     )
     cand = (
-        _bucket_pairs(banded, ["band_idx", "band_hash"], ["doc_id_"])
+        _bucket_pairs(banded, ["band_idx", "band_hash"], ["doc_id_"], max_bucket)
         .select(
             F.col("doc_id__a").alias("doc_a"),
             F.col("doc_id__b").alias("doc_b"),
@@ -350,13 +401,15 @@ def minhash_dedup_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH dedup: candidates from banding, then exact
     n-gram-Jaccard verification of ONLY the candidates (the classic
     two-phase scheme — verification cost is proportional to candidate
     count, not corpus^2)."""
     cand = minhash_candidate_pairs(
-        docs, num_hashes, bands, n, text_col, id_col, include_estimate=False
+        docs, num_hashes, bands, n, text_col, id_col,
+        include_estimate=False, max_bucket=max_bucket,
     )
     # shingle arrays appear on both sides of the verification join, and
     # Spark computes duplicated join sides twice (no stage reuse — see
@@ -488,6 +541,7 @@ def simhash_near_dup_pairs(
     chunks: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup: candidates share at least one of ``chunks``
     bit-chunks (pigeonhole: any pair within max_hamming < chunks*1 per
@@ -515,7 +569,7 @@ def simhash_near_dup_pairs(
     # in the bucket items (8 bytes each), so Hamming verification needs
     # no re-join.
     return (
-        _bucket_pairs(chunked, ["chunk_idx", "chunk_val"], ["did", "sh"])
+        _bucket_pairs(chunked, ["chunk_idx", "chunk_val"], ["did", "sh"], max_bucket)
         .select(
             F.col("did_a").alias("doc_a"),
             F.col("did_b").alias("doc_b"),
@@ -565,6 +619,7 @@ def embedding_lsh_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup, SCALE path: banded (multi-table) sign-bit
     LSH — a pair is a candidate if it matches on ALL bits of ANY band,
@@ -597,7 +652,7 @@ def embedding_lsh_near_dup_pairs(
         F.explode(band_sigs).alias("band"),
     ).select("vid", "v", "band.band_idx", "band.band_sig")
     return (
-        _bucket_pairs(bucketed, ["band_idx", "band_sig"], ["vid", "v"])
+        _bucket_pairs(bucketed, ["band_idx", "band_sig"], ["vid", "v"], max_bucket)
         .select(
             F.col("vid_a").alias("vec_a"),
             F.col("vid_b").alias("vec_b"),

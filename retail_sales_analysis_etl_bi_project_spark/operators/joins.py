@@ -48,7 +48,15 @@ def asof_join(
     the window state is a single struct per key, so it scales to
     arbitrarily long histories. (Per-key output order is deterministic
     even though equal-ts left rows sort arbitrarily: they all see the
-    same carried struct.)"""
+    same carried struct.)
+
+    Right rows with NULL ts are dropped: ascending sort places NULLs
+    FIRST, so an unfiltered NULL-ts right row would be carried as the
+    'earliest' match — but the spec's ``right.ts <= left.ts`` predicate
+    (and the LATERAL oracle) excludes rows with unknown time. Left rows
+    with NULL ts need no special case: they sort before every right
+    row and naturally get a NULL ``out_col``."""
+    right = right.filter(F.col(ts).isNotNull())
     rv_type = dict(right.dtypes)[value_col]
     lcols = left.columns
     payload = [c for c in lcols if c not in (on, ts)]
@@ -123,4 +131,74 @@ def range_join(
             (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
         )
         .drop("_cell")
+    )
+
+
+def range_join_log(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    base: float = 10.0,
+    small: bool = True,
+) -> DataFrame:
+    """range_join for NON-uniform interval widths: multi-resolution
+    grids. A single global grid forces a trade-off — sized for the
+    narrow intervals it explodes wide intervals into thousands of
+    cells ([100, 100000) at grid 20 is ~5,000 rows), sized for the wide
+    ones it buckets every fact row of a narrow band into one hot cell.
+
+    Here each interval picks the grid matching its own width's order of
+    magnitude: level = floor(log_base(hi - lo)), grid = base^level, so
+    every interval covers at most base+1 cells regardless of width. The
+    fact side computes one (level, cell) per DISTINCT level present
+    (collected from the interval dim — a handful of ints, same
+    driver-side-literal pattern as the IVF codebook), and the join is
+    an equi-join on (level, cell) + exact residual filter. Fact rows
+    explode by n_levels (small: one per width decade in the dim), which
+    at 100 TB beats per-interval cell explosions by orders of
+    magnitude. Zero-or-negative-width intervals are dropped (they match
+    nothing under lo <= v < hi)."""
+    lvl = F.floor(
+        F.log(float(base), F.col(hi_col) - F.col(lo_col))
+    ).cast("int")
+    ivs = intervals.filter(F.col(hi_col) > F.col(lo_col)).withColumn("_lvl", lvl)
+    grid = F.pow(F.lit(float(base)), F.col("_lvl"))
+    cells = ivs.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / grid).cast("bigint"),
+                F.floor(F.col(hi_col) / grid).cast("bigint"),
+            )
+        ).alias("_cell"),
+    )
+    if small:
+        cells = F.broadcast(cells)
+    levels = sorted(
+        r._lvl for r in ivs.select("_lvl").distinct().collect()
+    )
+    tagged = fact.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).alias("_lvl"),
+                        F.floor(F.col(value_col) / F.lit(float(base) ** L))
+                        .cast("bigint")
+                        .alias("_cell"),
+                    )
+                    for L in levels
+                ]
+            )
+        ).alias("_lc"),
+    ).select("*", F.col("_lc._lvl").alias("_lvl"), F.col("_lc._cell").alias("_cell"))
+    return (
+        tagged.join(cells, on=["_lvl", "_cell"], how="inner")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+        )
+        .drop("_lvl", "_cell", "_lc")
     )

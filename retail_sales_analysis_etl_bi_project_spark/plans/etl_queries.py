@@ -318,8 +318,16 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write+read+coerce cycle is lossless.
 
     The staging write is a deliberate eager side effect — this query IS
-    the sink test; everything downstream of the write stays lazy."""
+    the sink test; everything downstream of the write stays lazy. Each
+    invocation writes its OWN unique staging dir (uuid suffix): a fixed
+    shared path would let one session's plan-build overwrite a dir
+    another session's lazy read is still consuming (plan builders —
+    explain tools, bench warm-ups, concurrent drivers — all invoke this
+    function), giving corrupt or empty reads. (The o_totalprice
+    decimal(12,2) cast is cross-engine-safe because money columns are
+    generated with 2 decimals — see functions/money.py.)"""
     import os
+    import uuid
 
     from ..sources.csv import write_staging
 
@@ -333,7 +341,8 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "..",
-        "spark-warehouse", f"csv_stage_orders_{os.path.basename(sf_dir.rstrip('/'))}",
+        "spark-warehouse",
+        f"csv_stage_orders_{os.path.basename(sf_dir.rstrip('/'))}_{uuid.uuid4().hex[:8]}",
     )
     write_staging(staged, stage_dir, fmt="csv")
     back = (

@@ -14,11 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.money import fixed_point_sum, fixed_point_sum_sql
 from ..sources.tables import load_table
 from .registry import query
 
-_DEC = "decimal(18,6)"
-_SQL_DEC = "DECIMAL(18,6)"
 SESSION_GAP_SEC = 1800
 
 
@@ -27,7 +26,7 @@ SESSION_GAP_SEC = 1800
     oracle=f"""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS {_SQL_DEC})) AS DOUBLE) AS total_value
+           {fixed_point_sum_sql('value')} AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -35,7 +34,10 @@ SESSION_GAP_SEC = 1800
 )
 def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation (batch twin of the streaming
-    windowed agg): count + exact-decimal sum per hour x type."""
+    windowed agg): count + deterministic fixed-point sum per hour x
+    type (value is a full-precision double — see
+    functions.money.fixed_point_sum for why a double->decimal cast is
+    not cross-engine-safe there)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
@@ -43,7 +45,7 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+            fixed_point_sum("value").alias("total_value"),
         )
         .orderBy("hour", "event_type")
     )

@@ -8,7 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.joins import asof_join, range_join
+from ..functions.money import fixed_point_sum, fixed_point_sum_sql
+from ..operators.joins import asof_join, range_join_log
 from ..sources.tables import load_table
 from .registry import query
 
@@ -66,13 +67,13 @@ def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_range_value_bands",
-    oracle="""
+    oracle=f"""
     WITH bands(band, lo, hi) AS (VALUES
       ('micro', 0.0, 1.0), ('small', 1.0, 5.0), ('medium', 5.0, 20.0),
       ('large', 20.0, 100.0), ('huge', 100.0, 100000.0))
     SELECT band,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           {fixed_point_sum_sql('value')} AS total_value
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY 1
     ORDER BY 1
@@ -80,23 +81,26 @@ def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: events bucketed into non-uniform value
-    bands via the grid-cell equi-join composition (operators/joins.py
-    range_join), then aggregated per band with exact-decimal sums. The
-    oracle is the naive BETWEEN join — same rows, any plan."""
+    bands via the multi-resolution grid-cell equi-join composition
+    (operators/joins.py range_join_log — each band's cells sized to its
+    own width decade, so the [100, 100000) band costs ~10 cells, not
+    5,000), then aggregated per band. The oracle is the naive BETWEEN
+    join — same rows, any plan. value is a full-precision double, so
+    the sum goes through fixed_point_sum (floor-to-micros — identical
+    IEEE arithmetic in both engines) rather than a double->decimal cast
+    whose last-ulp rounding can differ cross-engine."""
     events = load_table(spark, sf_dir, "events")
     bands = events.sparkSession.createDataFrame(
         VALUE_BANDS, "band string, lo double, hi double"
     )
-    joined = range_join(
-        events.select("event_id", "value"), bands, "value", "lo", "hi", grid=20.0
+    joined = range_join_log(
+        events.select("event_id", "value"), bands, "value", "lo", "hi", base=10.0
     )
     return (
         joined.groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-                "total_value"
-            ),
+            fixed_point_sum("value").alias("total_value"),
         )
         .orderBy("band")
     )

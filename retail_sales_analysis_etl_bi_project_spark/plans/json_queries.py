@@ -18,19 +18,23 @@ from .registry import query
 @query(
     "events_json_and_moments",
     oracle="""
+    WITH fp AS (
+      SELECT event_type, props,
+             CAST(ROUND(value * 1000000.0) AS DECIMAL(12,0)) AS vi
+      FROM events
+    )
     SELECT event_type,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
              AS k_sum,
            CAST(COUNT(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
                            THEN 1 END) AS BIGINT) AS k_present,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean,
-           ROUND((CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
-                 AS DOUBLE)
-            - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-              * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+           CAST(SUM(vi) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean,
+           ROUND((CAST(SUM(vi * vi) AS DOUBLE) / 1000000000000.0
+            - (CAST(SUM(vi) AS DOUBLE) / 1000000.0)
+              * (CAST(SUM(vi) AS DOUBLE) / 1000000.0) / COUNT(*))
            / (COUNT(*) - 1), 6) AS variance
-    FROM events
+    FROM fp
     GROUP BY 1
     ORDER BY 1
     """,
@@ -42,31 +46,40 @@ def events_json_and_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     - from_json -> MapType: props parsed once into map<string,bigint>,
       key looked up with element_at (NULL when absent — same as JSON
       path extraction), summed and presence-counted per type.
-    - sample variance via exact decimal moments: sum and sum-of-squares
-      aggregate exactly, then one fixed sequence of double ops. A plain
-      stddev_samp over doubles is partition-order-dependent; this
-      formulation is deterministic at any parallelism (the same reason
-      money sums use decimals). The final variance is rounded to 6dp:
-      the s2 - s1^2/n subtraction cancels ~6 digits, surfacing a 1-ulp
-      engine difference (FMA contraction) that rounding absorbs.
+    - sample variance via exact fixed-point moments: value is quantized
+      to micro-units in double arithmetic (round(v*1e6) — identical
+      in both engines, see functions.money.fixed_point_sum),
+      then sum and sum-of-squares aggregate exactly in decimal and one
+      fixed sequence of double ops finishes. A plain stddev_samp over
+      doubles is partition-order-dependent; this formulation is
+      deterministic at any parallelism AND avoids the cross-engine
+      double->decimal cast rounding. The final variance is rounded to
+      6dp: the s2 - s1^2/n subtraction cancels ~6 digits, surfacing a
+      1-ulp engine difference (FMA contraction) that rounding absorbs.
     """
     events = load_table(spark, sf_dir, "events")
     parsed = events.withColumn(
         "props_map", F.from_json("props", MapType(StringType(), LongType()))
     )
     k = F.element_at("props_map", F.lit("k"))
-    v = F.col("value").cast("decimal(18,6)")
+    # decimal(12,0) micro-units: covers value < 1e6 while keeping the
+    # vi*vi product precision (25) inside both engines' 38-digit cap
+    vi = F.round(F.col("value") * F.lit(1000000.0)).cast("decimal(12,0)")
     n = F.count(F.lit(1))
-    s1 = F.sum(v).cast("double")
-    s2 = F.sum(v * v).cast("double")
+    s1 = F.sum(vi).cast("double")
+    s2 = F.sum(vi * vi).cast("double")
+    mean = s1 / F.lit(1000000.0) / n
+    s1s = s1 / F.lit(1000000.0)
     return (
         parsed.groupBy("event_type")
         .agg(
             F.sum(k).alias("k_sum"),
             F.count(k).alias("k_present"),
             n.alias("n"),
-            (s1 / n).alias("mean"),
-            F.round((s2 - s1 * s1 / n) / (n - F.lit(1)), 6).alias("variance"),
+            mean.alias("mean"),
+            F.round(
+                (s2 / F.lit(1e12) - s1s * s1s / n) / (n - F.lit(1)), 6
+            ).alias("variance"),
         )
         .orderBy("event_type")
     )

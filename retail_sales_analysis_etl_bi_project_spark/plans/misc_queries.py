@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import fixed_point_sum, fixed_point_sum_sql
 from ..operators.multimodal import documents_as_media, extract_features
 from ..operators.skew import salted_sum_count
 from ..sources.tables import load_table
@@ -52,7 +53,7 @@ def skew_salted_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "events_sliding_3h_daily",
-    oracle="""
+    oracle=f"""
     WITH offsets AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(off)),
     slid AS (
       SELECT date_trunc('hour', e.ts) - INTERVAL (o.off) HOUR AS window_start,
@@ -61,7 +62,7 @@ def skew_salted_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT window_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           {fixed_point_sum_sql('value')} AS total_value
     FROM slid
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -87,9 +88,7 @@ def events_sliding_3h_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         slid.groupBy("window_start", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-                "total_value"
-            ),
+            fixed_point_sum("value").alias("total_value"),
         )
         .orderBy("window_start", "event_type")
     )

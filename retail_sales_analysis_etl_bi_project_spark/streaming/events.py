@@ -53,16 +53,18 @@ def read_events_stream(
 
 def tumbling_hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of events_hourly_agg: 1-hour tumbling windows with
-    a watermark bounding state for late data. Output schema matches the
-    batch query (hour, event_type, n_events, total_value)."""
+    a watermark bounding state for late data. Output schema AND sum
+    semantics match the batch query (hour, event_type, n_events,
+    total_value — fixed-point quantized sum, functions.money), so the
+    equivalence test compares values exactly."""
+    from ..functions.money import fixed_point_sum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-                "total_value"
-            ),
+            fixed_point_sum("value").alias("total_value"),
         )
         .select(F.col("w.start").alias("hour"), "event_type", "n_events", "total_value")
     )

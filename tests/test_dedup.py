@@ -137,3 +137,41 @@ def test_simhash_finds_planted_near_dups(spark, sf_dir):
     if exact:
         found = len(exact & sim) / len(exact)
         assert found >= 0.5, f"simhash recall too low: {found}"
+
+
+def test_bucket_pairs_matches_combinations(spark):
+    """The posexplode pair generator must emit exactly the sorted
+    combinations a naive nested loop would, across multiple buckets."""
+    from itertools import combinations
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        _bucket_pairs,
+    )
+
+    rows = [("b1", i) for i in (3, 1, 2)] + [("b2", i) for i in (10, 11)] + [
+        ("b3", 7)  # singleton: no pairs
+    ]
+    df = spark.createDataFrame(rows, "bucket string, did long")
+    got = sorted(
+        (r.did_a, r.did_b)
+        for r in _bucket_pairs(df, ["bucket"], ["did"]).collect()
+    )
+    want = sorted(combinations([1, 2, 3], 2)) + sorted(combinations([10, 11], 2))
+    assert got == sorted(want)
+
+
+def test_bucket_pairs_cap_drops_hot_bucket_in_bounded_time(spark):
+    """A degenerate 10k-member bucket (50M pairs uncapped) must be
+    droppable via max_bucket, with the drop auditable. The capped plan
+    never expands the hot bucket's pairs, so this completes in seconds."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        _bucket_pairs,
+        oversize_buckets,
+    )
+
+    hot = [("hot", i) for i in range(10_000)] + [("ok", 1), ("ok", 2)]
+    df = spark.createDataFrame(hot, "bucket string, did long")
+    capped = _bucket_pairs(df, ["bucket"], ["did"], max_bucket=100).collect()
+    assert [(r.did_a, r.did_b) for r in capped] == [(1, 2)]
+    dropped = oversize_buckets(df, ["bucket"], ["did"], max_bucket=100).collect()
+    assert [(r.bucket, r.n_members) for r in dropped] == [("hot", 10_000)]

@@ -106,3 +106,68 @@ def test_range_join_matches_naive_between(spark):
         ).collect()
     }
     assert grid == naive
+
+
+def test_asof_null_ts_right_rows_excluded(spark):
+    """A right row with NULL ts must never be carried as a match (the
+    spec's right.ts <= left.ts excludes unknown times); ascending sort
+    would otherwise place it FIRST and leak it as the 'earliest' row."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t, 100)], "k long, ts timestamp, lid long"
+    )
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("eid", LongType()),
+            StructField("val", DoubleType()),
+        ]
+    )
+    right = spark.createDataFrame([(1, None, 5, 999.0)], schema)
+    out = asof_join(
+        left, right, on="k", ts="ts", value_col="val",
+        out_col="v", tiebreak="eid",
+    ).collect()
+    assert len(out) == 1 and out[0].v is None
+
+
+def test_range_join_log_matches_naive_between_nonuniform(spark):
+    """Multi-resolution grid join must equal the naive BETWEEN join on
+    wildly non-uniform bands, and each interval must explode into at
+    most base+1 cells (the point of per-decade grids)."""
+    import random
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.joins import (
+        range_join_log,
+    )
+
+    rng = random.Random(7)
+    fact = spark.createDataFrame(
+        [(i, rng.uniform(0, 2000)) for i in range(400)] + [(9999, 99999.5)],
+        "id long, v double",
+    )
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 0.5), ("mid", 0.5, 30.0), ("huge", 30.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    got = {
+        (r.id, r.band)
+        for r in range_join_log(fact, bands, "v", "lo", "hi", base=10.0).collect()
+    }
+    naive = {
+        (r.id, r.band)
+        for r in fact.join(
+            bands, (fact.v >= bands.lo) & (fact.v < bands.hi)
+        ).collect()
+    }
+    assert got == naive and (9999, "huge") in got
