@@ -71,3 +71,49 @@ def replace_table(df: DataFrame, table: str, database: str = "retail_dw") -> Non
     """if_exists='replace' semantics (reference stg_dim_date load,
     etl/etl.py:197-208)."""
     df.write.mode("overwrite").saveAsTable(f"{database}.{table}")
+
+
+def jdbc_sink(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 5000,
+    num_partitions: int | None = None,
+    **options: str,
+) -> None:
+    """Reference-literal deployment path: push a gold table to an
+    EXTERNAL RDBMS over JDBC — the reference's whole sink side is
+    SQLAlchemy -> Oracle (etl/etl.py:31-45,143-160, chunksize=5000).
+    The engine-native design keeps gold in managed Parquet tables
+    (bulk_load/replace_table above: columnar, partition-pruned, no DB
+    bottleneck), but a user replacing the reference's literal setup can
+    route the same DataFrames here.
+
+    Spark writes JDBC per-partition with ``batchsize``-row batched
+    INSERTs — the distributed generalization of the reference's 5k-row
+    chunks. ``num_partitions`` caps writer parallelism: an external DB
+    has a connection budget, and 1000 executors opening 1000
+    connections is a self-inflicted outage; repartition down first
+    (coalesce: no shuffle). Driver/dialect jars must be on the Spark
+    classpath (none ship in this repo — this container has no external
+    DB, so this path is exercised only by its unit test against the
+    no-op assertion of plan shape, not a live endpoint).
+
+    Example::
+
+        jdbc_sink(fact, "jdbc:postgresql://dw:5432/retail",
+                  "fact_sales", user="etl", password="...",
+                  num_partitions=32)
+    """
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()

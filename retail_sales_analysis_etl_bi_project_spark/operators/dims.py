@@ -65,9 +65,38 @@ def upsert_new_rows(existing: DataFrame, staging: DataFrame, key: str) -> DataFr
     """Insert-only-new idempotent merge (reference MERGE INTO dim_date,
     etl/etl.py:211-218): rows of ``staging`` whose ``key`` is absent from
     ``existing`` are appended. Anti-join is the shuffle-minimal relational
-    form; with an ACID table format this becomes MERGE WHEN NOT MATCHED."""
+    form. SINGLE-WRITER assumption: the read-compute-overwrite cycle is
+    not transactional — a concurrent writer between the anti-join's read
+    and the caller's write can be lost. For concurrent pipelines use
+    ``upsert_new_rows_delta`` (true ACID MERGE) when the delta-spark
+    package is installed."""
     new_rows = staging.join(existing.select(key), on=key, how="left_anti")
     return existing.unionByName(new_rows)
+
+
+def upsert_new_rows_delta(staging: DataFrame, target_table: str, key: str) -> None:
+    """ACID backend for upsert_new_rows: MERGE WHEN NOT MATCHED THEN
+    INSERT against a Delta table — the literal equivalent of the
+    reference's ``MERGE INTO dim_date`` (etl/etl.py:211-218), safe under
+    concurrent writers (optimistic transaction log). Import-gated: the
+    delta-spark package is not in this container, so this raises a clear
+    error here and activates wherever the package (and a
+    Delta-configured SparkSession) is present."""
+    try:
+        from delta.tables import DeltaTable
+    except ImportError as e:  # pragma: no cover - package absent here
+        raise ImportError(
+            "upsert_new_rows_delta requires the delta-spark package "
+            "(pip install delta-spark) and a Delta-enabled SparkSession; "
+            "use upsert_new_rows (anti-join form, single-writer) otherwise"
+        ) from e
+    target = DeltaTable.forName(staging.sparkSession, target_table)
+    (
+        target.alias("t")
+        .merge(staging.alias("s"), f"t.{key} = s.{key}")
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
 
 
 def assemble_fact(

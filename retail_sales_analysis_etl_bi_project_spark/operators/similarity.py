@@ -104,6 +104,14 @@ def signature_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def centroid_sims_expr(v: Column, codebook: list[list[float]]) -> Column:
+    """Per-centroid cosine array against a literal codebook, as a
+    transform() loop over one array<array<double>> literal — compact
+    codegen (see ivf_assignments)."""
+    cb_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in codebook])
+    return F.transform(cb_lit, lambda c: cosine_expr(v, c))
+
+
 def ivf_assignments(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -131,13 +139,18 @@ def ivf_assignments(
         )
         codebook = [[float(x) for x in r[0]] for r in rows]
     v = _dbl(vec_col)
-    # argmax via array_max + array_position: each cosine expression
-    # appears exactly once. (An iterative when-chain would nest every
-    # previous comparison inside the next — exponential expression
-    # blowup beyond ~10 centroids.)
-    sims_arr = F.array(
-        *[cosine_expr(v, F.array(*[F.lit(x) for x in c])) for c in codebook]
-    )
+    # The codebook ships as ONE literal array<array<double>> and the
+    # per-centroid cosines come from a transform() HOF: whole-stage
+    # codegen emits a runtime LOOP over centroids instead of n_centroids
+    # unrolled cosine trees (~3k expression nodes at 16x64), which cut
+    # the compile time that dominated the k-medians bench entry. Same
+    # arithmetic per centroid (zip_with+aggregate fold), so results are
+    # bit-identical to the unrolled form.
+    # argmax via array_max + array_position: each cosine appears exactly
+    # once. (An iterative when-chain would nest every previous
+    # comparison inside the next — exponential blowup beyond ~10
+    # centroids.)
+    sims_arr = centroid_sims_expr(v, codebook)
     best = (F.array_position(sims_arr, F.array_max(sims_arr)) - 1).cast("int")
     return emb.withColumn("centroid_id", best), codebook
 
@@ -213,9 +226,7 @@ def probe_assignments(
     over the QUERY set only, which is small by assumption; the corpus
     keeps its pure-expression single assignment."""
     v = _dbl(vec_col)
-    sims = F.array(
-        *[cosine_expr(v, F.array(*[F.lit(x) for x in c])) for c in codebook]
-    )
+    sims = centroid_sims_expr(v, codebook)
     exploded = queries.select(
         F.col(id_col), F.col(vec_col), F.posexplode(sims).alias("centroid_id", "_sim")
     )

@@ -19,7 +19,8 @@ import __spark_entry__ as entrymod
 
 INTERESTING = re.compile(
     r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|Exchange|HashAggregate"
-    r"|TakeOrderedAndProject|PushedFilters|WholeStageCodegen|Window|Scan parquet"
+    r"|TakeOrderedAndProject|PushedFilters|PartitionFilters|WholeStageCodegen"
+    r"|Window|Scan parquet"
 )
 
 
@@ -53,6 +54,31 @@ def main():
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
         print()
+    print(warehouse_pruning_section(spark))
+
+
+def warehouse_pruning_section(spark):
+    """Evidence that the month-partitioned gold layout actually prunes:
+    build the warehouse via run_etl/save_warehouse, aggregate ONE month
+    with a month_key predicate, and show the scan's PartitionFilters
+    (the partition layout is what replaces the reference's FK indexes —
+    SCALE.md; /root/reference/sql/ddl_oracle.sql:88-91)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from retail_sales_analysis_etl_bi_project_spark.run_etl import main as etl_main
+
+    out = tempfile.mkdtemp(prefix="wh_plans_")
+    etl_main(["--out", out, "--rows", "5000"])
+    fact = spark.read.parquet(f"{out}/gold/fact_sales")
+    month = fact.select(F.min("month_key")).first()[0]
+    q = (
+        fact.filter(F.col("month_key") == month)
+        .groupBy("product_key")
+        .agg(F.sum(F.col("total_amount").cast("decimal(18,2)")).alias("rev"))
+    )
+    return summarize(f"warehouse_fact_one_month (month_key={month})", q)
 
 
 if __name__ == "__main__":
