@@ -1,0 +1,130 @@
+"""Property tests for the cross-engine numeric primitives.
+
+The oracle hash-compare only proves Spark == DuckDB on the values the
+testdata happens to contain; these tests drive the primitives with
+ADVERSARIAL inputs (exact .5 scaled ties, shortest-repr edge cases,
+subnormals of the scaled domain, random full-precision doubles) and
+assert the two engines agree value-for-value — substantiating the
+determinism claims in functions/money.py (fixed_point_sum) and
+operators/dedup.py (hash60).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from retail_sales_analysis_etl_bi_project_spark.functions.money import (
+    fixed_point_sum,
+    fixed_point_sum_sql,
+)
+from retail_sales_analysis_etl_bi_project_spark.operators.dedup import hash60_expr
+
+
+def _adversarial_doubles() -> list[float]:
+    rng = random.Random(99)
+    vals = [
+        0.0,
+        1e-7,            # below one micro-unit
+        0.4999995,       # rounds at the 6th decimal boundary
+        0.5000005,
+        33.01,           # 2dp value whose *1e6 product sits just below int
+        6.55,
+        123.4567895,     # exact-looking tie at scale 6
+        2.5e-6,          # x*1e6 == 2.5 exactly? (representable tie)
+        3.5e-6,
+        1.5,
+        -0.4999995,      # negative ties: HALF_UP vs half-away must agree
+        -33.01,
+        -123.4567895,
+        9999999.999999,
+    ]
+    vals += [rng.uniform(-1000, 1000) for _ in range(200)]
+    vals += [rng.uniform(0, 1) * 10**rng.randint(-8, 6) for _ in range(200)]
+    # doubles whose scaled value is an exact representable x.5 tie
+    vals += [(k + 0.5) / 1e6 for k in range(0, 64, 7)]
+    return vals
+
+
+def test_fixed_point_sum_matches_duckdb_on_adversarial_doubles(spark):
+    """Spark fixed_point_sum == DuckDB fixed_point_sum_sql per GROUP of
+    one value (so every individual quantization must agree, not just a
+    lucky cancellation in one big sum)."""
+    vals = _adversarial_doubles()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    got = {
+        r.id: r.s
+        for r in df.groupBy("id").agg(fixed_point_sum("v").alias("s")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(id BIGINT, v DOUBLE)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vals)])
+    want = {
+        i: s
+        for i, s in con.execute(
+            f"SELECT id, {fixed_point_sum_sql('v')} AS s FROM t GROUP BY id"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == want[i] or (
+            math.isnan(got[i]) and math.isnan(want[i])
+        ), f"id={i} value={vals[i]!r}: spark {got[i]!r} != duckdb {want[i]!r}"
+
+
+def test_spark_round_matches_duckdb_round_on_scaled_ties(spark):
+    """The quantize step itself: Spark round(x*1e6) (BigDecimal HALF_UP
+    on the shortest repr) must equal DuckDB ROUND(x*1e6) (half away from
+    zero) for every double, including exact representable .5 ties in
+    both signs."""
+    vals = [v for v in _adversarial_doubles()]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    got = {
+        r.id: r.q
+        for r in df.select(
+            "id", F.round(F.col("v") * F.lit(1e6)).alias("q")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vals)])
+    want = {
+        i: q for i, q in con.execute("SELECT id, ROUND(v * 1000000.0) FROM t").fetchall()
+    }
+    for i in got:
+        assert got[i] == want[i], (
+            f"id={i} value={vals[i]!r}: spark {got[i]!r} != duckdb {want[i]!r}"
+        )
+
+
+def test_hash60_matches_duckdb_on_unicode_and_edges(spark):
+    """hash60 (first 60 bits of md5 as bigint) must agree across engines
+    for empty strings, whitespace, unicode, and random shingle-ish
+    text — the primitive every MinHash/SimHash signature builds on."""
+    rng = random.Random(5)
+    alphabet = "abc XYZ 0123 \t\né中文\U0001f600'\"\\%_"
+    texts = ["", " ", "a", "\n", "café au lait", "中文 token"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 40)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    got = {r.id: r.h for r in df.select("id", hash60_expr("t").alias("h")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)])
+    # DuckDB twin from plans/dedup_queries.py (_hex60)
+    hex60 = (
+        "CAST(list_sum(list_transform(generate_series(1,15), "
+        "i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)"
+        " << (4*(15-i)))) AS BIGINT)"
+    )
+    want = {i: h for i, h in con.execute(f"SELECT id, {hex60} FROM t").fetchall()}
+    assert got == want
