@@ -23,7 +23,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint_expr, normalized_text_expr, tokens_expr
+from .text import fingerprint_expr, tokens_expr
 
 
 # ---------------------------------------------------------------- exact

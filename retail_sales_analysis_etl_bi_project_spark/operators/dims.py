@@ -19,7 +19,7 @@ do NOT assign global contiguous ids (see docstring of with_surrogate_key).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Column
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 

@@ -17,7 +17,7 @@ SURVEY §2.3 for the LLM-pipeline/event surface."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 

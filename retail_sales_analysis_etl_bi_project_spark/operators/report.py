@@ -6,7 +6,6 @@ few numbers are collected."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from .dims import fk_violations, null_audit
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import dec, revenue_expr
+from ..functions.money import revenue_expr
 from ..sources.tables import load_table
 from .bi import REVENUE_SQL
 from .registry import query

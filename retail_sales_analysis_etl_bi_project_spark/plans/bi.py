@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import dec, revenue_expr, sum_money, MONEY
+from ..functions.money import dec, revenue_expr, sum_money
 from ..functions.derived import acctbal_segment
 from ..sources.tables import load_table
 from .registry import query

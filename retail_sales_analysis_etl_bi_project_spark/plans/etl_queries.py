@@ -10,7 +10,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import trim_cols
-from ..functions.money import dec
 from ..operators.dims import (
     assemble_fact,
     build_dim_date,
