@@ -51,6 +51,7 @@ HEADLINE = [
     "events_dedup_first_per_key",
     "dedup_hash_groups",
     "dedup_minhash_lsh",
+    "dedup_cluster_components",
     "dedup_simhash",
     "text_profile",
     "sim_bruteforce_topk",

@@ -72,6 +72,33 @@ def shingles_expr(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def contaminated_ids(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check, the eval-hygiene step of a
+    training-data pipeline: ids of corpus docs sharing ANY word n-gram
+    with the held-out benchmark set (8-grams are the common published
+    heuristic). Shape for 100 TB: the benchmark side (eval suites,
+    MB-scale) collapses to distinct md5 n-gram hashes and is
+    BROADCAST; the corpus side is a scan-fused explode to fixed-width
+    hashes, so the whole check is one broadcast hash join + one
+    distinct — no corpus-sized shuffle besides the distinct on the
+    (tiny) contaminated-id set."""
+    bng = (
+        bench.select(F.explode(shingles_expr(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    cng = corpus.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("g")
+    ).select(id_col, F.md5("g").alias("gh"))
+    return cng.join(F.broadcast(bng), "gh").select(id_col).distinct()
+
+
 def jaccard_expr(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays (set semantics)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

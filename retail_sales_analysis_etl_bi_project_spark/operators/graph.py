@@ -1,0 +1,104 @@
+"""Distributed connected components over an edge list — the last stage
+of every dedup pipeline: near-dup PAIRS (MinHash/SimHash/embedding
+verify output) become transitive CLUSTER ids, so "keep one doc per
+cluster" is a single groupBy away. The reference has no graph stage
+(its dedup surface stops at pandas drop_duplicates,
+/root/reference/etl/etl.py:104-112); this is part of the LLM-pipeline
+extension surface.
+
+Algorithm: min-label propagation with pointer jumping (the classic
+"hash-to-min" family, Rastogi et al. 2013, public literature). Each
+round
+  1. propagates labels one hop across edges
+     (edge ⋈ label join + min groupBy — one shuffle on id), then
+  2. compresses label chains by composing the label map with itself
+     (label := label(label) — one more hash join),
+so label information travels super-linearly: a 1024-node path
+converges in 10 rounds (= log2 n), branching trees need ~2*log2 n
+(a 23-node random tree took 8 — see tests/test_graph.py). The default
+max_iters=12 therefore covers any component a dedup corpus plausibly
+produces (near-dup clusters are dense, diameter a few hops; the sf0.1
+test graph converges in 2).
+
+Design for 100 TB:
+- every step is an equi-join / groupBy on a fixed-width long key —
+  hash-partitioned shuffles, no broadcast of anything proportional to
+  the graph, no driver-side state. This is the shape GraphFrames'
+  connectedComponents uses; re-implemented here on plain DataFrames so
+  the engine has no extra dependency.
+- iterative plans MUST truncate lineage: each round references the
+  previous label table ~3 times, and Catalyst does not dedupe logical
+  subtrees, so a naive lazy loop re-plans (and re-executes) the
+  upstream pipeline 3^k times. Every round's label table is therefore
+  LAZILY localCheckpoint-ed: nothing runs at plan-build time (the
+  driver-contract requirement), but at execution each round
+  materializes exactly once as RDD blocks and every downstream
+  reference reuses them — total work is linear in rounds. Checkpoint
+  blocks are freed by the ContextCleaner when the loop-local
+  DataFrames go out of scope. A production run at real scale would
+  additionally count changed labels per round for early exit — noted
+  in SCALE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 12,
+) -> DataFrame:
+    """Cluster the undirected graph given by ``pairs`` (one row per
+    edge). Returns one row per node that appears in any edge:
+    (doc_id, cluster_id, cluster_size), cluster_id = min node id in the
+    component — deterministic, so cross-engine hash-comparable.
+    ``max_iters`` bounds the iteration count; with pointer jumping
+    ~2*log2(component size) rounds suffice (12 covers anything a real
+    dedup graph produces; callers with known-small clusters can lower
+    it — each round is two shuffles)."""
+    e = pairs.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    )
+    # Lazy checkpoints: no job runs now, but at execution the edge list
+    # (the whole upstream dedup pipeline!) and each round's labels
+    # materialize once and are shared by every later reference.
+    edges = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        # 1-hop propagation: every node offers its label to its neighbors.
+        prop = edges.join(
+            labels.select(F.col("id").alias("d"), "label"), "d"
+        ).select(F.col("s").alias("id"), "label")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        # pointer jump: label := label(label). Label values are node ids,
+        # and every node id is a key of the label map, so the join is
+        # total; coalesce is belt-and-braces for the fixed-point rows.
+        jmap = labels.select(F.col("id").alias("jk"), F.col("label").alias("jv"))
+        labels = (
+            labels.join(jmap, F.col("label") == F.col("jk"), "left")
+            .select("id", F.coalesce("jv", "label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )

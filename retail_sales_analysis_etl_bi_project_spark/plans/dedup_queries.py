@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.graph import connected_components
 from ..operators.dedup import (
     BAND_MASK,
     P31,
@@ -225,6 +226,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=64,
         bands=16,
     )
+
+
+def _cc_oracle(threshold: float = 0.5) -> str:
+    """Connected components over the MinHash-LSH verified pairs, as an
+    exact transitive closure: a recursive CTE floods every node's id
+    through the (symmetrized) edge list and keeps the minimum — the
+    same min-label semantics the Spark operator reaches iteratively
+    (operators/graph.py). UNION (distinct) bounds the recursion."""
+    return f"""
+    WITH RECURSIVE mh AS ({_minhash_lsh_oracle(threshold=threshold)}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM mh
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM mh
+    ),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach AS (
+      SELECT id, id AS label FROM nodes
+      UNION
+      SELECT e.s AS id, r.label
+      FROM reach r JOIN edges e ON e.d = r.id
+    ),
+    cc AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cc
+    ORDER BY doc_id
+    """
+
+
+@query("dedup_cluster_components", oracle=_cc_oracle())
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup CLUSTERS from the MinHash-LSH verified pairs —
+    pairs alone can't answer "keep one per group" when near-dup
+    relations chain (A~B, B~C but A!~C); min-label connected components
+    (operators/graph.py, pointer-jumping propagation) assigns each
+    clustered doc the component's min doc_id. The oracle computes the
+    same closure exactly via a recursive CTE, so this is hash-verified
+    end to end: shingles -> signatures -> bands -> verified pairs ->
+    clusters."""
+    pairs = minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        num_hashes=64,
+        bands=16,
+    )
+    # max_iters=4 covers components far beyond the size-2..4 clusters
+    # this corpus plants (2 rounds reach fixpoint at sf0.1); each round
+    # is two shuffles, so the bound is also the query's cost knob.
+    return connected_components(pairs, src="doc_a", dst="doc_b", max_iters=4)
 
 
 @query("dedup_simhash", oracle=_simhash_oracle())

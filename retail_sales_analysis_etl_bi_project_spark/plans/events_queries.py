@@ -140,28 +140,9 @@ def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_top_users",
-    oracle="""
-    SELECT user_id,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
-    FROM events
-    GROUP BY 1
-    ORDER BY n_events DESC, user_id
-    LIMIT 20
-    """,
-)
-def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most active users (count + distinct active days), with a
-    deterministic id tiebreak."""
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct(F.to_date("ts")).alias("active_days"),
-        )
-        .orderBy(F.desc("n_events"), "user_id")
-        .limit(20)
-    )
+# NOTE: a former `events_top_users` top-K query was retired in round 3:
+# its TakeOrderedAndProject shape is already hash-verified by
+# q01_top5_products_by_revenue and window_top3_parts_per_brand, and the
+# driver's correctness harness checks only the first 50 registered
+# queries — the slot went to dedup_cluster_components (transitive dup
+# clustering), which had no equivalent evidence.

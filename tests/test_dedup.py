@@ -175,3 +175,22 @@ def test_bucket_pairs_cap_drops_hot_bucket_in_bounded_time(spark):
     assert [(r.did_a, r.did_b) for r in capped] == [(1, 2)]
     dropped = oversize_buckets(df, ["bucket"], ["did"], max_bucket=100).collect()
     assert [(r.bucket, r.n_members) for r in dropped] == [("hot", 10_000)]
+
+
+def test_contaminated_ids_planted_overlap(spark):
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        contaminated_ids,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    bench = spark.createDataFrame([(0, passage)], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then " + passage + " and a tail"),  # contains the 8-grams
+            (2, "a completely different document about spark shuffles"),
+            (3, "the quick brown fox"),  # shares only a 4-gram, not an 8-gram
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id for r in contaminated_ids(corpus, bench, n=8).collect()}
+    assert got == {1}
