@@ -67,6 +67,8 @@ HEADLINE = [
     "skew_salted_revenue_by_segment",
     "events_sliding_3h_daily",
     "corpus_filter_pipeline",
+    "corpus_sample_and_pack",
+    "etl_silver_filters",
     "multimodal_feature_extract",
     "events_json_and_moments",
 ]

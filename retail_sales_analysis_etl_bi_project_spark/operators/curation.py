@@ -1,0 +1,118 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+downstream of filtering/dedup: domain (temperature) sampling and
+fixed-budget sequence packing. Not present in the reference (its ETL
+stops at BI tables); part of the LLM-pipeline extension surface.
+
+Cross-engine determinism (the driver hash-compares against DuckDB):
+- sampling decisions use hash60(doc_id) — the shared md5-derived
+  primitive — against an INTEGER per-stratum threshold, so there is no
+  float boundary to flake on;
+- the stratum weights use sqrt (IEEE correctly-rounded, bit-identical
+  in both engines) floored to integers before summation, so the
+  weight total is an exact, order-independent BIGINT sum — never a
+  float sum whose value depends on reduction order;
+- packing is pure integer window arithmetic.
+
+Design for 100 TB:
+- temperature_sample: one tiny groupBy(stratum) agg broadcast back —
+  the corpus-sized pass is a scan-fused filter, no shuffle.
+- pack_sequences: one window cumsum per shard (= domain/source). A
+  window partition is a single task, so shards must be bounded
+  (~executor-sized); real deployments sub-shard big domains with a
+  salted shard key + a two-phase cumsum (per-shard totals broadcast as
+  offsets) — same math, documented in SCALE.md. Packing within domain
+  shards is also what real pretraining pipelines do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import hash60_expr
+
+SCALE_M = 1_000_000
+
+
+def temperature_sample(
+    docs: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    frac: float = 0.6,
+) -> DataFrame:
+    """Deterministic alpha=0.5 temperature sampling: stratum s with
+    count c_s gets weight w_s = floor(sqrt(c_s * 1e6)) (integer-exact
+    sqrt(c_s) scaling), and each doc is kept iff
+    hash60(doc_id) % 1e6 < t_s, with the integer threshold
+    t_s = min(1e6, floor(frac*N * w_s * 1e6 / (sumw * c_s))).
+    Rare domains are upsampled relative to their share (classic
+    count^alpha mixing, alpha=1/2); expected kept fraction ~= frac.
+    Returns the kept rows with their stratum threshold attached."""
+    stats = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("c"))
+    stats = stats.withColumn(
+        "w", F.floor(F.sqrt(F.col("c") * F.lit(float(SCALE_M)))).cast("long")
+    )
+    tot = stats.agg(F.sum("c").alias("n"), F.sum("w").alias("sumw"))
+    stats = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "keep_thresh",
+            F.least(
+                F.lit(float(SCALE_M)),
+                F.floor(
+                    F.lit(frac)
+                    * F.col("n")
+                    * F.col("w")
+                    * F.lit(float(SCALE_M))
+                    / (F.col("sumw") * F.col("c"))
+                ),
+            ).cast("long"),
+        )
+        .select(strata_col, "keep_thresh")
+    )
+    return docs.join(F.broadcast(stats), strata_col).filter(
+        hash60_expr(F.col(id_col).cast("string")) % SCALE_M < F.col("keep_thresh")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-budget sequence packing: concatenate each
+    shard's token stream in doc_id order and chunk it into sequences of
+    ``budget`` tokens. Emits one row per (doc, sequence) span —
+    (shard, seq_id, doc_id, n_tokens, tok_lo, tok_hi): the half-open
+    token range [tok_lo, tok_hi) the doc occupies inside seq_id. Docs
+    longer than the budget span multiple sequences (real pipelines
+    split exactly like this); zero-token docs are dropped."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = F.lit(budget)
+    cum = docs.filter(F.col(token_col) > 0).withColumn(
+        "cum", F.sum(token_col).over(w).cast("long")
+    )
+    spans = (
+        cum.withColumn("start", F.col("cum") - F.col(token_col))
+        .withColumn("seq_lo", F.floor(F.col("start") / b).cast("long"))
+        .withColumn("seq_hi", F.floor((F.col("cum") - 1) / b).cast("long"))
+        .withColumn("seq_id", F.explode(F.sequence("seq_lo", "seq_hi")))
+    )
+    return spans.select(
+        F.col(shard_col),
+        F.col("seq_id"),
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        (F.greatest("start", F.col("seq_id") * b) - F.col("seq_id") * b)
+        .cast("long")
+        .alias("tok_lo"),
+        (F.least("cum", (F.col("seq_id") + 1) * b) - F.col("seq_id") * b)
+        .cast("long")
+        .alias("tok_hi"),
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.curation import pack_sequences, temperature_sample
 from ..operators.dedup import contaminated_ids
 from ..operators.text import (
     fingerprint_expr,
@@ -128,3 +129,79 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "predicted_lang", "quality", "n_tokens", "n_chars")
         .orderBy("doc_id")
     )
+
+
+_PACK_BUDGET = 512
+_SAMPLE_FRAC = 0.6
+
+
+@query(
+    "corpus_sample_and_pack",
+    oracle=f"""
+    WITH cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+    wts AS (SELECT source, c,
+                   CAST(FLOOR(sqrt(CAST(c AS DOUBLE) * CAST(1000000.0 AS DOUBLE)))
+                        AS BIGINT) AS w
+            FROM cnt),
+    tot AS (SELECT SUM(c) AS n, SUM(w) AS sumw FROM wts),
+    th AS (SELECT source,
+                  CAST(LEAST(CAST(1000000.0 AS DOUBLE),
+                             FLOOR(CAST({_SAMPLE_FRAC} AS DOUBLE) * n * w
+                                   * CAST(1000000.0 AS DOUBLE) / (sumw * c)))
+                       AS BIGINT) AS keep_thresh
+           FROM wts, tot),
+    kept AS (
+      SELECT d.doc_id, d.source, CAST({{ntok}} AS BIGINT) AS n_tokens
+      FROM documents d JOIN th USING (source)
+      WHERE {{h60}} % 1000000 < keep_thresh AND CAST({{ntok}} AS BIGINT) > 0
+    ),
+    cum_t AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM kept
+    ),
+    spans AS (
+      SELECT source, doc_id, n_tokens, cum, cum - n_tokens AS strt,
+             unnest(generate_series(
+               CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT),
+               CAST(FLOOR((cum - 1) / {_PACK_BUDGET}) AS BIGINT))) AS seq_id
+      FROM cum_t
+    )
+    SELECT source, seq_id, doc_id, n_tokens,
+           CAST(GREATEST(strt, seq_id * {_PACK_BUDGET})
+                - seq_id * {_PACK_BUDGET} AS BIGINT) AS tok_lo,
+           CAST(LEAST(cum, (seq_id + 1) * {_PACK_BUDGET})
+                - seq_id * {_PACK_BUDGET} AS BIGINT) AS tok_hi
+    FROM spans
+    ORDER BY source, seq_id, doc_id
+    """.replace("{ntok}", _SQL_NTOK).replace(
+        "{h60}",
+        "CAST(list_sum(list_transform(generate_series(1,15), "
+        "i -> CAST(strpos('0123456789abcdef', "
+        "substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)"
+        " << (4*(15-i)))) AS BIGINT)",
+    ),
+)
+def corpus_sample_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing + sequence packing, the curation steps downstream
+    of filtering/dedup (operators/curation.py): alpha=0.5 temperature
+    sampling upweights rare sources (deterministic hash60 keep
+    decision against an integer per-source threshold), then each
+    source's token stream is packed into 512-token sequences in doc_id
+    order — one row per (doc, sequence) span with the in-sequence token
+    range. Sampling is a broadcast of a 5-row stat table onto a
+    scan-fused filter; packing is one integer window cumsum per source
+    (sub-shard + two-phase cumsum at real scale, SCALE.md)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count_expr("text").alias("n_tokens")
+    )
+    sampled = temperature_sample(
+        docs, strata_col="source", id_col="doc_id", frac=_SAMPLE_FRAC
+    ).select("doc_id", "source", "n_tokens")
+    return pack_sequences(
+        sampled,
+        token_col="n_tokens",
+        budget=_PACK_BUDGET,
+        shard_col="source",
+        id_col="doc_id",
+    ).orderBy("source", "seq_id", "doc_id")

@@ -215,23 +215,56 @@ def etl_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "etl_clean_filters",
+    "etl_silver_filters",
     oracle="""
-    SELECT c.c_custkey, TRIM(c.c_name) AS c_name, c.c_acctbal, c.c_mktsegment
-    FROM customer c
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+           TRIM(c.c_name) AS c_name, c.c_acctbal,
+           l.l_quantity, l.l_extendedprice, l.l_discount
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_acctbal >= 0 AND c.c_acctbal <= 9000
+      AND l.l_discount < l.l_tax AND l.l_quantity > 0
     """,
 )
-def etl_clean_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Silver cleaning composition: P3 range predicate (age-in-[18,100]
-    analog, etl/etl.py:67) + P10 trim on the driver's customer table."""
+def etl_silver_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The silver cleaning predicate suite in one realistic pass
+    (round-3 merge of the former etl_clean_filters +
+    etl_theta_and_positive_filters slots — same operator evidence, one
+    driver window slot): P3 range predicate (age-in-[18,100] analog,
+    etl/etl.py:67) + P10 trim on customer, P4 column-vs-column theta
+    (cost<price, etl/etl.py:74) + P5 positivity (quantity>0,
+    etl.py:94) on lineitem, composed through the orders FK chain. The
+    customer side broadcasts; both filters reach their scans."""
     from ..functions.cleaning import between_filter
 
-    customer = load_table(spark, sf_dir, "customer")
-    out = customer.filter(between_filter("c_acctbal", 0, 9000)).select(
-        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = trim_cols(
+        load_table(spark, sf_dir, "customer").filter(
+            between_filter("c_acctbal", 0, 9000)
+        ),
+        "c_name",
     )
-    return trim_cols(out, "c_name")
+    return (
+        lineitem.filter(
+            (F.col("l_discount") < F.col("l_tax")) & (F.col("l_quantity") > 0)
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            "c_name",
+            "c_acctbal",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
 
 
 @query(
@@ -356,18 +389,5 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "etl_theta_and_positive_filters",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
-    FROM lineitem
-    WHERE l_discount < l_tax AND l_quantity > 0
-    """,
-)
-def etl_theta_and_positive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 column-vs-column theta predicate (cost<price, etl/etl.py:74) +
-    P5 positivity (quantity>0, etl.py:94) on driver columns."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.filter(
-        (F.col("l_discount") < F.col("l_tax")) & (F.col("l_quantity") > 0)
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+# NOTE: the former etl_theta_and_positive_filters slot was merged into
+# etl_silver_filters (round 3) — P4/P5 evidence now lives there.

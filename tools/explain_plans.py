@@ -48,6 +48,8 @@ def main():
         "etl_quality_audit",
         "dedup_hash_groups",
         "dedup_minhash_lsh",
+        "dedup_cluster_components",
+        "corpus_filter_pipeline",
         "sim_ivf_ann_topk",
         "events_sessionization",
     ]
