@@ -46,6 +46,8 @@ def main():
         "tpch_q5_local_supplier_volume",
         "etl_fact_assembly",
         "etl_quality_audit",
+        "etl_silver_filters",
+        "corpus_sample_and_pack",
         "dedup_hash_groups",
         "dedup_minhash_lsh",
         "dedup_cluster_components",
