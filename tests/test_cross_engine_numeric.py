@@ -128,3 +128,58 @@ def test_hash60_matches_duckdb_on_unicode_and_edges(spark):
     )
     want = {i: h for i, h in con.execute(f"SELECT id, {hex60} FROM t").fetchall()}
     assert got == want
+
+
+def test_temperature_sample_thresholds_match_duckdb(spark):
+    """The sampling keep-decision is the one curation expression with
+    float math (frac*N*w*1e6/(sumw*c)); drive it with adversarial
+    stratum skews and assert the kept id set is identical in DuckDB."""
+    import pandas as pd
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    rng = random.Random(41)
+    for trial in range(3):
+        sizes = [rng.randint(1, 700) for _ in range(rng.randint(2, 7))]
+        rows, nxt = [], 0
+        for si, size in enumerate(sizes):
+            for _ in range(size):
+                rows.append(("s%d" % si, nxt))
+                nxt += rng.randint(1, 9)  # sparse, irregular ids
+        docs = spark.createDataFrame(rows, ["source", "doc_id"])
+        frac = [0.3, 0.6, 0.97][trial]
+        got = sorted(
+            r.doc_id for r in temperature_sample(docs, frac=frac).collect()
+        )
+        con = duckdb.connect()
+        con.register("docs_pd", pd.DataFrame(rows, columns=["source", "doc_id"]))
+        h60 = (
+            "CAST(list_sum(list_transform(generate_series(1,15), "
+            "i -> CAST(strpos('0123456789abcdef', "
+            "substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)"
+            " << (4*(15-i)))) AS BIGINT)"
+        )
+        want = [
+            r[0]
+            for r in con.execute(
+                f"""
+            WITH cnt AS (SELECT source, COUNT(*) AS c FROM docs_pd GROUP BY source),
+            wts AS (SELECT source, c,
+                       CAST(FLOOR(sqrt(CAST(c AS DOUBLE) * CAST(1000000.0 AS DOUBLE)))
+                            AS BIGINT) AS w FROM cnt),
+            tot AS (SELECT SUM(c) AS n, SUM(w) AS sumw FROM wts),
+            th AS (SELECT source,
+                      CAST(LEAST(CAST(1000000.0 AS DOUBLE),
+                                 FLOOR(CAST({frac} AS DOUBLE) * n * w
+                                       * CAST(1000000.0 AS DOUBLE) / (sumw * c)))
+                           AS BIGINT) AS keep_thresh
+                   FROM wts, tot)
+            SELECT doc_id FROM docs_pd d JOIN th USING (source)
+            WHERE {h60} % 1000000 < keep_thresh
+            ORDER BY doc_id
+            """
+            ).fetchall()
+        ]
+        assert got == want
