@@ -73,6 +73,44 @@ def replace_table(df: DataFrame, table: str, database: str = "retail_dw") -> Non
     df.write.mode("overwrite").saveAsTable(f"{database}.{table}")
 
 
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 32,
+    database: str = "retail_dw",
+    sort: bool = True,
+) -> None:
+    """Persist a table hash-BUCKETED (and per-bucket sorted) on its join
+    key, so every later equi-join between tables bucketed on the same
+    key with the same bucket count is SHUFFLE-FREE: Spark's scan reports
+    the bucket layout as its output partitioning, and SortMergeJoin
+    reads bucket b of each side on one task with no Exchange on either
+    side.
+
+    This is the scale story for the gold layer's repeated joins: the
+    reference re-joins fact⋈dim on every query and leans on Oracle FK
+    indexes (/root/reference/sql/ddl_oracle.sql:88-91). At 100 TB a
+    fact⋈fact or fact⋈big-dim join shuffles the fact table EVERY query;
+    bucketing pays that shuffle once at write time and amortizes it
+    across every downstream join and aggregation on the key
+    (groupBy(bucket_key) also skips its Exchange).
+
+    Size ``n_buckets`` so one bucket ≈ 128–256 MB at the target scale
+    (100 TB fact ⇒ ~500k buckets is wrong — buckets are files per
+    writing task; use thousands and pair with month partitioning).
+    Both join sides MUST use the same n_buckets, or Spark falls back to
+    shuffling the mismatched side."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_key)
+    )
+    if sort:
+        writer = writer.sortBy(bucket_key)
+    writer.saveAsTable(f"{database}.{table}")
+
+
 def jdbc_sink(
     df: DataFrame,
     url: str,

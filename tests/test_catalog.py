@@ -7,6 +7,7 @@ from retail_sales_analysis_etl_bi_project_spark.operators.catalog import (
     bulk_load,
     initialise_schema,
     replace_table,
+    save_bucketed,
 )
 from retail_sales_analysis_etl_bi_project_spark.operators.report import (
     validation_report,
@@ -46,6 +47,45 @@ def test_replace_table(spark, dw):
     replace_table(df1, "stg_tmp", dw)
     replace_table(df2, "stg_tmp", dw)
     assert sorted(r.x for r in spark.table(f"{dw}.stg_tmp").collect()) == [2, 3]
+
+
+def test_bucketed_join_is_shuffle_free(spark, dw):
+    # Two tables bucketed on the join key with the same bucket count:
+    # the join must plan as SortMergeJoin with NO Exchange on either
+    # side (the bucket layout IS the join partitioning). Broadcast and
+    # AQE are disabled for the assertion so the plan can't be rewritten
+    # into a shape where the absence of a shuffle is trivial.
+    left = (
+        spark.range(0, 1000)
+        .withColumn("k", F.col("id") % 100)
+        .withColumn("a", F.col("id") * 2)
+    )
+    right = (
+        spark.range(0, 500)
+        .withColumn("k", F.col("id") % 100)
+        .withColumn("b", F.col("id") + 7)
+    )
+    save_bucketed(left, "b_left", "k", n_buckets=8, database=dw)
+    save_bucketed(right, "b_right", "k", n_buckets=8, database=dw)
+    old = {
+        c: spark.conf.get(c)
+        for c in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j = spark.table(f"{dw}.b_left").join(spark.table(f"{dw}.b_right"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # 100 keys, 10 left rows x 5 right rows each
+        assert j.count() == 100 * 10 * 5
+    finally:
+        for c, v in old.items():
+            spark.conf.set(c, v)
 
 
 def test_validation_report_format(spark):

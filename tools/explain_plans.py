@@ -59,6 +59,8 @@ def main():
         print(summarize(name, qs[name](spark, sf_dir)))
         print()
     print(warehouse_pruning_section(spark))
+    print()
+    print(bucketed_join_section(spark))
 
 
 def warehouse_pruning_section(spark):
@@ -83,6 +85,53 @@ def warehouse_pruning_section(spark):
         .agg(F.sum(F.col("total_amount").cast("decimal(18,2)")).alias("rev"))
     )
     return summarize(f"warehouse_fact_one_month (month_key={month})", q)
+
+
+def bucketed_join_section(spark):
+    """Evidence that the bucketed gold layout joins shuffle-free: write
+    orders and customer bucketed on the key, join with broadcast/AQE
+    off, and show a SortMergeJoin plan with zero Exchange operators
+    (save_bucketed — the write-once shuffle that amortizes every
+    downstream fact⋈dim join at 100 TB)."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.catalog import (
+        save_bucketed,
+    )
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    db = "plans_bucketed"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    save_bucketed(orders, "orders_b", "o_custkey", n_buckets=16, database=db)
+    save_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b", "o_custkey", n_buckets=16, database=db,
+    )
+    old = {
+        c: spark.conf.get(c)
+        for c in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j = spark.table(f"{db}.orders_b").join(
+            spark.table(f"{db}.customer_b"), "o_custkey"
+        )
+        n_exchanges = j._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange"
+        )
+        return (
+            summarize("bucketed_orders_x_customer (16 buckets)", j)
+            + f"\n-- Exchange operators in plan: {n_exchanges} (bucketed scan"
+            " supplies the join partitioning; shuffle paid once at write)"
+        )
+    finally:
+        for c, v in old.items():
+            spark.conf.set(c, v)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
 if __name__ == "__main__":
