@@ -2,12 +2,15 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed REPEATS (3) times after a warm-up action so
-JVM/codegen startup isn't billed, and the reported per-query number is
-the MEDIAN wall-clock (plan + execute + collect of the small result).
-Medians make one-off outliers (GC pause, first-touch page faults)
-self-diagnosing: the per-query spread (max-min)/median is reported
-alongside so a flaky timing is visible in the artifact itself.
+Each query is executed REPEATS (5) times after warm-up actions so
+JVM/codegen/Python-worker startup isn't billed, and the reported
+per-query number is the MEDIAN wall-clock (plan + execute + collect of
+the small result). Medians make one-off outliers (GC pause,
+first-touch page faults) harmless; the reported spread is the
+INTERQUARTILE range over the runs divided by the median — a robust
+dispersion stat that a single outlier run can't inflate — so a
+genuinely unstable timing is visible in the artifact itself while a
+lone GC pause is not mistaken for one.
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ from retail_sales_analysis_etl_bi_project_spark.session import get_spark
 import __spark_entry__ as entrymod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
 
 # Headline set: the reference-parity BI spine + one of each north-star
 # operator family (dedup, similarity, text, events). Heavy quadratic
@@ -84,8 +87,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # warm-up: JVM, codegen, parquet footer cache
-    qs["q01_top5_products_by_revenue"](spark, SF_DIR).collect()
+    # warm-up: JVM, codegen, parquet footer cache for every table family,
+    # and one Pandas-UDF action so Python worker startup (~2s once per
+    # executor) isn't billed to the first mapInPandas query's first run
+    for warm in (
+        "q01_top5_products_by_revenue",   # fact/dim parquet footers
+        "events_hourly_agg",              # events (nanos-ts path)
+        "dedup_hash_groups",              # documents
+        "sim_bruteforce_topk",            # embeddings
+        "multimodal_feature_extract",     # Python workers + Arrow
+    ):
+        qs[warm](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -105,7 +117,9 @@ def main() -> None:
             assert n >= 0
         med = statistics.median(runs)
         timings[name] = round(med, 3)
-        spreads[name] = round((max(runs) - min(runs)) / med, 2) if med > 0 else 0.0
+        s = sorted(runs)
+        iqr = s[(3 * len(s)) // 4] - s[len(s) // 4]
+        spreads[name] = round(iqr / med, 2) if med > 0 else 0.0
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
