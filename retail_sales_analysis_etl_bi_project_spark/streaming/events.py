@@ -127,6 +127,50 @@ def dedup_stream(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static join — the ingest-time twin of the batch fact⋈dim
+    enrichment (operators/dims.py:assemble_fact): each micro-batch of
+    the event stream is hash-joined against a BROADCAST snapshot of the
+    dim table. Stream-static joins are stateless (no watermark, no
+    per-key state — the static side is re-broadcast per batch if it
+    changes), so this scales with the dim's broadcast size exactly like
+    the batch path. Left join: events without a dim row keep flowing
+    with nulls, matching the batch FK-audit posture (unmatched facts
+    are audited, never dropped)."""
+    on = events[key] == dim[dim_key]
+    return events.join(F.broadcast(dim), on, "left").drop(dim[dim_key])
+
+
+def write_stream_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Production file-sink path: append the stream to a parquet
+    directory with a CHECKPOINT location. The checkpoint (WAL + source
+    offsets + sink commit log) is what makes the pipeline exactly-once
+    across restarts: a re-run with the same checkpoint resumes from the
+    recorded offsets and commits nothing twice — the test restarts a
+    finished query and asserts zero new rows. availableNow drains the
+    finite source then stops; a live deployment drops that trigger and
+    the same plan runs continuously."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 def run_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,

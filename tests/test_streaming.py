@@ -67,3 +67,47 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
         spark, dedup_stream(doubled), "t_dedup", output_mode="append"
     )
     assert got.count() == load_table(spark, sf_dir, "events").count()
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join per micro-batch == the same batch
+    join: every event keeps flowing (left join), matched ones carry the
+    dim attribute."""
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+    from retail_sales_analysis_etl_bi_project_spark.streaming.events import (
+        enrich_stream,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    got = run_to_memory(
+        spark,
+        enrich_stream(read_events_stream(spark, sf_dir), dim),
+        "t_enrich",
+        output_mode="append",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.join(
+        F.broadcast(dim), ev.user_id == dim.c_custkey, "left"
+    ).drop(dim.c_custkey)
+    g = sorted((r.event_id, r.c_mktsegment) for r in got.collect())
+    b = sorted((r.event_id, r.c_mktsegment) for r in batch.collect())
+    assert g == b
+    assert any(seg is not None for _, seg in g), "no event matched a dim row"
+
+
+def test_stream_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpointed parquet sink: drains the finite source once, and a
+    RESTART with the same checkpoint commits zero new rows (offsets +
+    sink commit log make the pipeline exactly-once across restarts)."""
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+    from retail_sales_analysis_etl_bi_project_spark.streaming.events import (
+        write_stream_parquet,
+    )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    write_stream_parquet(read_events_stream(spark, sf_dir), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == load_table(spark, sf_dir, "events").count()
+    # restart: same source, same checkpoint -> no double-commit
+    write_stream_parquet(read_events_stream(spark, sf_dir), out, ckpt)
+    assert spark.read.parquet(out).count() == n1
