@@ -62,6 +62,8 @@ HEADLINE = [
     "sim_ivf_ann_topk",
     "sim_ivf_multiprobe_topk",
     "sim_ivf_kmedians_topk",
+    "sim_ivfpq_adc_topk",
+    "text_repetition_signals",
     "agg_sketch_profile",
     "etl_csv_roundtrip",
     "etl_scd2_priority_history",

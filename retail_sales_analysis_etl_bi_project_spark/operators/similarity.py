@@ -298,6 +298,128 @@ def ivf_topk(
     )
 
 
+def pq_codebooks(
+    emb: DataFrame,
+    n_sub: int = 4,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the embedding space is split into
+    ``n_sub`` contiguous subspaces and each gets its own ``ks``-entry
+    codebook. Deterministic init = the first ``ks`` vectors by id,
+    sliced per subspace (the same dependency-free convention as
+    ivf_assignments — a per-subspace k-medians refinement would drop in
+    exactly like kmedians_codebook does for the coarse quantizer).
+    Returns codebooks[m][j] = centroid j of subspace m; total size
+    n_sub*ks*(dim/n_sub) doubles — KBs, driver-collected once."""
+    rows = emb.orderBy(id_col).limit(ks).select(vec_col).collect()
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    sub = len(vecs[0]) // n_sub
+    return [[v[m * sub : (m + 1) * sub] for v in vecs] for m in range(n_sub)]
+
+
+def pq_subscores_expr(
+    vec: Column, m: int, sub: int, centroids: list[list[float]]
+) -> Column:
+    """Per-centroid ADC scores for subspace ``m``: score_j = c_j.c_j -
+    2*(v_m . c_j), a monotone shift of the squared L2 distance
+    ||v_m - c_j||^2 (the per-row ||v_m||^2 term is constant across j, so
+    argmin and cross-subspace sums rank identically). Built ONLY from
+    the sequential-fold dot product — the primitive whose Spark
+    (zip_with+aggregate) and DuckDB (list_dot_product) forms are proven
+    bit-identical by the brute-force oracle — so the whole PQ pipeline
+    stays hash-verifiable. One transform() loop over a literal
+    array<array<double>>: compact codegen, no join, no shuffle."""
+    subv = F.slice(vec, m * sub + 1, sub)
+    cb_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    return F.transform(
+        cb_lit, lambda c: dot_expr(c, c) - F.lit(2.0) * dot_expr(subv, c)
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the index of the
+    closest centroid (first-index tie-break via array_position of
+    array_min — the same convention as ivf_assignments' argmax).
+    ``out_col`` is array<int> of length n_sub: at 100 TB this is THE
+    point of PQ — a 64-dim float64 vector (512 B) compresses to n_sub
+    small ints (4 B at n_sub=4, ks<=256), a ~128x reduction, so the
+    candidate-scoring join moves codes, never raw vectors. Pure
+    per-row expression: no shuffle, stays in whole-stage codegen."""
+    v = _dbl(vec_col)
+    sub = len(codebooks[0][0])
+    codes = []
+    for m, cbm in enumerate(codebooks):
+        scores = pq_subscores_expr(v, m, sub, cbm)
+        codes.append((F.array_position(scores, F.array_min(scores)) - 1).cast("int"))
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_sub: int = 4,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ ANN (the FAISS IVFADC shape): coarse IVF restricts each
+    query to its centroid's inverted list, and within the list
+    candidates are ranked by ASYMMETRIC DISTANCE COMPUTATION — the
+    query precomputes one score table per subspace (ks doubles each)
+    and each candidate costs n_sub array lookups + adds instead of a
+    dim-length dot product. Result: (query_id, neighbor_id, adc_dist,
+    rank) with adc_dist ascending (it is ||q-x||^2 shifted by the
+    constant -||q||^2 per query, so ranks equal true PQ-approx ranks).
+
+    100 TB posture: the corpus side of the probe join carries only
+    (id, centroid_id, pq_codes) — the ~128x-compressed representation —
+    while raw vectors never leave their scan; the query side (ids +
+    n_sub score tables) broadcasts. Scoring is a fixed chain of
+    element lookups, left-associated adds matching the oracle's
+    parenthesization exactly, so the hash check covers the arithmetic."""
+    assigned, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)
+    cbs = pq_codebooks(corpus, n_sub, ks, id_col, vec_col)
+    sub = len(cbs[0][0])
+    c = pq_encode(assigned, cbs, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id", "pq_codes"
+    )
+    # queries assigned against the CORPUS coarse codebook (the round-2
+    # IVF rule) and scored against the CORPUS PQ codebooks.
+    q_assigned, _ = ivf_assignments(queries, n_centroids, id_col, vec_col, codebook=cb)
+    v = _dbl(vec_col)
+    q = q_assigned.select(
+        F.col(id_col).alias("query_id"),
+        "centroid_id",
+        *[
+            pq_subscores_expr(v, m, sub, cbs[m]).alias(f"dt{m}")
+            for m in range(n_sub)
+        ],
+    )
+    adc = F.get(F.col("dt0"), F.col("pq_codes")[0])
+    for m in range(1, n_sub):
+        adc = adc + F.get(F.col(f"dt{m}"), F.col("pq_codes")[m])
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -104,3 +104,87 @@ def fingerprint_expr(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     (md5 hex is identical across Spark, DuckDB, and Python hashlib.)"""
     return F.md5(normalized_text_expr(text))
+
+
+def ngram_array_expr(tokens: Column, n: int) -> Column:
+    """Word n-gram array from a token array, as a PURE expression:
+    n-1 chained zip_with over shifted slices (no explode, no shuffle —
+    the array never leaves the row). Fewer than n tokens -> empty array
+    (greatest(len-n+1, 0) guards the ANSI negative-length slice)."""
+    length = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    g = F.slice(tokens, 1, length)
+    for i in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(tokens, i + 1, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return g
+
+
+def repetition_signals(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 adapted to single-line docs): token repetition fraction
+    (1 - distinct/total, expression-only via array_distinct) and the
+    fraction of all {2,3}-grams taken by the single most frequent one —
+    the standard boilerplate/loop detector in LLM data curation (a page
+    of repeated nav text scores near 1, prose near 1/n_grams).
+
+    Scale shape: token stats are per-row expressions (no shuffle); the
+    top-n-gram counts are one explode -> groupBy(doc, n, gram) ->
+    groupBy(doc) — both aggregations keyed by doc_id, so the shuffle is
+    uniform in documents (never in gram frequency: the per-doc count
+    map is at most the doc's own gram count, no global hot key). The
+    two gram widths ride ONE explode pipeline (a struct array of
+    (n, grams)), so the text is tokenized and shuffled once."""
+    t = tokens_expr(text_col)
+    base = docs.select(
+        id_col,
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("distinct_tokens"),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("n"), ngram_array_expr(t, n).alias("grams")
+                )
+                for n in (2, 3)
+            ]
+        ).alias("_gs"),
+    )
+    grams = (
+        base.select(
+            id_col, "n_tokens", "distinct_tokens", F.explode("_gs").alias("_s")
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "distinct_tokens",
+            F.col("_s.n").alias("gram_n"),
+            F.explode("_s.grams").alias("gram"),
+        )
+    )
+    counts = grams.groupBy(
+        id_col, "n_tokens", "distinct_tokens", "gram_n", "gram"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    two, three = F.col("gram_n") == 2, F.col("gram_n") == 3
+    per_doc = counts.groupBy(id_col, "n_tokens", "distinct_tokens").agg(
+        F.max(F.when(two, F.col("c"))).alias("top_2gram"),
+        F.sum(F.when(two, F.col("c"))).alias("n_2grams"),
+        F.max(F.when(three, F.col("c"))).alias("top_3gram"),
+        F.sum(F.when(three, F.col("c"))).alias("n_3grams"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "distinct_tokens",
+        (F.lit(1.0) - dbl("distinct_tokens") / dbl("n_tokens")).alias(
+            "repeat_token_frac"
+        ),
+        (dbl("top_2gram") / dbl("n_2grams")).alias("top_2gram_frac"),
+        (dbl("top_3gram") / dbl("n_3grams")).alias("top_3gram_frac"),
+    )

@@ -268,29 +268,6 @@ def etl_silver_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "etl_coerce_numeric",
-    oracle="""
-    SELECT event_id,
-           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-           CAST(COALESCE(TRY_CAST(json_extract_string(props, '$.missing') AS DOUBLE), 0.0)
-                AS DOUBLE) AS missing_filled
-    FROM events
-    """,
-)
-def etl_coerce_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7 lossy numeric cast + P9 null-fill (etl/etl.py:66,96): JSON props
-    field try_cast to number (invalid/absent -> NULL), then fillna(0)."""
-    events = load_table(spark, sf_dir, "events")
-    return events.select(
-        "event_id",
-        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_value"),
-        F.coalesce(
-            F.get_json_object("props", "$.missing").try_cast("double"), F.lit(0.0)
-        ).alias("missing_filled"),
-    )
-
-
-@query(
     "etl_scd2_priority_history",
     oracle="""
     WITH ordered AS (

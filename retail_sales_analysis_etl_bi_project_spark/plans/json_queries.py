@@ -28,6 +28,10 @@ from .registry import query
              AS k_sum,
            CAST(COUNT(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
                            THEN 1 END) AS BIGINT) AS k_present,
+           CAST(SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0))
+                AS BIGINT) AS k_filled_sum,
+           CAST(SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.missing') AS DOUBLE),
+                             0.0)) AS DOUBLE) AS missing_filled_sum,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(vi) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean,
            ROUND((CAST(SUM(vi * vi) AS DOUBLE) / 1000000000000.0
@@ -46,6 +50,12 @@ def events_json_and_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     - from_json -> MapType: props parsed once into map<string,bigint>,
       key looked up with element_at (NULL when absent — same as JSON
       path extraction), summed and presence-counted per type.
+    - P7 lossy numeric cast + P9 null-fill (the round-2
+      etl_coerce_numeric slot, merged here — same events scan): the JSON
+      path is try_cast to number (absent/invalid -> NULL) and
+      coalesce-filled before summing. k_filled_sum exercises the filled
+      bigint path; missing_filled_sum coerces a key that never exists,
+      so the fill value is what survives (exact 0.0 sum — order-safe).
     - sample variance via exact fixed-point moments: value is quantized
       to micro-units in double arithmetic (round(v*1e6) — identical
       in both engines, see functions.money.fixed_point_sum),
@@ -75,6 +85,17 @@ def events_json_and_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(k).alias("k_sum"),
             F.count(k).alias("k_present"),
+            F.sum(
+                F.coalesce(
+                    F.get_json_object("props", "$.k").try_cast("bigint"), F.lit(0)
+                )
+            ).alias("k_filled_sum"),
+            F.sum(
+                F.coalesce(
+                    F.get_json_object("props", "$.missing").try_cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("missing_filled_sum"),
             n.alias("n"),
             mean.alias("mean"),
             F.round(

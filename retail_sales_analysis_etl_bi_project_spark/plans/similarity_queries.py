@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, hyperplanes, ivf_topk, lsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    hyperplanes,
+    ivf_topk,
+    ivfpq_topk,
+    lsh_topk,
+)
 from ..sources.tables import load_table
 from .registry import query
 
@@ -233,6 +239,105 @@ def sim_ivf_kmedians_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K,
         n_centroids=_N_CENTROIDS,
         refine_iters=2,
+    )
+
+
+_N_SUB = 4
+_PQ_KS = 16
+_SUB_DIM = _DIM // _N_SUB
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB replay of ivfpq_topk: the coarse codebook/assignment CTEs
+    are the exact shape of _ivf_oracle (first-16-by-id init, cosine
+    argmax with first-index tie-break); the PQ layer derives per-subspace
+    centroids with list_slice (1-based begin/end — Spark's slice(start,
+    length) maps to [m*sub+1, (m+1)*sub]), encodes via ROW_NUMBER over
+    (score, j) — identical to array_position-of-array_min's first-min
+    tie-break — and sums the n_sub ADC lookups with explicitly
+    left-associated adds, matching Spark's chained ``+``. Every double
+    comes from list_dot_product, the proven bit-identical twin of the
+    Spark fold."""
+    adc_sum = "MAX(CASE WHEN cd.m = 0 THEN qs.score END)"
+    for m in range(1, _N_SUB):
+        adc_sum = f"({adc_sum} + MAX(CASE WHEN cd.m = {m} THEN qs.score END))"
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
+             v AS cvec
+      FROM (SELECT * FROM base ORDER BY vec_id LIMIT {_N_CENTROIDS})
+    ),
+    coarse AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT b.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY list_cosine_similarity(b.v, c.cvec) DESC,
+                                           c.centroid_id) AS rn
+        FROM base b CROSS JOIN cb0 c
+      ) WHERE rn = 1
+    ),
+    subcb AS (
+      SELECT ms.m, c.centroid_id AS j,
+             list_slice(c.cvec, ms.m*{_SUB_DIM}+1, (ms.m+1)*{_SUB_DIM}) AS svec
+      FROM (SELECT * FROM cb0 WHERE centroid_id < {_PQ_KS}) c
+      CROSS JOIN (SELECT unnest(range(0, {_N_SUB})) AS m) ms
+    ),
+    scores AS (
+      SELECT b.vec_id, p.m, p.j,
+             list_dot_product(p.svec, p.svec)
+               - 2.0*list_dot_product(
+                   list_slice(b.v, p.m*{_SUB_DIM}+1, (p.m+1)*{_SUB_DIM}), p.svec)
+               AS score
+      FROM base b CROSS JOIN subcb p
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY score, j) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {adc_sum} AS adc_dist
+      FROM coarse q
+      JOIN coarse c ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
+      JOIN codes cd ON cd.vec_id = c.vec_id
+      JOIN scores qs ON qs.vec_id = q.vec_id AND qs.m = cd.m AND qs.j = cd.code
+      WHERE q.vec_id < {_N_QUERIES}
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY adc_dist, neighbor_id) AS INTEGER)
+                  AS rank
+      FROM adc
+    ) WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("sim_ivfpq_adc_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with asymmetric distance computation (the FAISS IVFADC
+    shape, operators/similarity.py ivfpq_topk): coarse IVF prunes the
+    corpus to one inverted list per query, and candidates are ranked by
+    n_sub table lookups over product-quantization codes — the corpus
+    side of the join carries a ~128x-compressed representation (4 small
+    ints vs 64 doubles), which is the memory/IO story that makes ANN
+    viable at 100 TB. Deterministic end to end (first-N-by-id codebooks,
+    first-index tie-breaks), so the entire two-level quantization
+    pipeline is hash-verified against the DuckDB replay; recall vs
+    brute force additionally asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        n_sub=_N_SUB,
+        ks=_PQ_KS,
     )
 
 

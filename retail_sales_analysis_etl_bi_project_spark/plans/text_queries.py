@@ -100,3 +100,70 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         predicted_lang_expr("text").alias("predicted_lang"),
         fingerprint_expr("text").alias("fingerprint"),
     )
+
+
+# Tokens CTE shared with the repetition oracle: the exact twin of
+# operators.text.tokens_expr (trim + \s+ split, blank -> empty list).
+_SQL_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+@query(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, t,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS distinct_tokens
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, n_tokens, distinct_tokens, 2 AS gram_n,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM base
+      UNION ALL
+      SELECT doc_id, n_tokens, distinct_tokens, 3 AS gram_n,
+             unnest(list_transform(range(1, len(t)-1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      FROM base
+    ),
+    counts AS (
+      SELECT doc_id, n_tokens, distinct_tokens, gram_n, gram,
+             COUNT(*) AS c
+      FROM grams GROUP BY ALL
+    ),
+    per_doc AS (
+      SELECT doc_id, n_tokens, distinct_tokens,
+             CAST(MAX(CASE WHEN gram_n = 2 THEN c END) AS BIGINT) AS top_2gram,
+             CAST(SUM(CASE WHEN gram_n = 2 THEN c END) AS BIGINT) AS n_2grams,
+             CAST(MAX(CASE WHEN gram_n = 3 THEN c END) AS BIGINT) AS top_3gram,
+             CAST(SUM(CASE WHEN gram_n = 3 THEN c END) AS BIGINT) AS n_3grams
+      FROM counts GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, n_tokens, distinct_tokens,
+           1.0 - CAST(distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS repeat_token_frac,
+           CAST(top_2gram AS DOUBLE) / CAST(n_2grams AS DOUBLE) AS top_2gram_frac,
+           CAST(top_3gram AS DOUBLE) / CAST(n_3grams AS DOUBLE) AS top_3gram_frac
+    FROM per_doc
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/text.py
+    repetition_signals): per-document token repetition fraction and
+    top-{2,3}-gram concentration — the standard boilerplate/template
+    detectors in LLM data curation (Rae et al. 2021, appendix A1.1).
+    Token stats are pure expressions (array_distinct — no shuffle); the
+    top-n-gram concentration is one explode + two doc-keyed
+    aggregations, with both gram widths riding a single explode
+    pipeline so the text is tokenized once. Fully hash-verified against
+    the DuckDB list_transform/unnest replay."""
+    from ..operators.text import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))

@@ -59,61 +59,31 @@ def window_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                - lag(CAST(o_totalprice AS DECIMAL(12,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS DOUBLE) AS order_growth
     FROM orders
     """,
 )
 def window_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total per customer over order history — explicit ROWS
-    frame + unique-key tiebreak so the cumulative is deterministic, and
-    exact decimal so partial order doesn't matter."""
+    """Running total AND order-over-order growth per customer — the two
+    window-frame families (cumulative ROWS frame + lag offset) over one
+    shared per-customer window, so the round-2 window_monthly_growth
+    slot could merge in here without losing lag/growth hash evidence
+    (and at the per-key grain, which is the shape that actually
+    stresses a cluster — a months-grain lag runs on ~80 rows). Explicit
+    ROWS frame + unique-key tiebreak keep the cumulative deterministic;
+    exact decimal keeps it partition-order-independent."""
     orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price = dec("o_totalprice")
     return orders.select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        F.sum(price).over(w).cast("double").alias("running_total"),
+        (price - F.lag(price).over(order)).cast("double").alias("order_growth"),
     )
-
-
-@query(
-    "window_monthly_growth",
-    oracle=f"""
-    WITH monthly AS (
-      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS year,
-             CAST(month(o.o_orderdate) AS INTEGER) AS month,
-             CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      GROUP BY 1, 2
-    )
-    SELECT year, month, revenue,
-           revenue - lag(revenue) OVER (ORDER BY year, month) AS growth
-    FROM monthly
-    ORDER BY year, month
-    """,
-)
-def window_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Month-over-month revenue growth: lag over the (tiny) monthly
-    aggregate. The single-partition window is safe because it runs on
-    |months| rows, not the fact."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    monthly = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
-        )
-        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
-    )
-    w = Window.orderBy("year", "month")
-    return monthly.select(
-        "year",
-        "month",
-        "revenue",
-        (F.col("revenue") - F.lag("revenue").over(w)).alias("growth"),
-    ).orderBy("year", "month")

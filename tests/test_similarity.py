@@ -127,3 +127,87 @@ def test_ivf_queries_share_corpus_codebook(spark, sf_dir):
     for r in out:
         # neighbor shares the query's centroid under the CORPUS codebook
         assert corpus_cent[r.neighbor_id] == corpus_cent[r.query_id]
+
+
+def test_pq_encode_codes_shape_and_determinism(spark, sf_dir):
+    """PQ codes: one int per subspace, each in [0, ks), bit-identical
+    across builds (deterministic first-N-by-id codebooks)."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb, n_sub=4, ks=16)
+    assert len(cbs) == 4 and all(len(cb) == 16 for cb in cbs)
+    assert all(len(c) == 16 for cb in cbs for c in cb)  # 64/4 dims each
+    rows1 = pq_encode(emb, cbs).select("vec_id", "pq_codes").collect()
+    rows2 = pq_encode(emb, cbs).select("vec_id", "pq_codes").collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    for r in rows1:
+        assert len(r.pq_codes) == 4
+        assert all(0 <= c < 16 for c in r.pq_codes)
+
+
+def test_ivfpq_adc_matches_exact_l2_on_codebook_vectors(spark):
+    """When every vector IS a PQ centroid (corpus = the first-ks-by-id
+    codebook source), quantization is lossless: ADC distance equals
+    exact squared L2 shifted by -||q||^2, so the neighbor ORDER must
+    equal the exact-L2 order."""
+    import itertools
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.9, 0.1, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 1.0],
+        3: [0.7, 0.3, 0.1, 0.0],
+    }
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        k=3,
+        n_centroids=1,  # single list: pure ADC ranking, no IVF pruning
+        n_sub=2,
+        ks=4,
+    ).collect()
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+    exact = sorted(
+        (k for k in vecs if k != 0), key=lambda k: (l2(vecs[0], vecs[k]), k)
+    )
+    assert [r.neighbor_id for r in out] == exact
+    # adc_dist ascending and internally consistent
+    dists = [r.adc_dist for r in out]
+    assert dists == sorted(dists)
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    """IVFPQ recall@10 against the exact baseline on driver embeddings:
+    quantized top-k must keep a usable fraction of true neighbors
+    (bounded below — the codebooks are tiny, so this is a sanity floor,
+    not a quality benchmark)."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = ivfpq_topk(emb, queries, k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.1

@@ -1,0 +1,60 @@
+"""Repetition-signal tests on hand-computed fixtures (the driver query
+text_repetition_signals hash-verifies the same pipeline against DuckDB
+on the documents table; these pin the arithmetic to known answers)."""
+
+import pytest
+
+from retail_sales_analysis_etl_bi_project_spark.operators.text import (
+    ngram_array_expr,
+    repetition_signals,
+    tokens_expr,
+)
+
+from pyspark.sql import functions as F
+
+
+def test_ngram_array_expr_known(spark):
+    df = spark.createDataFrame([("a b c d",), ("x",)], "text string")
+    out = df.select(
+        ngram_array_expr(tokens_expr("text"), 2).alias("g2"),
+        ngram_array_expr(tokens_expr("text"), 3).alias("g3"),
+    ).collect()
+    assert out[0].g2 == ["a b", "b c", "c d"]
+    assert out[0].g3 == ["a b c", "b c d"]
+    assert out[1].g2 == []  # shorter than n -> empty, no ANSI slice error
+    assert out[1].g3 == []
+
+
+@pytest.mark.parametrize(
+    "text,n_tokens,distinct,rep,top2,top3",
+    [
+        ("a a a a", 4, 1, 0.75, 3 / 3, 2 / 2),
+        ("a b c d", 4, 4, 0.0, 1 / 3, 1 / 2),
+        ("x y x y x", 5, 2, 0.6, 2 / 4, 2 / 3),
+    ],
+)
+def test_repetition_signals_known(spark, text, n_tokens, distinct, rep, top2, top3):
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = repetition_signals(docs).collect()[0]
+    assert r.n_tokens == n_tokens
+    assert r.distinct_tokens == distinct
+    assert abs(r.repeat_token_frac - rep) < 1e-12
+    assert abs(r.top_2gram_frac - top2) < 1e-12
+    assert abs(r.top_3gram_frac - top3) < 1e-12
+
+
+def test_repetition_signals_boilerplate_scores_high(spark, sf_dir):
+    """A heavily templated doc must out-score natural prose on the
+    repetition fractions — the curation filter's discriminating
+    direction."""
+    docs = spark.createDataFrame(
+        [
+            (0, "click here to subscribe " * 20),
+            (1, "the quick brown fox jumps over a lazy dog near the river bank"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert rows[0].top_2gram_frac > rows[1].top_2gram_frac
+    assert rows[0].top_3gram_frac > rows[1].top_3gram_frac
+    assert rows[0].repeat_token_frac > rows[1].repeat_token_frac
