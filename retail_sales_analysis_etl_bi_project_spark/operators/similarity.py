@@ -387,7 +387,17 @@ def ivfpq_topk(
     element lookups, left-associated adds matching the oracle's
     parenthesization exactly, so the hash check covers the arithmetic."""
     assigned, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)
-    cbs = pq_codebooks(corpus, n_sub, ks, id_col, vec_col)
+    if ks <= n_centroids:
+        # Both codebooks init from the first-N-by-id convention, so the
+        # first ks coarse centroids ARE the PQ training vectors — slice
+        # them instead of running a second orderBy/limit/collect job
+        # over the corpus.
+        sub = len(cb[0]) // n_sub
+        cbs = [
+            [v[m * sub : (m + 1) * sub] for v in cb[:ks]] for m in range(n_sub)
+        ]
+    else:
+        cbs = pq_codebooks(corpus, n_sub, ks, id_col, vec_col)
     sub = len(cbs[0][0])
     c = pq_encode(assigned, cbs, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id", "pq_codes"

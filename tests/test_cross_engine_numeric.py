@@ -183,3 +183,48 @@ def test_temperature_sample_thresholds_match_duckdb(spark):
             ).fetchall()
         ]
         assert got == want
+
+
+def test_pq_adc_scores_match_duckdb_on_random_vectors(spark):
+    """The PQ/ADC score (c.c - 2*(v_m . c)) must be bit-identical in
+    Spark (aggregate fold over zip_with) and DuckDB (list_dot_product)
+    on random full-precision doubles — argmin code assignment AND
+    candidate ranking both hang off exact double equality, so a 1-ulp
+    engine divergence would flip ties in the driver hash check."""
+    import random
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+        _dbl,
+        pq_subscores_expr,
+    )
+
+    rng = random.Random(7)
+    dim, sub, ks = 16, 8, 4
+    vecs = [[rng.uniform(-3, 3) for _ in range(dim)] for _ in range(40)]
+    # two subspaces, ks centroids each, drawn from the same distribution
+    cbs = [
+        [[rng.uniform(-3, 3) for _ in range(sub)] for _ in range(ks)]
+        for _ in range(dim // sub)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+    )
+    got = {
+        r.id: (list(r.s0), list(r.s1))
+        for r in df.select(
+            "id",
+            pq_subscores_expr(_dbl("v"), 0, sub, cbs[0]).alias("s0"),
+            pq_subscores_expr(_dbl("v"), 1, sub, cbs[1]).alias("s1"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, v in enumerate(vecs):
+        for m in (0, 1):
+            want = [
+                con.execute(
+                    "SELECT list_dot_product(?, ?) - 2.0*list_dot_product(?, ?)",
+                    [c, c, v[m * sub : (m + 1) * sub], c],
+                ).fetchone()[0]
+                for c in cbs[m]
+            ]
+            assert got[i][m] == want, f"vec {i} subspace {m}: ADC scores diverge"

@@ -53,6 +53,8 @@ def main():
         "dedup_cluster_components",
         "corpus_filter_pipeline",
         "sim_ivf_ann_topk",
+        "sim_ivfpq_adc_topk",
+        "text_repetition_signals",
         "events_sessionization",
     ]
     for name in names:
