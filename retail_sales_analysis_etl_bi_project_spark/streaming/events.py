@@ -127,6 +127,53 @@ def dedup_stream(
     )
 
 
+def interval_join_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    within_sec: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join — the attribution primitive
+    (click -> purchase within the window): each click row joins the
+    same user's purchases with purchase.ts in [click.ts, click.ts +
+    within_sec]. Both sides carry a watermark and the join condition
+    includes the event-time range, which is what lets Spark BOUND the
+    buffered state: a click older than (watermark + within_sec) can
+    never match a future purchase and its state is dropped, so state
+    size is ∝ the event rate inside one watermark horizon, not the
+    stream's history — the only shape a stream-stream join survives at
+    100 TB/day. Equality on ``key`` keeps the join hash-partitioned
+    (no broadcast, no cross product); the range predicate is a post-
+    filter on the co-partitioned pairs.
+
+    Batch twin: the identical join predicate on the static table
+    (tests/test_streaming.py asserts row-for-row equality)."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col(key),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col(key).alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    cond = (
+        (c[key] == p["p_user"])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {within_sec} SECONDS"))
+    )
+    return c.join(p, cond, "inner").drop("p_user")
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,

@@ -111,3 +111,35 @@ def test_stream_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
     # restart: same source, same checkpoint -> no double-commit
     write_stream_parquet(read_events_stream(spark, sf_dir), out, ckpt)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (click->purchase attribution within
+    1h, watermarks both sides) == the identical batch join, row for
+    row. availableNow drains the file source, so no row is lost to the
+    watermark (all data arrives before the final trigger's barrier)."""
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+    from retail_sales_analysis_etl_bi_project_spark.streaming.events import (
+        interval_join_streams,
+    )
+
+    def sides(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    got = run_to_memory(
+        spark,
+        interval_join_streams(*sides(read_events_stream(spark, sf_dir))),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    clicks, purchases = sides(load_table(spark, sf_dir, "events"))
+    # same builder on static frames: withWatermark is a no-op in batch,
+    # so this IS the batch twin of the exact same join predicate
+    batch = interval_join_streams(clicks, purchases)
+    g = sorted((r.click_id, r.purchase_id) for r in got.collect())
+    b = sorted((r.click_id, r.purchase_id) for r in batch.collect())
+    assert g == b
+    assert g, "no click->purchase pair within 1h: fixture too sparse"
