@@ -58,3 +58,49 @@ def test_repetition_signals_boilerplate_scores_high(spark, sf_dir):
     assert rows[0].top_2gram_frac > rows[1].top_2gram_frac
     assert rows[0].top_3gram_frac > rows[1].top_3gram_frac
     assert rows[0].repeat_token_frac > rows[1].repeat_token_frac
+
+
+def test_repetition_signals_match_python_reference_on_random_docs(spark):
+    """One batched run over ~120 random docs (multi-space, tabs, edge
+    whitespace, heavy repetition) must equal a pure-Python reference —
+    guards the tokenizer/n-gram/agg pipeline off the clean-corpus happy
+    path the driver oracle exercises."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(31337)
+    vocab = ["a", "bb", "ccc", "the", "of", "x1", "€", "a-b"]
+    docs = []
+    for i in range(120):
+        n = rng.randint(2, 40)
+        words = [rng.choice(vocab) for _ in range(n)]
+        sep = rng.choice([" ", "  ", "\t", " \t "])
+        text = sep.join(words)
+        if rng.random() < 0.3:
+            text = " " + text + "  "
+        docs.append((i, text))
+    got = {
+        r.doc_id: r
+        for r in __import__(
+            "retail_sales_analysis_etl_bi_project_spark.operators.text",
+            fromlist=["repetition_signals"],
+        )
+        .repetition_signals(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        )
+        .collect()
+    }
+    for i, text in docs:
+        toks = text.strip().split()
+        g2 = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        g3 = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        assert r.distinct_tokens == len(set(toks))
+        assert abs(r.repeat_token_frac - (1.0 - len(set(toks)) / len(toks))) < 1e-12
+        if g2:
+            top2 = Counter(g2).most_common(1)[0][1]
+            assert abs(r.top_2gram_frac - top2 / len(g2)) < 1e-12
+        if g3:
+            top3 = Counter(g3).most_common(1)[0][1]
+            assert abs(r.top_3gram_frac - top3 / len(g3)) < 1e-12
