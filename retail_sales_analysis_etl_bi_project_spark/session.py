@@ -63,15 +63,21 @@ def get_spark(
 
 
 def ensure_nanos_as_long(spark: SparkSession) -> None:
-    """Engine-wide policy: parquet TIMESTAMP(NANOS) columns (events.ts in
-    the driver testdata) are read as raw nanos longs and truncated to
-    microsecond timestamps by the loader (sources/tables.py) — the value
-    DuckDB produces for the same file.
+    """Spark 3.x-only shim: parquet TIMESTAMP(NANOS) columns (events.ts
+    in the driver testdata) can only be read on 3.x via the
+    ``nanosAsLong`` legacy conf, which surfaces them as raw nanos longs;
+    the loader (sources/tables.py) then truncates to microsecond
+    timestamps — the value DuckDB produces for the same file.
 
-    This is the ONLY place the conf is mutated. Loaders call this helper
-    (rather than ``spark.conf.set`` inline) so sessions built outside
-    ``get_spark`` — e.g. the driver's vanilla session — behave
-    identically, and the policy stays greppable in one location."""
+    Spark 4.x REMOVED this conf (setting it is a silent no-op) and reads
+    TIMESTAMP(NANOS) natively, truncated to identical microsecond
+    values, so this helper is skipped there entirely. The loader does
+    NOT assume this conf worked: it branches on the scanned dtype.
+
+    This is the ONLY place the conf is mutated, so the policy stays
+    greppable in one location."""
+    if int(spark.version.split(".")[0]) >= 4:
+        return
     key = "spark.sql.legacy.parquet.nanosAsLong"
     if spark.conf.get(key, "false") != "true":
         spark.conf.set(key, "true")

@@ -38,21 +38,56 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one parquet table. Explicit per-table path (no glob)
     so partition discovery cost is zero and pruning is trivial.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default; we read it as raw nanos (legacy conf) and
-    truncate to a proper microsecond timestamp — the same value DuckDB
-    produces when it reads the file."""
-    if name == "events":
-        from pyspark.sql import functions as F
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS). How Spark
+    surfaces that differs by major version, so we normalise it to a
+    microsecond ``TimestampType`` by branching on the *actual* scanned
+    dtype rather than assuming a conf took effect:
 
+    - Spark 3.x + ``spark.sql.legacy.parquet.nanosAsLong=true``: the
+      column arrives as a raw nanos ``LongType`` → truncate to micros
+      and re-type (``timestamp_micros``).
+    - Spark 4.x (conf removed, silently ignored): the column arrives
+      natively as ``TimestampNTZType`` (or ``TimestampType`` when
+      ``spark.sql.parquet.inferTimestampNTZ.enabled=false``), already
+      truncated to identical microsecond values. NTZ wall-clocks are
+      anchored as UTC instants via ``from_utc_timestamp(cast(ts),
+      current_timezone())`` — the cast's session-tz offset and the
+      from_utc shift cancel, so the instant equals wall-clock-as-UTC
+      under ANY session timezone (probe-verified UTC/NY/Tokyo) and a
+      driver session with a non-UTC timezone still hashes equal to the
+      nanos-long path.
+
+    All three arms yield the same instants DuckDB produces for the
+    same file (verified in tests/test_sources.py)."""
+    if name == "events":
         from ..session import ensure_nanos_as_long
 
-        ensure_nanos_as_long(spark)
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-        )
+        ensure_nanos_as_long(spark)  # no-op on Spark 4.x
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalise ``events.ts`` to a microsecond ``TimestampType`` from
+    whichever shape the parquet scan produced (see load_table docstring).
+    Branches on the actual dtype so a Spark upgrade that changes scan
+    behavior degrades to a visible test failure, not a broken plan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        ts_col = F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    elif isinstance(ts_type, TimestampNTZType):
+        # instant := wall-clock-as-UTC, independent of session timezone:
+        # the implicit NTZ->TZ cast applies +offset(session) and
+        # from_utc_timestamp applies -offset(session); they cancel.
+        ts_col = F.expr(
+            "from_utc_timestamp(CAST(ts AS TIMESTAMP), current_timezone())"
+        )
+    else:  # already TimestampType — parquet micros read natively
+        return df
+    return df.withColumn("ts", ts_col)
 
 
 def load_tables(

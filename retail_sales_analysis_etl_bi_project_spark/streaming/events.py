@@ -33,14 +33,29 @@ def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source stream over the events parquet (tests / local dev).
-    The nanos timestamp issue (sources/tables.py) is avoided by reading
-    through an explicit schema with ts as long nanos, then converting."""
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); what a user-supplied
+    schema yields differs by Spark major version (same boundary as the
+    batch loader, sources/tables.py). We probe the BATCH scan dtype once
+    (footer-only, no data read) and pick the matching streaming schema:
+
+    - batch scan says LongType (Spark 3.x + nanosAsLong conf): read
+      ``ts bigint`` = raw nanos, truncate to micros.
+    - otherwise (Spark 4.x, native nanos support): read ``ts
+      timestamp`` directly — the source hands back the same truncated
+      microsecond instants as the batch loader (probe-verified equal to
+      DuckDB on the same file)."""
+    from pyspark.sql.types import LongType
+
     from ..session import ensure_nanos_as_long
 
-    ensure_nanos_as_long(spark)
+    ensure_nanos_as_long(spark)  # no-op on Spark 4.x
+    batch_ts = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    nanos_long = isinstance(batch_ts, LongType)
+    ts_field = "ts bigint" if nanos_long else "ts timestamp"
     raw = (
         spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            f"event_id bigint, {ts_field}, user_id bigint, event_type string, "
             "value double, props string"
         )
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -48,7 +63,11 @@ def read_events_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    if nanos_long:
+        raw = raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    return raw
 
 
 def tumbling_hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -1,0 +1,109 @@
+"""Loader regression tests — the events.ts dtype matrix.
+
+The driver testdata writes ``events.ts`` as parquet TIMESTAMP(NANOS),
+whose scanned dtype changed across the Spark 3.x -> 4.x boundary (the
+``nanosAsLong`` legacy conf was removed in 4.x). These tests are the
+canary: if a future environment bump changes the scan shape again, this
+file fails in seconds instead of the driver's full correctness suite
+erroring wholesale (which is exactly what happened in round 4).
+"""
+
+import datetime
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from retail_sales_analysis_etl_bi_project_spark.sources.tables import (
+    load_table,
+    normalize_events_ts,
+)
+
+EXPECTED_MIN = datetime.datetime(2024, 1, 1, 0, 9, 58, 778549)
+EXPECTED_MAX = datetime.datetime(2024, 1, 30, 23, 26, 16, 220708)
+
+
+def test_events_loads_as_timestamp_with_known_range(spark, sf_dir):
+    """Environment canary: events loads, ts is a (tz) TimestampType, and
+    min/max match the values DuckDB reads from the identical file."""
+    events = load_table(spark, sf_dir, "events")
+    assert isinstance(events.schema["ts"].dataType, TimestampType)
+    row = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    assert row["n"] == 1000
+    assert row["lo"] == EXPECTED_MIN
+    assert row["hi"] == EXPECTED_MAX
+    lo, hi = duckdb.sql(
+        f"SELECT min(ts), max(ts) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    assert row["lo"] == lo and row["hi"] == hi
+
+
+def test_normalize_long_arm_truncates_nanos_to_micros(spark):
+    """Spark 3.x shape: raw nanos long -> micros timestamp."""
+    nanos = 1_704_067_200_123_456_789  # 2024-01-01T00:00:00.123456789Z
+    df = spark.createDataFrame(
+        [(nanos,)], StructType([StructField("ts", LongType())])
+    )
+    out = normalize_events_ts(df)
+    assert isinstance(out.schema["ts"].dataType, TimestampType)
+    assert out.collect()[0]["ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+
+
+def test_normalize_ntz_arm_anchors_wall_clock_as_utc(spark):
+    """Spark 4.x vanilla-session shape: timestamp_ntz wall clock becomes
+    the UTC instant — under ANY session timezone. The implicit NTZ->TZ
+    cast shifts by the session offset and from_utc_timestamp shifts it
+    back, so a driver session with a non-UTC timezone produces the same
+    instants (and therefore the same hashes) as a UTC one.
+
+    collect() renders instants via the OS timezone (UTC in this
+    container), so an unchanged naive datetime across session-timezone
+    changes proves the instant didn't move."""
+    wall = datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    df = spark.createDataFrame(
+        [(wall,)], StructType([StructField("ts", TimestampNTZType())])
+    )
+    out = normalize_events_ts(df)
+    assert isinstance(out.schema["ts"].dataType, TimestampType)
+    assert out.collect()[0]["ts"] == wall  # session tz is UTC
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            assert normalize_events_ts(df).collect()[0]["ts"] == wall
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_normalize_timestamp_arm_is_identity(spark, sf_dir):
+    """Spark 4.x with inferTimestampNTZ disabled (our sessions): the scan
+    already yields TimestampType; normalize must not touch it."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not isinstance(df.schema["ts"].dataType, TimestampType):
+        pytest.skip("scan shape is not the TimestampType arm in this env")
+    assert normalize_events_ts(df) is df
+
+
+def test_long_arm_via_parquet_fixture(spark, tmp_path):
+    """End-to-end 3.x simulation: an events.parquet whose ts column IS a
+    long (as the nanosAsLong conf produced) loads through load_table and
+    comes out as the equivalent micros timestamp."""
+    nanos = 1_704_067_200_123_456_789
+    df = spark.createDataFrame(
+        [(1, nanos, 7, "click", 1.5, "{}")],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = load_table(spark, str(tmp_path), "events")
+    assert isinstance(out.schema["ts"].dataType, TimestampType)
+    assert out.collect()[0]["ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
