@@ -91,7 +91,10 @@ def main() -> None:
 
     # warm-up: JVM, codegen, parquet footer cache for every table family,
     # and one Pandas-UDF action so Python worker startup (~2s once per
-    # executor) isn't billed to the first mapInPandas query's first run
+    # executor) isn't billed to the first mapInPandas query's first run.
+    # Per-query try/except: a broken warm-up query must not kill the
+    # bench (round 4 lost ALL measurements to one loader exception).
+    errors: dict[str, str] = {}
     for warm in (
         "q01_top5_products_by_revenue",   # fact/dim parquet footers
         "events_hourly_agg",              # events (nanos-ts path)
@@ -99,7 +102,10 @@ def main() -> None:
         "sim_bruteforce_topk",            # embeddings
         "multimodal_feature_extract",     # Python workers + Arrow
     ):
-        qs[warm](spark, SF_DIR).count()
+        try:
+            qs[warm](spark, SF_DIR).count()
+        except Exception as e:  # noqa: BLE001 — record, keep benching
+            errors[f"warmup:{warm}"] = f"{type(e).__name__}: {e}"[:300]
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -107,35 +113,38 @@ def main() -> None:
         if name not in qs:
             continue
         runs: list[float] = []
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            df = qs[name](spark, SF_DIR)
-            n = (
-                df.count()
-                if name.startswith(COUNT_ONLY_PREFIXES)
-                else len(df.collect())
-            )
-            runs.append(time.perf_counter() - t0)
-            assert n >= 0
+        try:
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                df = qs[name](spark, SF_DIR)
+                n = (
+                    df.count()
+                    if name.startswith(COUNT_ONLY_PREFIXES)
+                    else len(df.collect())
+                )
+                runs.append(time.perf_counter() - t0)
+                assert n >= 0
+        except Exception as e:  # noqa: BLE001 — partial medians > no artifact
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            continue
         med = statistics.median(runs)
         timings[name] = round(med, 3)
         s = sorted(runs)
         iqr = s[(3 * len(s)) // 4] - s[len(s) // 4]
         spreads[name] = round(iqr / med, 2) if med > 0 else 0.0
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "repeats": REPEATS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "repeats": REPEATS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
