@@ -65,9 +65,21 @@ def fixed_point_sum(col: Column | str, scale: int = 6) -> Column:
     """Deterministic cross-engine SUM of a double column: quantize to
     ``scale`` decimal digits in double arithmetic (round of x * 10^scale
     — identical in both engines for every double, see module comment),
-    sum the integer parts exactly (decimal(28,0): no overflow until
-    1e28 micro-units), divide once at the end. SQL twin:
-    fixed_point_sum_sql."""
+    sum the integer parts exactly, divide once at the end. SQL twin:
+    fixed_point_sum_sql.
+
+    Safe domain — two distinct bounds, and the BINDING one is per-value:
+
+    - per-VALUE: quantization is exact only while |x| * 10^scale fits an
+      integer-exact double, i.e. |x| <= 2^53 / 10^scale (~9.0e9 at the
+      default scale 6). Beyond that, round(x * 10^scale) silently loses
+      ulps and both engines deterministically agree on a slightly WRONG
+      quantization. events.value is O(1e3), five orders inside the bound.
+    - per-SUM: the decimal(28,0) accumulator overflows only past 1e28
+      scaled units (~1e22 raw at scale 6) — at 100 TB (~1e11 rows of
+      O(1e3) values = ~1e20 scaled units) still 8 orders of headroom,
+      so the accumulator is never the binding constraint; the per-value
+      2^53 bound is."""
     c = F.col(col) if isinstance(col, str) else col
     factor = float(10**scale)
     return (
@@ -77,7 +89,8 @@ def fixed_point_sum(col: Column | str, scale: int = 6) -> Column:
 
 
 def fixed_point_sum_sql(col: str, scale: int = 6) -> str:
-    """DuckDB twin of fixed_point_sum — same floor/sum/divide sequence."""
+    """DuckDB twin of fixed_point_sum — same round/sum/divide sequence
+    (and the same 2^53/10^scale per-value safe domain)."""
     factor = f"{10**scale}.0"
     return (
         f"CAST(SUM(CAST(ROUND(({col}) * {factor}) AS DECIMAL(28,0))) AS DOUBLE)"

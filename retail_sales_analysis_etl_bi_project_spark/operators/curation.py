@@ -64,7 +64,12 @@ def temperature_sample(
                     * F.col("n")
                     * F.col("w")
                     * F.lit(float(SCALE_M))
-                    / (F.col("sumw") * F.col("c"))
+                    # denominator in DOUBLE: a long*long product wraps
+                    # silently in non-ANSI Spark (while DuckDB widens to
+                    # int128) once sumw*c > 2^63 — reachable at 100 TB
+                    # stratum counts (c~1e12, sumw~1e11 -> 1e23). Both
+                    # engines IEEE-multiply identically in double.
+                    / (F.col("sumw").cast("double") * F.col("c").cast("double"))
                 ),
             ).cast("long"),
         )

@@ -140,7 +140,15 @@ def repetition_signals(
     uniform in documents (never in gram frequency: the per-doc count
     map is at most the doc's own gram count, no global hot key). The
     two gram widths ride ONE explode pipeline (a struct array of
-    (n, grams)), so the text is tokenized and shuffled once."""
+    (n, grams)), so the text is tokenized and shuffled once.
+
+    Contract for degenerate docs: EVERY input doc appears in the output
+    (explode_outer keeps docs whose gram arrays are empty). A doc with
+    <2 tokens has no 2-grams: its top_2gram_frac is NULL (not 0, not a
+    dropped row); likewise top_3gram_frac for <3 tokens, and
+    repeat_token_frac is NULL for an empty doc (0/0). NULL means 'no
+    signal', which downstream quality filters must treat as pass-through
+    rather than silently losing the doc from the corpus."""
     t = tokens_expr(text_col)
     base = docs.select(
         id_col,
@@ -164,13 +172,15 @@ def repetition_signals(
             "n_tokens",
             "distinct_tokens",
             F.col("_s.n").alias("gram_n"),
-            F.explode("_s.grams").alias("gram"),
+            F.explode_outer("_s.grams").alias("gram"),
         )
     )
     counts = grams.groupBy(
         id_col, "n_tokens", "distinct_tokens", "gram_n", "gram"
     ).agg(F.count(F.lit(1)).alias("c"))
-    two, three = F.col("gram_n") == 2, F.col("gram_n") == 3
+    has_gram = F.col("gram").isNotNull()  # explode_outer placeholder rows
+    two = (F.col("gram_n") == 2) & has_gram
+    three = (F.col("gram_n") == 3) & has_gram
     per_doc = counts.groupBy(id_col, "n_tokens", "distinct_tokens").agg(
         F.max(F.when(two, F.col("c"))).alias("top_2gram"),
         F.sum(F.when(two, F.col("c"))).alias("n_2grams"),

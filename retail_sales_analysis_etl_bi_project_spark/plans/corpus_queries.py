@@ -147,7 +147,8 @@ _SAMPLE_FRAC = 0.6
     th AS (SELECT source,
                   CAST(LEAST(CAST(1000000.0 AS DOUBLE),
                              FLOOR(CAST({_SAMPLE_FRAC} AS DOUBLE) * n * w
-                                   * CAST(1000000.0 AS DOUBLE) / (sumw * c)))
+                                   * CAST(1000000.0 AS DOUBLE)
+                                   / (CAST(sumw AS DOUBLE) * CAST(c AS DOUBLE))))
                        AS BIGINT) AS keep_thresh
            FROM wts, tot),
     kept AS (

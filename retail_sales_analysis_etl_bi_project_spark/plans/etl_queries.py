@@ -332,14 +332,20 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared path would let one session's plan-build overwrite a dir
     another session's lazy read is still consuming (plan builders —
     explain tools, bench warm-ups, concurrent drivers — all invoke this
-    function), giving corrupt or empty reads. (The o_totalprice
-    decimal(12,2) cast is cross-engine-safe because money columns are
-    generated with 2 decimals — see functions/money.py.)"""
+    function), giving corrupt or empty reads. Staging dirs are
+    garbage-collected on the NEXT invocation once older than
+    _STAGE_TTL_SEC (a live consumer reads its dir within seconds of
+    plan build; a fresh dir is never touched), so repeated runs — the
+    bench invokes this 5× — no longer accumulate orphan dirs under
+    spark-warehouse. (The o_totalprice decimal(12,2) cast is
+    cross-engine-safe because money columns are generated with 2
+    decimals — see functions/money.py.)"""
     import os
     import uuid
 
     from ..sources.csv import write_staging
 
+    _gc_stale_staging_dirs()
     orders = load_table(spark, sf_dir, "orders")
     staged = orders.select(
         "o_orderkey",
@@ -364,6 +370,37 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("order_date_raw", "d-M-yyyy").alias("order_date"),
         F.col("total_price_raw").cast("decimal(12,2)").cast("double").alias("total_price"),
     )
+
+
+_STAGE_TTL_SEC = 600  # stale-staging grace period (see etl_csv_roundtrip)
+
+
+def _gc_stale_staging_dirs() -> None:
+    """Remove csv_stage_orders_* staging dirs older than _STAGE_TTL_SEC.
+    Age-gated so a CONCURRENT session whose lazy read is still consuming
+    its own (recent) staging dir is never broken; errors are swallowed —
+    GC must not fail the query it rides on."""
+    import os
+    import shutil
+    import time
+
+    warehouse = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", "spark-warehouse"
+    )
+    try:
+        entries = os.listdir(warehouse)
+    except OSError:
+        return
+    cutoff = time.time() - _STAGE_TTL_SEC
+    for d in entries:
+        if not d.startswith("csv_stage_orders_"):
+            continue
+        path = os.path.join(warehouse, d)
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
 
 
 # NOTE: the former etl_theta_and_positive_filters slot was merged into

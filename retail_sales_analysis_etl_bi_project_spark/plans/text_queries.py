@@ -139,19 +139,23 @@ _SQL_TOKS = (
       FROM grams GROUP BY ALL
     ),
     per_doc AS (
-      SELECT doc_id, n_tokens, distinct_tokens,
+      SELECT doc_id,
              CAST(MAX(CASE WHEN gram_n = 2 THEN c END) AS BIGINT) AS top_2gram,
              CAST(SUM(CASE WHEN gram_n = 2 THEN c END) AS BIGINT) AS n_2grams,
              CAST(MAX(CASE WHEN gram_n = 3 THEN c END) AS BIGINT) AS top_3gram,
              CAST(SUM(CASE WHEN gram_n = 3 THEN c END) AS BIGINT) AS n_3grams
-      FROM counts GROUP BY 1, 2, 3
+      FROM counts GROUP BY 1
     )
-    SELECT doc_id, n_tokens, distinct_tokens,
-           1.0 - CAST(distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+    -- LEFT JOIN from base: docs with <2 tokens have no gram rows but
+    -- must still appear, with NULL gram fractions (engine contract)
+    SELECT b.doc_id, b.n_tokens, b.distinct_tokens,
+           CASE WHEN b.n_tokens > 0
+                THEN 1.0 - CAST(b.distinct_tokens AS DOUBLE)
+                           / CAST(b.n_tokens AS DOUBLE) END
              AS repeat_token_frac,
            CAST(top_2gram AS DOUBLE) / CAST(n_2grams AS DOUBLE) AS top_2gram_frac,
            CAST(top_3gram AS DOUBLE) / CAST(n_3grams AS DOUBLE) AS top_3gram_frac
-    FROM per_doc
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
     """,
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -234,7 +234,7 @@ def write_stream_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_or_raise(q, timeout_sec)
 
 
 def run_to_memory(
@@ -256,5 +256,18 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_or_raise(q, timeout_sec)
     return spark.table(table_name)
+
+
+def _await_or_raise(q, timeout_sec: int) -> None:
+    """``awaitTermination(timeout)`` returns False on timeout WITHOUT
+    stopping the query — ignoring that bool leaves a zombie query
+    holding partial sink output and checkpoint locks. Stop it and fail
+    loudly instead; exactly-once sinks make the retry safe."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} exceeded {timeout_sec}s; "
+            "stopped to avoid a leaked query over partial sink output"
+        )

@@ -143,3 +143,25 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     b = sorted((r.click_id, r.purchase_id) for r in batch.collect())
     assert g == b
     assert g, "no click->purchase pair within 1h: fixture too sparse"
+
+
+def test_await_or_raise_stops_zombie_query_on_timeout(spark):
+    """A query that outlives its timeout must be STOPPED and surfaced as
+    an error — awaitTermination's False return was previously ignored,
+    leaking a live query over partial sink output (r3 ADVICE)."""
+    from retail_sales_analysis_etl_bi_project_spark.streaming.events import (
+        _await_or_raise,
+    )
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_rate_zombie")
+        .outputMode("append")
+        .start()
+    )
+    with pytest.raises(TimeoutError):
+        _await_or_raise(q, 1)
+    assert not q.isActive

@@ -104,3 +104,27 @@ def test_repetition_signals_match_python_reference_on_random_docs(spark):
         if g3:
             top3 = Counter(g3).most_common(1)[0][1]
             assert abs(r.top_3gram_frac - top3 / len(g3)) < 1e-12
+
+
+def test_repetition_signals_keeps_short_docs(spark):
+    """Contract: EVERY doc appears in the output. Docs with <2 tokens
+    have no 2-grams -> NULL fractions, never a dropped row (r3 ADVICE:
+    the old explode() silently lost them from the corpus)."""
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, "two words"), (2, ""), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    # 1 token: no grams at all
+    assert rows[0].n_tokens == 1
+    assert rows[0].top_2gram_frac is None and rows[0].top_3gram_frac is None
+    assert rows[0].repeat_token_frac == 0.0
+    # 2 tokens: one 2-gram, no 3-grams
+    assert rows[1].top_2gram_frac == 1.0 and rows[1].top_3gram_frac is None
+    # empty doc: zero tokens, every signal NULL (0/0)
+    assert rows[2].n_tokens == 0
+    assert rows[2].repeat_token_frac is None
+    assert rows[2].top_2gram_frac is None and rows[2].top_3gram_frac is None
+    # normal doc unaffected
+    assert rows[3].top_2gram_frac == 0.5 and rows[3].top_3gram_frac == 1.0
