@@ -55,7 +55,10 @@ def main():
         "sim_ivf_ann_topk",
         "sim_ivfpq_adc_topk",
         "text_repetition_signals",
+        "events_hourly_agg",
         "events_sessionization",
+        "join_asof_last_purchase",
+        "join_range_value_bands",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
