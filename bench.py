@@ -107,6 +107,18 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — record, keep benching
             errors[f"warmup:{warm}"] = f"{type(e).__name__}: {e}"[:300]
 
+    # Environment calibration: median latency of a trivial one-stage
+    # action. Embedded in the artifact so a fleet-wide change in
+    # scheduler/JVM overhead (e.g. the Spark 3.5 -> 4.1 bump tripled
+    # this to ~130ms) is attributable from the artifact itself instead
+    # of reading as a per-query plan regression.
+    cal: list[float] = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        spark.range(1000).count()
+        cal.append(time.perf_counter() - t0)
+    action_overhead_ms = round(statistics.median(cal) * 1000, 1)
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
@@ -140,6 +152,7 @@ def main() -> None:
         "queries": timings,
         "spread": spreads,
         "repeats": REPEATS,
+        "action_overhead_ms": action_overhead_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -34,6 +34,32 @@ def _dbl(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _nested_lit(values: list[list[float]]) -> Column:
+    """One Literal node for a codebook / plane matrix. On Spark 4.x,
+    F.lit(list-of-lists) produces a SINGLE array<array<double>> Literal,
+    which analysis and codegen treat as one constant — versus the
+    unrolled array(array(lit,...),...) tree whose ~n*dim nodes dominated
+    plan-compile time for 16x64 codebooks. Falls back to the unrolled
+    form where nested lit() isn't supported (3.5)."""
+    try:
+        return F.lit([[float(x) for x in row] for row in values])
+    except Exception:  # pragma: no cover — Spark 3.x fallback
+        return F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in values])
+
+
+def _parallelize(df: DataFrame, key: str) -> DataFrame:
+    """Spread the compute-heavy scoring phase across the cluster:
+    embedding corpora often arrive as one or a few parquet files, and a
+    single-file scan is a single task — the per-row cosine/ADC
+    expressions would then evaluate serially at input-file granularity.
+    An explicit hash repartition on the id (explicit numPartitions, so
+    AQE never coalesces it away) costs one tiny shuffle of (id, vector)
+    rows and buys full-width evaluation — the same discipline as
+    minhash_signatures' pre-explode repartition."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array<double> columns. The fold
     order is the array order, so results are deterministic and match any
@@ -65,7 +91,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = _parallelize(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -108,7 +134,7 @@ def centroid_sims_expr(v: Column, codebook: list[list[float]]) -> Column:
     """Per-centroid cosine array against a literal codebook, as a
     transform() loop over one array<array<double>> literal — compact
     codegen (see ivf_assignments)."""
-    cb_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in codebook])
+    cb_lit = _nested_lit(codebook)
     return F.transform(cb_lit, lambda c: cosine_expr(v, c))
 
 
@@ -192,6 +218,9 @@ def kmedians_codebook(
     huge.)"""
     train = emb.filter((F.col(id_col) % train_mod) == 0) if train_mod > 1 else emb
     _, cb = ivf_assignments(train, n_centroids, id_col, vec_col)
+    # assignment expressions are the compute-heavy phase of each Lloyd
+    # round — run them at cluster width, not input-file granularity
+    train = _parallelize(train, id_col)
     dim = len(cb[0])
     for _ in range(iters):
         assigned, _ = ivf_assignments(train, n_centroids, id_col, vec_col, codebook=cb)
@@ -248,6 +277,7 @@ def ivf_topk(
     refine_iters: int = 0,
     nprobe: int = 1,
     train_mod: int = 4,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: queries score only the corpus vectors assigned to their
     ``nprobe`` closest centroids. The probe join is an equi-join on
@@ -257,14 +287,24 @@ def ivf_topk(
     deterministic k-medians iterations (kmedians_codebook) trained on
     the ``id % train_mod == 0`` sample — the full corpus is then
     assigned exactly once; ``nprobe > 1`` trades proportionally more
-    scanning for recall (the standard IVF knob)."""
-    if refine_iters > 0:
+    scanning for recall (the standard IVF knob).
+
+    ``codebook``: pass a previously trained codebook to skip training
+    entirely (refine_iters/train_mod are then ignored). A codebook is a
+    FITTED ARTIFACT — at 100 TB it is trained once and reused by every
+    query batch, never re-derived per query; the plans layer memoizes
+    it per corpus for exactly that reason."""
+    if codebook is not None:
+        cb = codebook
+    elif refine_iters > 0:
         cb = kmedians_codebook(
             corpus, n_centroids, refine_iters, id_col, vec_col, train_mod
         )
-        assigned, _ = ivf_assignments(corpus, n_centroids, id_col, vec_col, codebook=cb)
     else:
-        assigned, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)
+        _, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)
+    assigned, _ = ivf_assignments(
+        _parallelize(corpus, id_col), n_centroids, id_col, vec_col, codebook=cb
+    )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
     )
@@ -332,7 +372,7 @@ def pq_subscores_expr(
     stays hash-verifiable. One transform() loop over a literal
     array<array<double>>: compact codegen, no join, no shuffle."""
     subv = F.slice(vec, m * sub + 1, sub)
-    cb_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    cb_lit = _nested_lit(centroids)
     return F.transform(
         cb_lit, lambda c: dot_expr(c, c) - F.lit(2.0) * dot_expr(subv, c)
     )
@@ -370,6 +410,7 @@ def ivfpq_topk(
     ks: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF+PQ ANN (the FAISS IVFADC shape): coarse IVF restricts each
     query to its centroid's inverted list, and within the list
@@ -385,8 +426,17 @@ def ivfpq_topk(
     while raw vectors never leave their scan; the query side (ids +
     n_sub score tables) broadcasts. Scoring is a fixed chain of
     element lookups, left-associated adds matching the oracle's
-    parenthesization exactly, so the hash check covers the arithmetic."""
-    assigned, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)
+    parenthesization exactly, so the hash check covers the arithmetic.
+
+    ``codebook``: reuse a fitted coarse codebook (see ivf_topk) — the
+    PQ codebooks derive from it by slicing when ks <= n_centroids."""
+    if codebook is not None:
+        cb = codebook
+    else:
+        _, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)
+    assigned, _ = ivf_assignments(
+        _parallelize(corpus, id_col), n_centroids, id_col, vec_col, codebook=cb
+    )
     if ks <= n_centroids:
         # Both codebooks init from the first-N-by-id convention, so the
         # first ks coarse centroids ARE the PQ training vectors — slice
@@ -446,7 +496,7 @@ def lsh_topk(
     signature — each query touches ~|corpus| / 2^n_planes rows."""
     planes = hyperplanes(dim, n_planes, seed)
     sig = signature_expr(vec_col, planes)
-    c = corpus.select(
+    c = _parallelize(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         sig.alias("bucket"),

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
 from retail_sales_analysis_etl_bi_project_spark.streaming.events import (
+    _await_or_raise,
     read_events_stream,
 )
 from retail_sales_analysis_etl_bi_project_spark.streaming.stateful import (
@@ -23,7 +24,7 @@ def test_stateful_user_profile_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q, 120)
     got = spark.table("t_profiles").toPandas()
     # last emission per user carries the final cumulative state
     final = got.groupby("user_id").last()
