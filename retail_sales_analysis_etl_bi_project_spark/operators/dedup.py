@@ -440,12 +440,15 @@ def minhash_dedup_pairs(
     )
     # shingle arrays appear on both sides of the verification join, and
     # Spark computes duplicated join sides twice (no stage reuse — see
-    # _bucket_pairs). That is accepted here: the projection is a cheap
-    # scan-fused tokenize (no shuffle, no 64-hash aggregate), and the
+    # _bucket_pairs). That is accepted here: the projection is a
+    # shuffle-free tokenize (no 64-hash aggregate), and the
     # alternative — an unmanaged .cache() — leaked storage memory
     # across round 1's bench session. Cost ∝ 2 corpus scans, not
-    # candidates².
-    sh = docs.select(
+    # candidates². Repartitioned first so the tokenize runs at cluster
+    # width, not input-file granularity (single-file corpora would
+    # otherwise shingle serially — the minhash_signatures discipline).
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("did"), shingles_expr(F.col(text_col), n).alias("sh")
     )
     return (
@@ -492,7 +495,10 @@ def winnow_fingerprints(
         lambda i: F.array_min(F.slice(hashes, i, window)),
     )
     fps = F.array_sort(F.array_distinct(wins))
-    return docs.select(
+    # gram/hash/window HOF chain is compute-heavy per row — run it at
+    # cluster width (the minhash_signatures discipline)
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"), F.explode(fps).alias("fingerprint")
     )
 

@@ -100,8 +100,16 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, then fingerprint-dedup keeping the lowest doc_id per
     cluster. One scan feeds both the scoring and the contamination
     explode; the only corpus-sized shuffle is the dedup window — at
-    100 TB this stays scan-bound, which is the point."""
-    docs = load_table(spark, sf_dir, "documents")
+    100 TB this stays scan-bound, which is the point.
+
+    The scan is hash-repartitioned up front: the regex scoring and
+    8-gram shingling are the compute-heavy phase, and a single-file
+    corpus would otherwise evaluate them serially at input-file
+    granularity (the minhash_signatures discipline)."""
+    n_parts = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        n_parts, F.col("doc_id")
+    )
     from pyspark.sql.window import Window
 
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
