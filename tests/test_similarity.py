@@ -211,3 +211,27 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
         len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
     ]
     assert sum(recalls) / len(recalls) >= 0.1
+
+
+def test_codebook_cache_matches_retrain(spark, sf_dir):
+    """The plans-layer fitted-artifact cache must be bit-identical to
+    retraining: same corpus + hyperparams -> same codebook, and an
+    ivf_topk run with an explicit codebook equals the train-inside run."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+        ivf_topk,
+        kmedians_codebook,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.plans.similarity_queries import (
+        _corpus_codebook,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cached = _corpus_codebook(spark, sf_dir, refine_iters=2)
+    fresh = kmedians_codebook(emb, 16, 2)
+    assert cached == fresh  # exact float equality — deterministic training
+
+    q = emb.filter(emb.vec_id < 3)
+    via_cache = ivf_topk(emb, q, k=5, n_centroids=16, codebook=cached).collect()
+    via_train = ivf_topk(emb, q, k=5, n_centroids=16, refine_iters=2).collect()
+    assert via_cache == via_train
