@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint_expr, tokens_expr
@@ -462,24 +462,21 @@ def minhash_dedup_pairs(
 
 # ------------------------------------------------- winnowing fingerprints
 
-def winnow_fingerprints(
+def winnow_fingerprints_arrays(
     docs: DataFrame,
     k: int = 3,
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Rolling-hash document fingerprinting by winnowing (the MOSS
-    scheme): hash every ORDERED word k-gram, slide a ``window`` over the
-    hash sequence, keep each window's minimum, emit the distinct minima
-    as the document's fingerprint set. Two documents sharing a long
-    enough passage share a fingerprint regardless of position.
-
-    One row out per (doc, fingerprint) — the inverted-index shape: at
-    100 TB, grouping by fingerprint finds cross-document shared passages
-    with one shuffle, same scale story as exact_dup_groups. All array
-    HOFs + hash60, zero Python; DuckDB replays it exactly
-    (plans/dedup_queries.py)."""
+    """Winnowing, array-HOF form — kept as the SEMANTIC SPEC (it is the
+    literal transcription of the MOSS scheme) and as the DuckDB-oracle
+    twin shape. NOT the scale path: the gram/hash/window arrays live
+    inside ONE row, so a single long document (a 1M-token concatenated
+    crawl page) materializes million-element arrays in one task — use
+    winnow_fingerprints, which bounds per-row state via explode +
+    windowed min. tests/test_dedup.py asserts both forms emit identical
+    fingerprint sets."""
     toks = tokens_expr(F.col(text_col))
     n = F.size(toks)
     # ordered, duplicate-preserving grams (unlike shingles_expr, which
@@ -495,12 +492,78 @@ def winnow_fingerprints(
         lambda i: F.array_min(F.slice(hashes, i, window)),
     )
     fps = F.array_sort(F.array_distinct(wins))
-    # gram/hash/window HOF chain is compute-heavy per row — run it at
-    # cluster width (the minhash_signatures discipline)
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(n_parts, F.col(id_col)).select(
+    return docs.select(
         F.col(id_col).alias("doc_id"), F.explode(fps).alias("fingerprint")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (the MOSS
+    scheme): hash every ORDERED word k-gram, slide a ``window`` over the
+    hash sequence, keep each window's minimum, emit the distinct minima
+    as the document's fingerprint set. Two documents sharing a long
+    enough passage share a fingerprint regardless of position.
+
+    One row out per (doc, fingerprint) — the inverted-index shape: at
+    100 TB, grouping by fingerprint finds cross-document shared passages
+    with one shuffle, same scale story as exact_dup_groups.
+
+    Scale form: tokens are EXPLODED and the k-gram + rolling-min run as
+    window functions over (doc, pos) — codegen-compiled, parallel over
+    docs after one shuffle, and per-row state is O(1) regardless of
+    document length (the array-HOF spec form holds a whole document's
+    gram/hash arrays in one row — see winnow_fingerprints_arrays).
+    Edge semantics match the spec exactly: a doc with fewer than k
+    tokens contributes its single short gram; fewer grams than
+    ``window`` yields one min over all of them; an EMPTY doc emits the
+    hash of the empty string (the spec's slice-of-empty behavior).
+    Identity of the two forms is asserted in tests/test_dedup.py and
+    the DuckDB oracle replays the array form — so the driver hash check
+    covers this plan too."""
+    toks = tokens_expr(F.col(text_col))
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    )
+    tall = base.select(
+        "doc_id", F.posexplode("_toks").alias("_p", "_tok")
+    )  # _p is 0-based
+    wdoc = Window.partitionBy("doc_id").orderBy("_p")
+    n = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    gram_parts = [F.col("_tok")] + [F.lead("_tok", j).over(wdoc) for j in range(1, k)]
+    grams = (
+        tall.withColumn("_n", n)
+        # concat_ws skips NULL leads, so the tail/short-doc gram is the
+        # concat of whatever tokens remain — exactly slice(toks, i, k)
+        .withColumn("_gram", F.concat_ws(" ", *gram_parts))
+        # spec generates grams at positions 1..max(n-k+1, 1) (1-based)
+        .filter(F.col("_p") <= F.greatest(F.col("_n") - k, F.lit(0)))
+        .withColumn("_h", hash60_expr(F.col("_gram")) % P31)
+    )
+    # m grams occupy positions 0..m-1; window minima at 0..max(m-window,0)
+    m = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    wmin = F.min("_h").over(wdoc.rowsBetween(0, window - 1))
+    fps = (
+        grams.withColumn("_m", m)
+        .withColumn("_win", wmin)
+        .filter(F.col("_p") <= F.greatest(F.col("_m") - window, F.lit(0)))
+        .select("doc_id", F.col("_win").alias("fingerprint"))
+        .distinct()
+    )
+    # zero-token docs never reach posexplode; the spec gives them the
+    # fingerprint of the empty string (hash of concat_ws over nothing)
+    empties = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") == 0)
+        .select("doc_id", (hash60_expr(F.lit("")) % P31).alias("fingerprint"))
+    )
+    return fps.unionByName(empties)
 
 
 # --------------------------------------------------------------- simhash

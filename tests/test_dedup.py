@@ -194,3 +194,44 @@ def test_contaminated_ids_planted_overlap(spark):
     )
     got = {r.doc_id for r in contaminated_ids(corpus, bench, n=8).collect()}
     assert got == {1}
+
+
+def test_winnow_window_form_equals_array_spec(spark):
+    """The exploded/window winnowing plan must emit EXACTLY the spec
+    form's fingerprint sets, including the degenerate docs: empty text,
+    fewer tokens than k, fewer grams than the window."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_fingerprints_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "one"),
+            (2, "two words"),
+            (3, "a b c"),            # exactly k tokens -> 1 gram
+            (4, "a b c d e"),        # 3 grams < window=4 -> 1 min
+            (5, "w x y z w x y z w x y z"),  # repeats -> dup minima
+            (6, "the quick brown fox jumps over the lazy dog again and again"),
+        ],
+        "doc_id long, text string",
+    )
+    fast = {(r.doc_id, r.fingerprint) for r in winnow_fingerprints(docs).collect()}
+    spec = {(r.doc_id, r.fingerprint) for r in winnow_fingerprints_arrays(docs).collect()}
+    assert fast == spec
+    assert {d for d, _ in fast} == {0, 1, 2, 3, 4, 5, 6}  # no doc dropped
+
+
+def test_winnow_window_form_equals_array_spec_on_corpus(spark, sf_dir):
+    """Same equivalence on the real documents table."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_fingerprints_arrays,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast = {(r.doc_id, r.fingerprint) for r in winnow_fingerprints(docs).collect()}
+    spec = {(r.doc_id, r.fingerprint) for r in winnow_fingerprints_arrays(docs).collect()}
+    assert fast == spec
