@@ -144,6 +144,15 @@ def main() -> None:
         s = sorted(runs)
         iqr = s[(3 * len(s)) // 4] - s[len(s) // 4]
         spreads[name] = round(iqr / med, 2) if med > 0 else 0.0
+        # measurement hygiene: nudge the JVM to free the previous
+        # query's dead weight (localCheckpoint blocks, broadcast vars —
+        # ContextCleaner only reclaims them after a GC notices the dead
+        # references) OUTSIDE any timed window, so one query's garbage
+        # doesn't surface as GC pauses billed to the next query's runs.
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
