@@ -76,6 +76,9 @@ HEADLINE = [
     "etl_silver_filters",
     "multimodal_feature_extract",
     "events_json_and_moments",
+    "events_variant_stats",
+    "text_top_tokens",
+    "etl_json_roundtrip",
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

@@ -53,9 +53,14 @@ def read_raw_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
 def write_staging(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Silver sink (reference wrote stg_*.csv — etl/etl.py:127-137).
     Parquet by default (columnar, splittable, stats for data skipping);
-    CSV kept for byte-level reference parity."""
+    CSV kept for byte-level reference parity; JSON lines for systems
+    that exchange newline-delimited JSON (each partition writes its own
+    .json part file — splittable line-oriented text, same scale story
+    as CSV)."""
     writer = df.write.mode("overwrite")
     if fmt == "csv":
         writer.option("header", True).csv(path)
+    elif fmt == "json":
+        writer.json(path)
     else:
         writer.parquet(path)
