@@ -73,6 +73,39 @@ def clean_sales(df: DataFrame) -> DataFrame:
     return fill_nulls(df, {"discount_pct": 0.0})
 
 
+def clean_sales_observed(df: DataFrame):
+    """clean_sales with IN-FLIGHT data-quality counters: the reference
+    audits quality with a second aggregation pass (etl/etl.py's count
+    checks; our etl_quality_audit twin), which at 100 TB is a second
+    full scan. ``df.observe`` attaches the counters to the cleaning
+    plan itself — Spark accumulates them DURING whatever action first
+    executes the plan (the silver write), so the audit costs zero extra
+    passes and zero shuffles.
+
+    Returns (cleaned_df, input_obs, output_obs). After the first action
+    on cleaned_df:
+      input_obs.get  -> {'n_raw': rows entering the silver stage}
+      output_obs.get -> {'n_clean': rows surviving all filters,
+                         'n_null_amount': total_amount coercion
+                         failures that survived (audited, not dropped),
+                         'n_discount_filled': discounts null-filled to 0}
+    The drop count is n_raw - n_clean — the reference's headline
+    quality number — derived without ever re-scanning."""
+    from pyspark.sql import Observation
+
+    input_obs = Observation("sales_silver_in")
+    df = df.observe(input_obs, F.count(F.lit(1)).alias("n_raw"))
+    cleaned = clean_sales(df)
+    output_obs = Observation("sales_silver_out")
+    cleaned = cleaned.observe(
+        output_obs,
+        F.count(F.lit(1)).alias("n_clean"),
+        F.count(F.when(F.col("total_amount").isNull(), 1)).alias("n_null_amount"),
+        F.count(F.when(F.col("discount_pct") == 0.0, 1)).alias("n_discount_filled"),
+    )
+    return cleaned, input_obs, output_obs
+
+
 def build_warehouse(
     customers: DataFrame,
     products: DataFrame,

@@ -27,7 +27,7 @@ from .plans.retail_etl import (
     build_warehouse,
     clean_customers,
     clean_products,
-    clean_sales,
+    clean_sales_observed,
     clean_stores,
     save_warehouse,
 )
@@ -100,11 +100,16 @@ def main(argv: list[str] | None = None) -> None:
             for t, df in raw.items()
         }
 
+    # sales silver carries in-flight observe() counters: the staging
+    # write below is the action that fires them, so the quality numbers
+    # in the report come from the SAME scan that wrote silver — no
+    # second audit pass (plans/retail_etl.py clean_sales_observed).
+    sales_clean, sales_obs_in, sales_obs_out = clean_sales_observed(raw["sales"])
     cleaned = {
         "customers": clean_customers(raw["customers"]),
         "products": clean_products(raw["products"]),
         "stores": clean_stores(raw["stores"]),
-        "sales": clean_sales(raw["sales"]),
+        "sales": sales_clean,
     }
     for t, df in cleaned.items():
         write_staging(df, f"{staging_base}/stg_{t}")
@@ -122,6 +127,15 @@ def main(argv: list[str] | None = None) -> None:
             ("products", "product_id"),
             ("stores", "store_id"),
         ],
+    )
+    m_in, m_out = sales_obs_in.get, sales_obs_out.get
+    report += (
+        "\n-- silver in-flight counters (observe, zero extra passes) --\n"
+        f"sales raw rows: {m_in['n_raw']}\n"
+        f"sales clean rows: {m_out['n_clean']} "
+        f"(dropped {m_in['n_raw'] - m_out['n_clean']})\n"
+        f"sales null total_amount kept for audit: {m_out['n_null_amount']}\n"
+        f"sales discounts null-filled to 0: {m_out['n_discount_filled']}\n"
     )
     write_validation_report(report_path, report)
     print(report)
