@@ -165,3 +165,43 @@ def test_await_or_raise_stops_zombie_query_on_timeout(spark):
     with pytest.raises(TimeoutError):
         _await_or_raise(q, 1)
     assert not q.isActive
+
+
+def test_foreachbatch_upsert_matches_batch_last_per_key(spark, sf_dir, tmp_path):
+    """Streaming CDC upsert (foreachBatch) drained over the finite
+    events source must leave the target with exactly the batch
+    latest-row-per-user; a restart with the same checkpoint re-commits
+    nothing (idempotent merge)."""
+    from pyspark.sql import Window as W
+
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+    from retail_sales_analysis_etl_bi_project_spark.streaming.events import (
+        upsert_stream_to_parquet,
+    )
+
+    target, ckpt = str(tmp_path / "profiles"), str(tmp_path / "ckpt")
+    upsert_stream_to_parquet(
+        read_events_stream(spark, sf_dir), target, ckpt, key_cols=("user_id",)
+    )
+    got = spark.read.parquet(target)
+
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").desc()] + [
+        F.col(c).desc() for c in ev.columns if c not in ("user_id", "ts")
+    ]
+    w = W.partitionBy("user_id").orderBy(*order)
+    want = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert g == b
+    assert got.count() == ev.select("user_id").distinct().count()
+
+    # restart: drained source + same checkpoint -> target unchanged
+    upsert_stream_to_parquet(
+        read_events_stream(spark, sf_dir), target, ckpt, key_cols=("user_id",)
+    )
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == b
