@@ -1,19 +1,24 @@
 """Structured Streaming over the events table (north-star extension —
 the reference is batch-only, SURVEY.md §2.8).
 
-Three streaming shapes, each the streaming twin of a batch query in
-plans/events_queries.py so correctness is checkable against the DuckDB
-oracle of the batch form:
+Each shape is the streaming twin of a batch operator, so correctness is
+checkable against the batch form (whose DuckDB oracle the driver
+hash-verifies):
 
-- tumbling_hourly_agg : windowed count/sum with watermark (late data)
-- sliding_type_counts : sliding window counts per event_type
-- session_windows     : native session windows (F.session_window) with
-                        the same 30-min gap as the batch sessionizer
+- tumbling_hourly_agg     : windowed count/sum with watermark (late data)
+- sliding_type_counts     : sliding window counts per event_type
+- session_windows         : native session windows (F.session_window),
+                            same 30-min gap as the batch sessionizer
+- dedup_stream            : dropDuplicatesWithinWatermark ingest guard
+- interval_join_streams   : stream-stream interval join (attribution)
+- enrich_stream           : stream-static broadcast dim join
+- write_stream_parquet    : checkpointed exactly-once file sink
+- upsert_stream_to_parquet: foreachBatch CDC upsert (streaming MERGE)
 
 All take any streaming DataFrame with the events schema; tests feed
 them from parquet via ``readStream`` (file source) and collect with a
 memory sink. In production the source would be Kafka/Kinesis — the
-plan below is source-agnostic.
+plans below are source-agnostic.
 """
 
 from __future__ import annotations
