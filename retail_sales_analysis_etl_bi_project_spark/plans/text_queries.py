@@ -199,7 +199,13 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     are combined before they move. The top-20 is orderBy+limit, which
     Spark plans as TakeOrderedAndProject: each partition ships only its
     own top 20, no global sort. Ties broken by token text so the LIMIT
-    is deterministic and hash-comparable."""
+    is deterministic and hash-comparable.
+
+    When the token vocabulary itself outgrows a comfortable shuffle
+    (web-scale corpora: billions of distinct tokens), swap the exact
+    groupBy for Spark 4's approx_top_k sketch — fixed-size state,
+    map-side mergeable; tests/test_agg_approx.py pins the sketch to
+    this exact query's results at test scale."""
     from ..operators.text import tokens_expr
 
     docs = load_table(spark, sf_dir, "documents")

@@ -47,3 +47,37 @@ def test_approx_count_distinct_close_to_exact(spark, sf_dir):
     for prio, n in exact.items():
         rel = abs(approx[prio] - n) / max(n, 1)
         assert rel < 0.05, f"{prio}: rel err {rel} (approx {approx[prio]} vs {n})"
+
+
+def test_approx_top_k_agrees_with_exact_heavy_hitters(spark, sf_dir):
+    """Spark 4's approx_top_k sketch vs the exact text_top_tokens query:
+    on test-scale data the sketch is exact for the head of the
+    distribution (its internal map is far larger than the vocabulary),
+    so the top-10 items AND counts must match the exact groupBy — the
+    documented 100 TB form when the token vocabulary outgrows a
+    groupBy's shuffle (sketches merge map-side, fixed size)."""
+    import pytest
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.text import tokens_expr
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+
+    if int(spark.version.split(".")[0]) < 4:
+        pytest.skip("approx_top_k is Spark 4+")
+
+    docs = load_table(spark, sf_dir, "documents")
+    tall = docs.select(F.explode(tokens_expr("text")).alias("tok")).select(
+        F.lower("tok").alias("token")
+    )
+    sketch = tall.selectExpr("approx_top_k(token, 10, 10000) AS top").collect()[0][
+        "top"
+    ]
+    exact = (
+        tall.groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(10)
+        .collect()
+    )
+    got = {(r["item"], r["count"]) for r in sketch}
+    want = {(r["token"], r["count"]) for r in exact}
+    assert got == want
