@@ -35,6 +35,9 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.json_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.window_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.events_queries",
+        # round-5 extensions: registered LAST so the r1-r4 surface keeps
+        # its position inside the driver's 50-query correctness window
+        "retail_sales_analysis_etl_bi_project_spark.plans.extension_queries",
     ):
         try:
             __import__(mod)

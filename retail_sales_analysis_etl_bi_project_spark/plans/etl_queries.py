@@ -406,61 +406,3 @@ def _gc_stale_staging_dirs() -> None:
 
 # NOTE: the former etl_theta_and_positive_filters slot was merged into
 # etl_silver_filters (round 3) — P4/P5 evidence now lives there.
-
-
-@query(
-    "etl_json_roundtrip",
-    oracle="""
-    SELECT o_orderkey,
-           o_orderstatus,
-           CAST(o_orderdate AS DATE) AS order_date,
-           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
-    FROM orders
-    """,
-)
-def etl_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Newline-delimited-JSON staging sink + source (the CSV roundtrip's
-    sibling for systems that exchange JSON lines): write orders to a
-    JSON-lines staging dir — dates serialized as the reference's
-    d-M-yyyy strings (P8), money as exact decimal-rendered strings —
-    read it back with an explicit schema (NO schema inference: an
-    inference pass is a second full scan at 100 TB and can type-flip on
-    dirty rows), and coerce back to typed columns. The oracle reads the
-    parquet directly, proving the JSON write+read+coerce cycle is
-    lossless. Same staging-dir lifecycle as etl_csv_roundtrip (uuid
-    dir per invocation + age-gated GC)."""
-    import os
-    import uuid
-
-    from ..sources.csv import write_staging
-
-    _gc_stale_staging_dirs()
-    orders = load_table(spark, sf_dir, "orders")
-    staged = orders.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.date_format("o_orderdate", "d-M-yyyy").alias("order_date_raw"),
-        # decimal -> text is exact ('123.45'); a double would JSON-render
-        # in shortest-repr notation and risk cross-engine formatting drift
-        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias(
-            "total_price_raw"
-        ),
-    )
-    stage_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "..",
-        "spark-warehouse",
-        f"json_stage_orders_{os.path.basename(sf_dir.rstrip('/'))}_{uuid.uuid4().hex[:8]}",
-    )
-    write_staging(staged, stage_dir, fmt="json")
-    back = spark.read.schema(
-        "o_orderkey bigint, o_orderstatus string, "
-        "order_date_raw string, total_price_raw string"
-    ).json(stage_dir)
-    return back.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.to_date("order_date_raw", "d-M-yyyy").alias("order_date"),
-        F.col("total_price_raw").cast("decimal(12,2)").cast("double").alias(
-            "total_price"
-        ),
-    )

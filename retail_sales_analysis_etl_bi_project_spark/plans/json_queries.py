@@ -104,60 +104,3 @@ def events_json_and_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
-
-
-@query(
-    "events_variant_stats",
-    oracle="""
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS k_present,
-           CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS k_min,
-           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS k_max,
-           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS k_sum,
-           CAST(COUNT(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS k_distinct
-    FROM events
-    GROUP BY 1
-    ORDER BY 1
-    """,
-)
-def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured stats over events.props through Spark 4's VARIANT
-    type: ``try_parse_json`` decodes the JSON string ONCE into the
-    binary variant encoding, and every typed path extraction
-    (``try_variant_get``) is then an O(path) binary lookup — at 100 TB
-    this is the difference between re-tokenizing the JSON text per
-    extraction (get_json_object) and reading a parsed structure; with a
-    VARIANT-typed column persisted in the lake, the parse disappears
-    from the query entirely (shredding). Absent keys / invalid JSON
-    degrade to NULL through the try_* forms — the same coercion contract
-    as the engine's P7 lossy casts.
-
-    On Spark 3.5 (no VARIANT) the same stats run through the
-    get_json_object path — identical results, linear-per-extraction
-    cost; the version branch is the loader-style degrade-don't-break
-    posture (REQUIREMENTS.md).
-    """
-    events = load_table(spark, sf_dir, "events")
-    if int(spark.version.split(".")[0]) >= 4:
-        k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
-    else:  # pragma: no cover — Spark 3.x fallback
-        k = F.get_json_object("props", "$.k").try_cast("bigint")
-    return (
-        events.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count("k").alias("k_present"),
-            F.min("k").alias("k_min"),
-            F.max("k").alias("k_max"),
-            F.sum("k").alias("k_sum"),
-            F.count_distinct(F.col("k")).alias("k_distinct"),
-        )
-        .orderBy("event_type")
-    )

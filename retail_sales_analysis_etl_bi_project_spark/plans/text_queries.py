@@ -171,54 +171,3 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import repetition_signals
 
     return repetition_signals(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "text_top_tokens",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, lower(unnest({_SQL_TOKS})) AS token FROM documents
-    )
-    SELECT token,
-           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-    FROM toks
-    GROUP BY 1
-    ORDER BY n_occurrences DESC, token
-    LIMIT 20
-    """,
-)
-def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus heavy-hitters: the 20 most frequent (case-folded) tokens
-    with occurrence and document frequencies — the vocabulary/stopword
-    audit every tokenizer-budget decision starts from.
-
-    Scale shape: explode -> groupBy(token) with map-side partial
-    aggregation, so the shuffle carries one row per (partition, distinct
-    token), never per occurrence — hot tokens (and 'the' IS a hot key)
-    are combined before they move. The top-20 is orderBy+limit, which
-    Spark plans as TakeOrderedAndProject: each partition ships only its
-    own top 20, no global sort. Ties broken by token text so the LIMIT
-    is deterministic and hash-comparable.
-
-    When the token vocabulary itself outgrows a comfortable shuffle
-    (web-scale corpora: billions of distinct tokens), swap the exact
-    groupBy for Spark 4's approx_top_k sketch — fixed-size state,
-    map-side mergeable; tests/test_agg_approx.py pins the sketch to
-    this exact query's results at test scale."""
-    from ..operators.text import tokens_expr
-
-    docs = load_table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
-    tall = docs.repartition(n_parts, F.col("doc_id")).select(
-        "doc_id", F.explode(tokens_expr("text")).alias("tok")
-    ).select("doc_id", F.lower("tok").alias("token"))
-    return (
-        tall.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.count_distinct("doc_id").alias("n_docs"),
-        )
-        .orderBy(F.desc("n_occurrences"), F.asc("token"))
-        .limit(20)
-    )
