@@ -373,7 +373,7 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STAGE_TTL_SEC = 600  # stale-staging grace period (see etl_csv_roundtrip)
-_STAGE_PREFIXES = ("csv_stage_orders_", "json_stage_orders_")
+_STAGE_PREFIXES = ("csv_stage_orders_", "json_stage_orders_", "orc_stage_orders_")
 
 
 def _gc_stale_staging_dirs() -> None:

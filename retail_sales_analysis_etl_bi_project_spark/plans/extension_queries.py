@@ -187,3 +187,51 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "etl_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+    FROM orders
+    """,
+)
+def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC staging sink + source — the third columnar interchange format
+    next to parquet and the text roundtrips (CSV/JSON): write orders to
+    ORC with TYPED columns (date/decimal survive natively — unlike the
+    text formats there is no string serialization layer to coerce
+    back), read it back, and project. The oracle reads the parquet
+    directly, so the compare proves ORC's type system round-trips
+    date and decimal losslessly through Spark's built-in ORC
+    reader/writer. Same staging lifecycle as the CSV/JSON roundtrips."""
+    import os
+    import uuid
+
+    orders = load_table(spark, sf_dir, "orders")
+    staged = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("total_price_dec"),
+    )
+    stage_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..",
+        "spark-warehouse",
+        f"orc_stage_orders_{os.path.basename(sf_dir.rstrip('/'))}_{uuid.uuid4().hex[:8]}",
+    )
+    _gc_stale_staging_dirs()
+    staged.write.mode("overwrite").orc(stage_dir)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, "
+        "order_date date, total_price_dec decimal(12,2)"
+    ).orc(stage_dir)
+    return back.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "order_date",
+        F.col("total_price_dec").cast("double").alias("total_price"),
+    )
