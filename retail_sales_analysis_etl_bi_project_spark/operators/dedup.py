@@ -220,8 +220,9 @@ def minhash_signatures(
     arrive as few large files, and the explode + 64 hashes/row is the
     compute-heavy phase — it must run at full cluster parallelism, not
     at input-file granularity."""
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    tall = docs.repartition(n_parts, F.col(id_col)).select(
+    from .partitioning import to_cluster_width
+
+    tall = to_cluster_width(docs, id_col).select(
         F.col(id_col).alias("doc_id_"),
         F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
     )
@@ -447,8 +448,9 @@ def minhash_dedup_pairs(
     # candidates². Repartitioned first so the tokenize runs at cluster
     # width, not input-file granularity (single-file corpora would
     # otherwise shingle serially — the minhash_signatures discipline).
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.repartition(n_parts, F.col(id_col)).select(
+    from .partitioning import to_cluster_width
+
+    sh = to_cluster_width(docs, id_col).select(
         F.col(id_col).alias("did"), shingles_expr(F.col(text_col), n).alias("sh")
     )
     return (
@@ -526,9 +528,10 @@ def winnow_fingerprints(
     Identity of the two forms is asserted in tests/test_dedup.py and
     the DuckDB oracle replays the array form — so the driver hash check
     covers this plan too."""
+    from .partitioning import to_cluster_width
+
     toks = tokens_expr(F.col(text_col))
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    base = docs.repartition(n_parts, F.col(id_col)).select(
+    base = to_cluster_width(docs, id_col).select(
         F.col(id_col).alias("doc_id"), toks.alias("_toks")
     )
     tall = base.select(
@@ -556,11 +559,14 @@ def winnow_fingerprints(
         .select("doc_id", F.col("_win").alias("fingerprint"))
         .distinct()
     )
-    # zero-token docs never reach posexplode; the spec gives them the
-    # fingerprint of the empty string (hash of concat_ws over nothing)
+    # zero-token AND NULL-text docs never reach posexplode; the spec
+    # gives both the fingerprint of the empty string (slice of an
+    # empty/NULL token array -> concat_ws '' ). NB: size(NULL) is -1
+    # under non-ANSI Spark, so a plain == 0 filter would silently drop
+    # NULL-text docs and diverge from the array-form oracle.
     empties = (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
-        .filter(F.size("_toks") == 0)
+        .filter(F.coalesce(F.size("_toks"), F.lit(0)) <= 0)
         .select("doc_id", (hash60_expr(F.lit("")) % P31).alias("fingerprint"))
     )
     return fps.unionByName(empties)
@@ -610,8 +616,9 @@ def simhash_signatures(
     Docs with no tokens produce no row (nothing to hash).
     Repartitioned by id for the same reason as minhash_signatures."""
     assert bits <= 60  # hash60 supplies 60 DuckDB-verifiable bits
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    tall = docs.repartition(n_parts, F.col(id_col)).select(
+    from .partitioning import to_cluster_width
+
+    tall = to_cluster_width(docs, id_col).select(
         F.col(id_col).alias("doc_id_"),
         F.explode(tokens_expr(F.col(text_col))).alias("tok"),
     ).select("doc_id_", hash60_expr("tok").alias("h"))

@@ -59,6 +59,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 12,
+    early_exit: bool = True,
 ) -> DataFrame:
     """Cluster the undirected graph given by ``pairs`` (one row per
     edge). Returns one row per node that appears in any edge:
@@ -68,7 +69,14 @@ def connected_components(
     ~2*log2(component size) rounds suffice (12 covers anything a real
     dedup graph produces), and the label-sum convergence certificate
     exits the loop at the actual diameter — typically 2-3 rounds on a
-    dedup graph — instead of paying the bound every time."""
+    dedup graph — instead of paying the bound every time.
+
+    ``early_exit=True`` runs one scalar Spark ACTION per round at
+    plan-BUILD time (the certificate is data-dependent — no lazy plan
+    can decide its own round count). Callers that must stay
+    build-time-lazy — plan-inspection tooling, a harness that builds
+    every plan before running any — pass ``early_exit=False`` to get
+    the fixed-round fully-lazy form instead."""
     e = pairs.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     )
@@ -112,10 +120,11 @@ def connected_components(
         # early exit: labels only ever decrease, so an unchanged sum
         # proves a fixed point (see module docstring). The action also
         # materializes this round's checkpoint, so nothing runs twice.
-        cur_sum = _sum_labels(labels)
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if early_exit:
+            cur_sum = _sum_labels(labels)
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     w = Window.partitionBy("cluster_id")
     return (
         labels.select(

@@ -48,16 +48,11 @@ def _nested_lit(values: list[list[float]]) -> Column:
 
 
 def _parallelize(df: DataFrame, key: str) -> DataFrame:
-    """Spread the compute-heavy scoring phase across the cluster:
-    embedding corpora often arrive as one or a few parquet files, and a
-    single-file scan is a single task — the per-row cosine/ADC
-    expressions would then evaluate serially at input-file granularity.
-    An explicit hash repartition on the id (explicit numPartitions, so
-    AQE never coalesces it away) costs one tiny shuffle of (id, vector)
-    rows and buys full-width evaluation — the same discipline as
-    minhash_signatures' pre-explode repartition."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, F.col(key))
+    """Alias of operators.partitioning.to_cluster_width — see there
+    for the rationale and tradeoffs (single shared definition)."""
+    from .partitioning import to_cluster_width
+
+    return to_cluster_width(df, key)
 
 
 def dot_expr(a: Column, b: Column) -> Column:

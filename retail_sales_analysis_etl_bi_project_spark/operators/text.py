@@ -151,10 +151,10 @@ def repetition_signals(
     rather than silently losing the doc from the corpus."""
     t = tokens_expr(text_col)
     # tokenize + n-gram construction is the compute-heavy phase; run it
-    # at cluster width, not input-file granularity (single-file corpora
-    # scan as ONE task — the minhash_signatures discipline)
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(n_parts, F.col(id_col))
+    # at cluster width, not input-file granularity
+    from .partitioning import to_cluster_width
+
+    docs = to_cluster_width(docs, id_col)
     base = docs.select(
         id_col,
         F.size(t).cast("bigint").alias("n_tokens"),

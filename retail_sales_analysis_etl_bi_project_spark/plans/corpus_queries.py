@@ -106,10 +106,9 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-gram shingling are the compute-heavy phase, and a single-file
     corpus would otherwise evaluate them serially at input-file
     granularity (the minhash_signatures discipline)."""
-    n_parts = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        n_parts, F.col("doc_id")
-    )
+    from ..operators.partitioning import to_cluster_width
+
+    docs = to_cluster_width(load_table(spark, sf_dir, "documents"), "doc_id")
     from pyspark.sql.window import Window
 
     is_bench = F.col("doc_id") % _BENCH_MOD == 0

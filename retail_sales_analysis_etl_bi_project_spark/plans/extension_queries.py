@@ -11,6 +11,7 @@ Contents:
 - text_top_tokens     : corpus heavy-hitters (exact, full oracle)
 - etl_json_roundtrip  : JSON-lines staging sink/source roundtrip
 - events_variant_stats: Spark 4 VARIANT typed JSON extraction
+- etl_orc_roundtrip   : typed ORC staging roundtrip
 """
 
 from __future__ import annotations
@@ -58,9 +59,10 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     this exact query's results at test scale."""
     from ..operators.text import tokens_expr
 
+    from ..operators.partitioning import to_cluster_width
+
     docs = load_table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
-    tall = docs.repartition(n_parts, F.col("doc_id")).select(
+    tall = to_cluster_width(docs, "doc_id").select(
         "doc_id", F.explode(tokens_expr("text")).alias("tok")
     ).select("doc_id", F.lower("tok").alias("token"))
     return (

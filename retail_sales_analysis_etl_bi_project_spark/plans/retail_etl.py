@@ -54,6 +54,14 @@ def clean_stores(df: DataFrame) -> DataFrame:
 def clean_sales(df: DataFrame) -> DataFrame:
     """etl/etl.py:86-99: parse d-M-yyyy dayfirst (invalid -> drop),
     coerce numerics (invalid -> NULL), quantity>0, discount null->0."""
+    return fill_nulls(_clean_sales_prefill(df), {"discount_pct": 0.0})
+
+
+def _clean_sales_prefill(df: DataFrame) -> DataFrame:
+    """clean_sales minus the final discount null-fill — split out so the
+    observed variant can count the to-be-filled nulls BEFORE the fill
+    erases them (a post-fill count of 0.0s would also count genuine
+    zero discounts)."""
     df = coerce_date_dayfirst(df, "sales_date")
     df = df.filter(F.col("sales_date").isNotNull())
     df = coerce_numeric(
@@ -69,8 +77,7 @@ def clean_sales(df: DataFrame) -> DataFrame:
             "total_amount": "double",
         },
     )
-    df = df.filter(F.col("quantity") > 0)
-    return fill_nulls(df, {"discount_pct": 0.0})
+    return df.filter(F.col("quantity") > 0)
 
 
 def clean_sales_observed(df: DataFrame):
@@ -95,15 +102,18 @@ def clean_sales_observed(df: DataFrame):
 
     input_obs = Observation("sales_silver_in")
     df = df.observe(input_obs, F.count(F.lit(1)).alias("n_raw"))
-    cleaned = clean_sales(df)
+    pre = _clean_sales_prefill(df)
     output_obs = Observation("sales_silver_out")
-    cleaned = cleaned.observe(
+    # observed BEFORE the null-fill: n_discount_filled counts exactly
+    # the rows the fill will touch — counting 0.0s after the fill would
+    # also count genuine zero discounts (r5 review finding)
+    pre = pre.observe(
         output_obs,
         F.count(F.lit(1)).alias("n_clean"),
         F.count(F.when(F.col("total_amount").isNull(), 1)).alias("n_null_amount"),
-        F.count(F.when(F.col("discount_pct") == 0.0, 1)).alias("n_discount_filled"),
+        F.count(F.when(F.col("discount_pct").isNull(), 1)).alias("n_discount_filled"),
     )
-    return cleaned, input_obs, output_obs
+    return fill_nulls(pre, {"discount_pct": 0.0}), input_obs, output_obs
 
 
 def build_warehouse(

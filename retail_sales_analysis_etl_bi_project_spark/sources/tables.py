@@ -50,12 +50,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       natively as ``TimestampNTZType`` (or ``TimestampType`` when
       ``spark.sql.parquet.inferTimestampNTZ.enabled=false``), already
       truncated to identical microsecond values. NTZ wall-clocks are
-      anchored as UTC instants via ``from_utc_timestamp(cast(ts),
-      current_timezone())`` — the cast's session-tz offset and the
-      from_utc shift cancel, so the instant equals wall-clock-as-UTC
-      under ANY session timezone (probe-verified UTC/NY/Tokyo) and a
-      driver session with a non-UTC timezone still hashes equal to the
-      nanos-long path.
+      anchored as UTC instants via pure CALENDAR-FIELD arithmetic
+      (epoch days * 86400e6 + time-of-day micros -> timestamp_micros):
+      no timezone enters the computation at all, so the instant equals
+      wall-clock-as-UTC under ANY session timezone INCLUDING wall
+      clocks inside a DST gap/overlap of a non-UTC session zone, where
+      an offset-cancellation scheme (cast + from_utc_timestamp) is off
+      by the DST delta (probe-verified: UTC/NY/Tokyo x {DST-gap,
+      DST-overlap, plain} wall clocks).
 
     All three arms yield the same instants DuckDB produces for the
     same file (verified in tests/test_sources.py)."""
@@ -79,11 +81,16 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     if isinstance(ts_type, LongType):
         ts_col = F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
     elif isinstance(ts_type, TimestampNTZType):
-        # instant := wall-clock-as-UTC, independent of session timezone:
-        # the implicit NTZ->TZ cast applies +offset(session) and
-        # from_utc_timestamp applies -offset(session); they cancel.
+        # instant := wall-clock-as-UTC via calendar fields only — no
+        # session-timezone dependence, no DST edge cases (see docstring)
         ts_col = F.expr(
-            "from_utc_timestamp(CAST(ts AS TIMESTAMP), current_timezone())"
+            "timestamp_micros("
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+            " * 86400000000"
+            " + (CAST(hour(ts) AS BIGINT) * 3600"
+            "    + CAST(minute(ts) AS BIGINT) * 60"
+            "    + CAST(second(ts) AS BIGINT)) * 1000000"
+            " + CAST(date_format(ts, 'SSSSSS') AS BIGINT))"
         )
     else:  # already TimestampType — parquet micros read natively
         return df

@@ -293,55 +293,67 @@ def upsert_stream_to_parquet(
     last()), then merges into the target by replacing matched keys and
     appending new ones.
 
-    The merge here is read-union-rewrite on plain parquet (staged to a
-    tmp dir, then swapped in — the target is never half-written, and
-    the batch is materialized BEFORE the swap so the lazy read of the
-    old target is never consumed after its files move). That full
-    rewrite is the honest non-ACID floor; on a table format with
-    transactions the SAME foreachBatch body becomes
-    ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` touching only
-    matched files — swap the body, keep the plan (the Delta arm of
-    upsert_dim shows the exact statement). Checkpointing makes the
-    pipeline exactly-once across restarts: a replayed batch re-merges
-    the same keys idempotently (last-writer-wins on the same data is a
-    no-op), which is the property that lets foreachBatch sinks recover.
+    The merge keeps the GREATEST ``order_col`` row per key across the
+    union of the existing target and the batch — not a blind replace —
+    so a later micro-batch that happens to carry OLDER events for a key
+    (out-of-order files, replays) can never regress the dimension: the
+    target converges to latest-per-key regardless of batch order, which
+    also makes a checkpoint-replayed batch an exact no-op (idempotent
+    recovery). The rewrite lands in a tmp dir, the old target is moved
+    aside to ``<target>_prev``, the tmp is moved in, then ``_prev`` is
+    dropped; a crash between the two moves leaves ``_prev`` on disk and
+    the next invocation RESTORES it before merging, so no committed
+    batch is ever lost. That full rewrite + two-rename protocol is the
+    honest non-ACID floor; on a table format with transactions the SAME
+    foreachBatch body becomes ``MERGE WHEN MATCHED [AND newer] UPDATE
+    WHEN NOT MATCHED INSERT`` touching only matched files (the Delta
+    arm of upsert_dim shows the exact statement).
 
     State story at 100 TB: foreachBatch holds NO streaming state — the
     dedup-within-batch is a bounded per-batch window, and cross-batch
     reconciliation lives in the target table, so nothing accumulates in
     the streaming engine regardless of stream length."""
+    import os
     import shutil
     import uuid
 
     from pyspark.sql import Window
 
     keys = list(key_cols)
+    prev = f"{target}_prev"
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
+    def latest_per_key(df: DataFrame) -> DataFrame:
         order = [F.col(order_col).desc()] + [
-            F.col(c).desc() for c in batch_df.columns if c not in (*keys, order_col)
+            F.col(c).desc() for c in df.columns if c not in (*keys, order_col)
         ]
         w = Window.partitionBy(*keys).orderBy(*order)
-        latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        import os
 
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # crash recovery: a death between the two swap moves leaves the
+        # committed table at _prev and no target — restore before merging
+        if not os.path.exists(target) and os.path.exists(prev):
+            shutil.move(prev, target)
+        latest = latest_per_key(batch_df)
         if os.path.exists(target):
             existing = spark.read.parquet(target)
-            merged = existing.join(
-                latest.select(*keys), on=keys, how="left_anti"
-            ).unionByName(latest)
+            merged = latest_per_key(existing.unionByName(latest))
         else:
             merged = latest
         tmp = f"{target}_tmp_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)  # materialize BEFORE swap
+        if os.path.exists(prev):
+            shutil.rmtree(prev)
         if os.path.exists(target):
-            shutil.rmtree(target)
+            shutil.move(target, prev)
         shutil.move(tmp, target)
+        if os.path.exists(prev):
+            shutil.rmtree(prev)
 
     q = (
         stream_df.writeStream.foreachBatch(merge_batch)

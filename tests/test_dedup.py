@@ -214,13 +214,14 @@ def test_winnow_window_form_equals_array_spec(spark):
             (4, "a b c d e"),        # 3 grams < window=4 -> 1 min
             (5, "w x y z w x y z w x y z"),  # repeats -> dup minima
             (6, "the quick brown fox jumps over the lazy dog again and again"),
+            (7, None),               # NULL text: spec emits hash('')
         ],
         "doc_id long, text string",
     )
     fast = {(r.doc_id, r.fingerprint) for r in winnow_fingerprints(docs).collect()}
     spec = {(r.doc_id, r.fingerprint) for r in winnow_fingerprints_arrays(docs).collect()}
     assert fast == spec
-    assert {d for d, _ in fast} == {0, 1, 2, 3, 4, 5, 6}  # no doc dropped
+    assert {d for d, _ in fast} == {0, 1, 2, 3, 4, 5, 6, 7}  # no doc dropped
 
 
 def test_winnow_window_form_equals_array_spec_on_corpus(spark, sf_dir):

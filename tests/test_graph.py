@@ -77,3 +77,17 @@ def test_isolated_pairs_and_triangle(spark):
     assert got == {10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
     sizes = {r.doc_id: r.cluster_size for r in rows}
     assert sizes == {10: 2, 11: 2, 20: 3, 21: 3, 22: 3}
+
+
+def test_connected_components_lazy_form_matches_early_exit(spark):
+    """early_exit=False (fully lazy, fixed rounds) must produce the same
+    clusters as the certificate-driven early-exit form."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    eager = sorted(map(tuple, connected_components(pairs).collect()))
+    lazy = sorted(
+        map(tuple, connected_components(pairs, early_exit=False).collect())
+    )
+    assert eager == lazy

@@ -97,10 +97,11 @@ def test_clean_sales_observed_counts_in_flight(spark):
             # sales_id, customer_id, product_id, store_id, quantity,
             # sales_date(d-M-yyyy), discount_pct, unit_price, total_amount
             ("1", "10", "20", "30", "2", "5-3-2024", "0.1", "9.99", "19.98"),
-            ("2", "11", "21", "31", "0", "6-3-2024", "0.0", "5.00", "0.00"),   # qty=0 -> dropped
+            ("2", "11", "21", "31", "1", "6-3-2024", "0.0", "5.00", "5.00"),   # GENUINE 0.0, kept
             ("3", "12", "22", "32", "1", "not-a-date", "0.2", "4.00", "4.00"), # bad date -> dropped
             ("4", "13", "23", "33", "3", "7-3-2024", None, "2.00", "6.00"),    # discount filled
             ("5", "14", "24", "34", "1", "8-3-2024", "0.3", "1.00", "oops"),   # amount -> NULL, kept
+            ("6", "15", "25", "35", "0", "9-3-2024", None, "5.00", "0.00"),    # qty=0 -> dropped
         ],
         "sales_id string, customer_id string, product_id string, store_id string, "
         "quantity string, sales_date string, discount_pct string, unit_price string, "
@@ -109,13 +110,16 @@ def test_clean_sales_observed_counts_in_flight(spark):
     cleaned, obs_in, obs_out = clean_sales_observed(raw)
     n_clean_action = cleaned.count()  # the ONE action that fires both observations
 
-    assert obs_in.get == {"n_raw": 5}
+    assert obs_in.get == {"n_raw": 6}
     got = obs_out.get
-    assert n_clean_action == got["n_clean"] == 3
+    assert n_clean_action == got["n_clean"] == 4
     assert got["n_null_amount"] == 1     # 'oops' coerced to NULL, row kept
-    # only row 4's fill survives — the genuine-0.0 row fell to qty=0
+    # ONLY the surviving null (row 4): row 2's genuine 0.0 must NOT be
+    # counted as a fill, and dropped row 6's null never reaches the
+    # counter (observed pre-fill, post-filter — r5 review finding)
     assert got["n_discount_filled"] == 1
     # and the counters equal the re-aggregated truth
     truth = clean_sales(raw)
-    assert truth.count() == 3
+    assert truth.count() == 4
     assert truth.filter("total_amount IS NULL").count() == 1
+    assert truth.filter("discount_pct = 0.0").count() == 2  # genuine + filled

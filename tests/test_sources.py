@@ -68,19 +68,26 @@ def test_normalize_ntz_arm_anchors_wall_clock_as_utc(spark):
     collect() renders instants via the OS timezone (UTC in this
     container), so an unchanged naive datetime across session-timezone
     changes proves the instant didn't move."""
-    wall = datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    walls = [
+        datetime.datetime(2024, 1, 1, 0, 0, 0, 123456),
+        # wall clocks inside America/New_York's DST gap and overlap —
+        # where an offset-cancellation scheme (cast+from_utc_timestamp)
+        # shifts by the DST delta; calendar-field arithmetic must not
+        datetime.datetime(2025, 3, 9, 2, 30, 0, 1),
+        datetime.datetime(2025, 11, 2, 1, 30, 0, 999999),
+    ]
     df = spark.createDataFrame(
-        [(wall,)], StructType([StructField("ts", TimestampNTZType())])
+        [(w,) for w in walls], StructType([StructField("ts", TimestampNTZType())])
     )
     out = normalize_events_ts(df)
     assert isinstance(out.schema["ts"].dataType, TimestampType)
-    assert out.collect()[0]["ts"] == wall  # session tz is UTC
+    assert [r["ts"] for r in out.collect()] == walls  # session tz is UTC
 
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         for tz in ("America/New_York", "Asia/Tokyo"):
             spark.conf.set("spark.sql.session.timeZone", tz)
-            assert normalize_events_ts(df).collect()[0]["ts"] == wall
+            assert [r["ts"] for r in normalize_events_ts(df).collect()] == walls
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
 

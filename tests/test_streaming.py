@@ -205,3 +205,65 @@ def test_foreachbatch_upsert_matches_batch_last_per_key(spark, sf_dir, tmp_path)
         read_events_stream(spark, sf_dir), target, ckpt, key_cols=("user_id",)
     )
     assert sorted(map(tuple, spark.read.parquet(target).collect())) == b
+
+
+def test_foreachbatch_upsert_stale_batch_and_crash_recovery(spark, tmp_path):
+    """(1) A later batch carrying OLDER events for a key must not
+    regress the target (greatest-order merge, not blind replace).
+    (2) A crash between the swap's two moves (target at _prev, no
+    target) is recovered on the next invocation — committed keys
+    survive."""
+    import datetime
+    import shutil
+
+    from retail_sales_analysis_etl_bi_project_spark.streaming.events import (
+        upsert_stream_to_parquet,
+    )
+
+    def mk_events(path, rows):
+        # single FILE named events.parquet (like the driver testdata) —
+        # the stream's pathGlobFilter matches file names, and a
+        # directory full of part-files would match nothing
+        stage = path / "_stage"
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), str(path / "events.parquet"))
+        shutil.rmtree(str(stage))
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    old = datetime.datetime(2024, 1, 1, 6, 0, 0)
+    newer_dir, older_dir = tmp_path / "newer", tmp_path / "older"
+    newer_dir.mkdir(); older_dir.mkdir()
+    mk_events(newer_dir, [(1, t, 1, "click", 5.0, "{}")])
+    mk_events(older_dir, [(2, old, 1, "click", 1.0, "{}"),      # stale for user 1
+                          (3, old, 2, "view", 2.0, "{}")])      # new user 2
+
+    target = str(tmp_path / "profiles")
+    upsert_stream_to_parquet(
+        read_events_stream(spark, str(newer_dir)), target,
+        str(tmp_path / "ck1"), key_cols=("user_id",),
+    )
+    upsert_stream_to_parquet(
+        read_events_stream(spark, str(older_dir)), target,
+        str(tmp_path / "ck2"), key_cols=("user_id",),
+    )
+    rows = {r.user_id: r for r in spark.read.parquet(target).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].ts == t and rows[1].value == 5.0  # stale batch did NOT regress
+    assert rows[2].ts == old
+
+    # simulate a crash between the two swap moves: committed table sits
+    # at _prev, target missing — the next upsert must restore it first
+    shutil.move(target, target + "_prev")
+    third_dir = tmp_path / "third"; third_dir.mkdir()
+    mk_events(third_dir, [(4, t, 3, "buy", 9.0, "{}")])
+    upsert_stream_to_parquet(
+        read_events_stream(spark, str(third_dir)), target,
+        str(tmp_path / "ck3"), key_cols=("user_id",),
+    )
+    rows = {r.user_id: r for r in spark.read.parquet(target).collect()}
+    assert set(rows) == {1, 2, 3}, "crash recovery lost committed keys"
