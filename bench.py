@@ -79,6 +79,7 @@ HEADLINE = [
     "events_variant_stats",
     "text_top_tokens",
     "etl_json_roundtrip",
+    "corpus_split_assignment",
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

@@ -12,6 +12,7 @@ Contents:
 - etl_json_roundtrip  : JSON-lines staging sink/source roundtrip
 - events_variant_stats: Spark 4 VARIANT typed JSON extraction
 - etl_orc_roundtrip   : typed ORC staging roundtrip
+- corpus_split_assignment: deterministic train/val/test hash split
 """
 
 from __future__ import annotations
@@ -236,4 +237,64 @@ def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "order_date",
         F.col("total_price_dec").cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "corpus_split_assignment",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST(list_sum(list_transform(generate_series(1,15),
+               i -> CAST(strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                    << (4*(15-i)))) AS BIGINT) % 1000 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CASE WHEN bucket < 980 THEN 'train'
+                  WHEN bucket < 990 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1) — the split
+    every training-data pipeline needs, done the only way that survives
+    100 TB and reprocessing: a pure function of the document id
+    (hash60(doc_id) % 1000 against integer thresholds), never
+    rand()/sample(). Properties that matter at scale:
+
+    - STABLE: re-running the pipeline, adding machines, or reordering
+      input files never moves a doc across splits (no leakage of val
+      docs into a later training run).
+    - SCAN-FUSED: the assignment is a per-row expression — zero
+      shuffle; the per-(source, split) audit here is one tiny groupBy.
+    - JOINT with dedup: the same hash60 primitive drives dedup and
+      sampling (operators/dedup.py, operators/curation.py), so split
+      membership can be decided before or after dedup with identical
+      results.
+
+    The registered query returns the per-source split counts (the
+    audit a pipeline actually records); the row-level assignment is the
+    obvious projection of the same expression."""
+    from ..operators.dedup import hash60_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash60_expr(F.col("doc_id").cast("string")) % 1000
+    split = (
+        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
     )
