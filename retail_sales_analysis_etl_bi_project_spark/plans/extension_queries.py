@@ -13,6 +13,7 @@ Contents:
 - events_variant_stats: Spark 4 VARIANT typed JSON extraction
 - etl_orc_roundtrip   : typed ORC staging roundtrip
 - corpus_split_assignment: deterministic train/val/test hash split
+- dedup_corpus_after_removal: near-dup removal endpoint (keep representatives)
 """
 
 from __future__ import annotations
@@ -297,4 +298,46 @@ def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "split")
+    )
+
+
+def _dedup_removal_oracle() -> str:
+    from .dedup_queries import _cc_oracle
+
+    return f"""
+    WITH cc_full AS ({_cc_oracle()})
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT doc_id FROM cc_full WHERE doc_id != cluster_id
+    )
+    ORDER BY d.doc_id
+    """
+
+
+@query("dedup_corpus_after_removal", oracle=_dedup_removal_oracle())
+def dedup_corpus_after_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's ENDPOINT: the corpus with near-duplicate
+    non-representatives REMOVED — what a training-data job actually
+    materializes. Composes the full verified chain (shingles ->
+    MinHash signatures -> LSH bands -> exact-Jaccard-verified pairs ->
+    connected components) and keeps, per transitive cluster, only the
+    representative (min doc_id) plus every unclustered doc.
+
+    Scale shape: everything upstream is the already-audited bucketed
+    pipeline; the removal itself is one LEFT ANTI join of the corpus
+    against the (tiny — only clustered non-representatives) drop list,
+    so the final pass is a broadcast anti-join over one corpus scan.
+    Hash-verified end to end against the recursive-CTE closure."""
+    from ..operators.dedup import minhash_dedup_pairs
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.5, num_hashes=64, bands=16)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b", max_iters=4)
+    non_reps = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        docs.join(F.broadcast(non_reps), "doc_id", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     )
