@@ -10,7 +10,11 @@ first-touch page faults) harmless; the reported spread is the
 INTERQUARTILE range over the runs divided by the median — a robust
 dispersion stat that a single outlier run can't inflate — so a
 genuinely unstable timing is visible in the artifact itself while a
-lone GC pause is not mistaken for one.
+lone GC pause is not mistaken for one. Spreads and error detail live
+in BENCH_LOCAL.json (written next to this file); the stdout line
+carries only summary + per-query medians so it fits the driver's
+line capture (r5's fatter line overflowed it and the round's medians
+were lost).
 """
 
 from __future__ import annotations
@@ -158,19 +162,32 @@ def main() -> None:
         except Exception:
             pass
     total = round(sum(timings.values()), 3)
+    # stdout artifact: ONE compact line, summary fields FIRST and the
+    # per-query spread/error detail moved to BENCH_LOCAL.json — the r5
+    # line carried 45 timings + 45 spreads and overflowed the driver's
+    # line capture (BENCH_r05.json "parsed": null), losing the round's
+    # medians. Keeping stdout to summary + timings (~1.7 KB) fits the
+    # capture; the full artifact is always on disk for the judge.
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "spread": spreads,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": REPEATS,
         "action_overhead_ms": action_overhead_ms,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_errors": len(errors),
+        "queries": timings,
     }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    full = dict(out, spread=spreads, errors=errors)
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass  # the stdout line is the contract; the file is best-effort
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -59,7 +59,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 12,
-    early_exit: bool = True,
+    early_exit: bool = False,
 ) -> DataFrame:
     """Cluster the undirected graph given by ``pairs`` (one row per
     edge). Returns one row per node that appears in any edge:
@@ -73,10 +73,12 @@ def connected_components(
 
     ``early_exit=True`` runs one scalar Spark ACTION per round at
     plan-BUILD time (the certificate is data-dependent — no lazy plan
-    can decide its own round count). Callers that must stay
-    build-time-lazy — plan-inspection tooling, a harness that builds
-    every plan before running any — pass ``early_exit=False`` to get
-    the fixed-round fully-lazy form instead."""
+    can decide its own round count). The DEFAULT is the fixed-round
+    fully-lazy form (``early_exit=False``): building a plan never
+    executes jobs, so plan-inspection tooling and build-all-plans-first
+    harnesses are safe by default (r5 ADVICE). Callers opt IN where the
+    round savings are measured — the registered dedup cluster queries
+    pass ``early_exit=True`` (diameter 2-3 vs the 4-round bound)."""
     e = pairs.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     )

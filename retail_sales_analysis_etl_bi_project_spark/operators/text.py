@@ -148,17 +148,26 @@ def repetition_signals(
     dropped row); likewise top_3gram_frac for <3 tokens, and
     repeat_token_frac is NULL for an empty doc (0/0). NULL means 'no
     signal', which downstream quality filters must treat as pass-through
-    rather than silently losing the doc from the corpus."""
+    rather than silently losing the doc from the corpus.
+
+    NULL text is a distinct degenerate case from blank text: the token
+    array is NULL (not empty), so n_tokens/distinct_tokens/all fracs
+    are NULL — matching the DuckDB twin, where len(NULL list) is NULL.
+    The isNotNull guard below keeps that true even under non-ANSI
+    Spark, where a bare size(NULL) would return -1."""
     t = tokens_expr(text_col)
     # tokenize + n-gram construction is the compute-heavy phase; run it
     # at cluster width, not input-file granularity
     from .partitioning import to_cluster_width
 
     docs = to_cluster_width(docs, id_col)
+    guarded_size = lambda c: F.when(  # noqa: E731
+        c.isNotNull(), F.size(c)
+    ).cast("bigint")
     base = docs.select(
         id_col,
-        F.size(t).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(t)).cast("bigint").alias("distinct_tokens"),
+        guarded_size(t).alias("n_tokens"),
+        guarded_size(F.array_distinct(t)).alias("distinct_tokens"),
         F.array(
             *[
                 F.struct(

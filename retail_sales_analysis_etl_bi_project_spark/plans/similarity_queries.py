@@ -187,9 +187,11 @@ def _ivf_oracle(iters: int = 0, nprobe: int = 1, train_mod: int = 4) -> str:
     """
 
 
-@query(
-    "sim_bruteforce_topk",
-    oracle=f"""
+def _bruteforce_oracle() -> str:
+    """DuckDB twin of brute_force_topk — also the ground-truth CTE of
+    the sim_ann_recall audit (plans/extension_queries.py), so it lives
+    in a function rather than inline in the decorator."""
+    return f"""
     WITH scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -204,8 +206,10 @@ def _ivf_oracle(iters: int = 0, nprobe: int = 1, train_mod: int = 4) -> str:
       FROM scored
     ) WHERE rank <= {_K}
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@query("sim_bruteforce_topk", oracle=_bruteforce_oracle())
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ANN baseline: top-10 cosine neighbors for query vectors
     vec_id < 5. Queries broadcast; one corpus scan; per-query top-k via

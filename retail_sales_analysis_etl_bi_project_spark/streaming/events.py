@@ -45,19 +45,32 @@ def read_events_stream(
     (footer-only, no data read) and pick the matching streaming schema:
 
     - batch scan says LongType (Spark 3.x + nanosAsLong conf): read
-      ``ts bigint`` = raw nanos, truncate to micros.
-    - otherwise (Spark 4.x, native nanos support): read ``ts
-      timestamp`` directly — the source hands back the same truncated
-      microsecond instants as the batch loader (probe-verified equal to
-      DuckDB on the same file)."""
-    from pyspark.sql.types import LongType
+      ``ts bigint`` = raw nanos.
+    - batch scan says TimestampNTZType (Spark 4.x default, NTZ
+      inference on): read ``ts timestamp_ntz`` — matching the batch
+      scan's dtype keeps the streamed wall clocks timezone-independent
+      (an LTZ ``ts timestamp`` schema here would shift the instants by
+      the session offset under a non-UTC vanilla driver session).
+    - batch scan says TimestampType (NTZ inference off): read ``ts
+      timestamp`` directly.
+
+    All arms then normalise through the SAME ``normalize_events_ts``
+    the batch loader uses (dtype-branching, DST-proof calendar-field
+    NTZ anchoring), so stream and batch agree under any session
+    timezone."""
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     from ..session import ensure_nanos_as_long
+    from ..sources.tables import normalize_events_ts
 
     ensure_nanos_as_long(spark)  # no-op on Spark 4.x
     batch_ts = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
-    nanos_long = isinstance(batch_ts, LongType)
-    ts_field = "ts bigint" if nanos_long else "ts timestamp"
+    if isinstance(batch_ts, LongType):
+        ts_field = "ts bigint"
+    elif isinstance(batch_ts, TimestampNTZType):
+        ts_field = "ts timestamp_ntz"
+    else:
+        ts_field = "ts timestamp"
     raw = (
         spark.readStream.schema(
             f"event_id bigint, {ts_field}, user_id bigint, event_type string, "
@@ -68,11 +81,7 @@ def read_events_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if nanos_long:
-        raw = raw.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-        )
-    return raw
+    return normalize_events_ts(raw)
 
 
 def tumbling_hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -289,9 +298,10 @@ def upsert_stream_to_parquet(
     """foreachBatch streaming UPSERT — the streaming twin of the batch
     MERGE (operators/dims.py upsert_dim / J6) and the shape every
     CDC-to-dimension pipeline runs: each micro-batch keeps its latest
-    row per key (greatest ``order_col``, arrival-order tie-break via
-    last()), then merges into the target by replacing matched keys and
-    appending new ones.
+    row per key (greatest ``order_col``; ties broken deterministically
+    by a descending sort over the remaining non-key columns, so equal
+    timestamps resolve the same way on every replay), then merges into
+    the target by replacing matched keys and appending new ones.
 
     The merge keeps the GREATEST ``order_col`` row per key across the
     union of the existing target and the batch — not a blind replace —
@@ -333,8 +343,32 @@ def upsert_stream_to_parquet(
             .drop("_rn")
         )
 
+    def reap_stale_tmp_dirs(ttl_sec: int = 600) -> None:
+        # a crash after writing <target>_tmp_<uuid> but before the swap
+        # would otherwise leak the tmp dir forever; age-gated like
+        # _gc_stale_staging_dirs so a concurrent writer's fresh tmp is
+        # never touched, and errors never fail the batch they ride on
+        import time
+
+        parent, base = os.path.dirname(target) or ".", os.path.basename(target)
+        try:
+            entries = os.listdir(parent)
+        except OSError:
+            return
+        cutoff = time.time() - ttl_sec
+        for d in entries:
+            if not d.startswith(f"{base}_tmp_"):
+                continue
+            path = os.path.join(parent, d)
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                continue
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        reap_stale_tmp_dirs()
         # crash recovery: a death between the two swap moves leaves the
         # committed table at _prev and no target — restore before merging
         if not os.path.exists(target) and os.path.exists(prev):

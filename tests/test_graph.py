@@ -80,14 +80,16 @@ def test_isolated_pairs_and_triangle(spark):
 
 
 def test_connected_components_lazy_form_matches_early_exit(spark):
-    """early_exit=False (fully lazy, fixed rounds) must produce the same
-    clusters as the certificate-driven early-exit form."""
+    """early_exit=False (fully lazy, fixed rounds — the DEFAULT, so
+    building a plan never runs jobs) must produce the same clusters as
+    the certificate-driven early-exit form the registered dedup
+    queries opt into."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
         "doc_a long, doc_b long",
     )
-    eager = sorted(map(tuple, connected_components(pairs).collect()))
-    lazy = sorted(
-        map(tuple, connected_components(pairs, early_exit=False).collect())
+    eager = sorted(
+        map(tuple, connected_components(pairs, early_exit=True).collect())
     )
+    lazy = sorted(map(tuple, connected_components(pairs).collect()))
     assert eager == lazy

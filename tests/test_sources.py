@@ -60,10 +60,13 @@ def test_normalize_long_arm_truncates_nanos_to_micros(spark):
 
 def test_normalize_ntz_arm_anchors_wall_clock_as_utc(spark):
     """Spark 4.x vanilla-session shape: timestamp_ntz wall clock becomes
-    the UTC instant — under ANY session timezone. The implicit NTZ->TZ
-    cast shifts by the session offset and from_utc_timestamp shifts it
-    back, so a driver session with a non-UTC timezone produces the same
-    instants (and therefore the same hashes) as a UTC one.
+    the UTC instant — under ANY session timezone. The loader uses pure
+    CALENDAR-FIELD arithmetic (epoch-days * 86400e6 + time-of-day
+    micros -> timestamp_micros): no timezone enters the computation, so
+    a driver session with a non-UTC timezone produces the same instants
+    (and therefore the same hashes) as a UTC one — including for wall
+    clocks inside a DST gap/overlap, where an offset-cancellation
+    scheme (NTZ->TZ cast + from_utc_timestamp) is off by the DST delta.
 
     collect() renders instants via the OS timezone (UTC in this
     container), so an unchanged naive datetime across session-timezone

@@ -111,11 +111,11 @@ def test_repetition_signals_keeps_short_docs(spark):
     have no 2-grams -> NULL fractions, never a dropped row (r3 ADVICE:
     the old explode() silently lost them from the corpus)."""
     docs = spark.createDataFrame(
-        [(0, "solo"), (1, "two words"), (2, ""), (3, "a b c")],
+        [(0, "solo"), (1, "two words"), (2, ""), (3, "a b c"), (4, None)],
         "doc_id long, text string",
     )
     rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
-    assert set(rows) == {0, 1, 2, 3}
+    assert set(rows) == {0, 1, 2, 3, 4}
     # 1 token: no grams at all
     assert rows[0].n_tokens == 1
     assert rows[0].top_2gram_frac is None and rows[0].top_3gram_frac is None
@@ -128,3 +128,9 @@ def test_repetition_signals_keeps_short_docs(spark):
     assert rows[2].top_2gram_frac is None and rows[2].top_3gram_frac is None
     # normal doc unaffected
     assert rows[3].top_2gram_frac == 0.5 and rows[3].top_3gram_frac == 1.0
+    # NULL text: NULL token array, so n_tokens/distinct/fracs are all
+    # NULL (the DuckDB twin's len(NULL)=NULL), NOT -1 (r5 ADVICE: a
+    # bare size(NULL) under non-ANSI Spark would give n_tokens=-1)
+    assert rows[4].n_tokens is None and rows[4].distinct_tokens is None
+    assert rows[4].repeat_token_frac is None
+    assert rows[4].top_2gram_frac is None and rows[4].top_3gram_frac is None

@@ -51,6 +51,7 @@ def main():
         "dedup_hash_groups",
         "dedup_minhash_lsh",
         "dedup_cluster_components",
+        "dedup_corpus_after_removal",
         "corpus_filter_pipeline",
         "sim_ivf_ann_topk",
         "sim_ivfpq_adc_topk",
@@ -66,6 +67,8 @@ def main():
     print(warehouse_pruning_section(spark))
     print()
     print(bucketed_join_section(spark))
+    print()
+    print(aqe_skew_join_section(spark))
 
 
 def warehouse_pruning_section(spark):
@@ -90,6 +93,63 @@ def warehouse_pruning_section(spark):
         .agg(F.sum(F.col("total_amount").cast("decimal(18,2)")).alias("rev"))
     )
     return summarize(f"warehouse_fact_one_month (month_key={month})", q)
+
+
+def aqe_skew_join_section(spark):
+    """Evidence for the 100x skew posture (SCALE.md: AQE-first, manual
+    salting as fallback): run a DELIBERATELY skewed join — 95% of the
+    2M-row left side lands on one key — with AQE skew-join handling on
+    and broadcast disabled (so the skew actually reaches a shuffle
+    join), execute it, and show the FINAL adaptive plan: the runtime
+    evidence is SortMergeJoin(skew=true) over an 'AQEShuffleRead
+    coalesced and skewed' left side, i.e. AQE split the hot partition
+    into advisory-sized sub-reads without any manual salt. The
+    registered skew_salted_revenue_by_segment query proves the manual
+    fallback for the aggregation case AQE does not cover."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {c: spark.conf.get(c, None) for c in tuned}
+    for c, v in tuned.items():
+        spark.conf.set(c, v)
+    try:
+        left = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+        )
+        right = spark.range(0, 200_000).select(
+            (F.col("id") % 50_000).alias("k"), (F.col("id") % 97).alias("w")
+        )
+        agg = left.join(right, "k").groupBy("w").agg(F.sum("v").alias("s"))
+        n = len(agg.collect())  # AQE decides at RUNTIME; must execute
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        marker = re.compile(
+            r"SortMergeJoin\(skew=true\)|AQEShuffleRead|isFinalPlan"
+        )
+        lines = [
+            ln.strip()[:150] for ln in plan.splitlines() if marker.search(ln)
+        ]
+        return (
+            "== aqe_skew_join (2M rows, 95% on one key, broadcast off) ==\n"
+            + "\n".join(lines)
+            + f"\n-- result groups: {n}; skew split by AQE at runtime, no"
+            " manual salt in the plan"
+        )
+    finally:
+        for c, v in old.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
 
 
 def bucketed_join_section(spark):
