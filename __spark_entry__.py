@@ -35,9 +35,10 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.json_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.window_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.events_queries",
-        # round-5 extensions: registered LAST so the r1-r4 surface keeps
+        # round-5/6 extensions: registered LAST so the r1-r4 surface keeps
         # its position inside the driver's 50-query correctness window
         "retail_sales_analysis_etl_bi_project_spark.plans.extension_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.pipeline_queries",
     ):
         try:
             __import__(mod)
@@ -63,6 +64,13 @@ _PAST_WINDOW = (
     "join_semi_active_customers",  # semi twin of etl_quality_audit's anti
     "etl_upsert_dim_date",         # converges to etl_dim_date_build's rows
     "etl_csv_roundtrip",           # staging twin of in-window JSON/ORC roundtrips
+    # r6 rotation — each spilled query is recomputed or mechanism-covered
+    # by an in-window sibling, and all are green in CORRECTNESS_r2-r5:
+    "sim_ivf_multiprobe_topk",     # recomputed inside in-window sim_ann_recall
+    "sim_ivf_kmedians_topk",       # recomputed inside in-window sim_ann_recall
+    "dedup_embedding_cosine",      # recomputed inside in-window dedup_family_recall
+    "events_dedup_first_per_key",  # row_number-first-per-key, as etl_surrogate_keys
+    "window_top3_parts_per_brand",  # rank-over-partition, as stratified_sample/rfm
 )
 
 

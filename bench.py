@@ -84,6 +84,11 @@ HEADLINE = [
     "text_top_tokens",
     "etl_json_roundtrip",
     "corpus_split_assignment",
+    "dedup_substring_spans",
+    "corpus_stratified_sample",
+    "embed_label_centroids",
+    "events_retention_cohorts",
+    "bi_rfm_segmentation",
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

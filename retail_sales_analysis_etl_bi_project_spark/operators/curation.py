@@ -121,3 +121,51 @@ def pack_sequences(
         .cast("long")
         .alias("tok_hi"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    frac: float = 0.1,
+    strata: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic exact-fraction stratified sample: every stratum
+    keeps its ceil(frac * n) lowest documents by hash60(id) — the
+    sampling step of a curation pipeline when the language/source mix
+    must be PRESERVED (plain Bernoulli sampling drifts small strata;
+    temperature_sample deliberately reshapes the mix instead).
+
+    Cross-engine: ranking is by the shared md5-derived hash60 primitive
+    with an id tie-break, and the keep threshold ceil(frac * n) is the
+    same IEEE double product in Spark and DuckDB — no RNG, no float
+    comparisons between engine-specific streams.
+
+    Scale shape (100 TB): one window over (strata) — each stratum is a
+    single shuffle partition, which holds exactly while strata are
+    language x source slices (thousands of strata, each far below a
+    task); a pathological mega-stratum would sub-shard on a salt with
+    per-shard quotas, same discipline as pack_sequences (SCALE.md).
+    """
+    w = Window.partitionBy(*strata).orderBy(
+        hash60_expr(F.col(id_col).cast("string")), id_col
+    )
+    wc = Window.partitionBy(*strata)
+    ranked = docs.select(
+        id_col,
+        *strata,
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_stratum"),
+    )
+    return (
+        ranked.filter(
+            F.col("rn")
+            <= F.ceil(F.lit(float(frac)) * F.col("n_stratum")).cast("bigint")
+        )
+        .select(
+            id_col,
+            *strata,
+            F.col("rn").cast("bigint").alias("rn"),
+            F.col("n_stratum").cast("bigint").alias("n_stratum"),
+        )
+        .orderBy(*strata, "rn")
+    )

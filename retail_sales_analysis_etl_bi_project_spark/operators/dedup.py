@@ -765,3 +765,73 @@ def embedding_lsh_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ----------------------------------------------- exact duplicated spans
+
+
+def positional_grams_expr(text: Column | str, n: int = 8) -> Column:
+    """POSITIONAL word n-grams (one per start offset, repeats kept) —
+    unlike shingles_expr, which is the distinct-set form for Jaccard.
+    Span-level dedup needs every occurrence: the metric is 'what
+    fraction of this document's spans also occur elsewhere', so a span
+    repeated at 5 offsets contributes 5, not 1. Documents shorter than
+    n tokens contribute their full token join as a single span."""
+    toks = tokens_expr(text)
+    k = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the ExactSubstr signal
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022), re-expressed relationally: instead of a suffix
+    array over the concatenated corpus, a span (word n-gram, n=8 — the
+    span length published dedup pipelines use for contamination too) is
+    'duplicated' iff its text occurs in MORE THAN ONE document. Output:
+    one row per doc with n_spans, dup_spans, and dup_frac — the score
+    pipelines threshold on to drop mostly-boilerplate documents.
+
+    Scale shape (100 TB): spans collapse to fixed-width md5 hashes at
+    the scan (the raw text never shuffles); document frequency is a
+    distinct + count groupBy on the hash; the spans->df join keys both
+    sides on gh, so the exchange introduced by the df aggregation is
+    REUSED by the join (co-partitioned); the final per-doc rollup
+    shuffles one fixed-width row per span occurrence. No all-pairs
+    stage anywhere — cost is linear in corpus token count.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(positional_grams_expr(F.col(text_col), n)).alias("gh"),
+    )
+    doc_freq = (
+        grams.select("gh", id_col)
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.col(id_col)).alias("ndocs"))
+    )
+    return (
+        grams.join(doc_freq, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias("dup_spans"),
+        )
+        .select(
+            id_col,
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.col("dup_spans").cast("bigint").alias("dup_spans"),
+            F.round(
+                F.col("dup_spans").cast("double") / F.col("n_spans").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy(id_col)
+    )

@@ -516,3 +516,59 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------- vector-column aggregation
+
+
+def label_centroid_stats(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label embedding-space audit: vector count, centroid L2 norm,
+    and mean per-vector L2 norm. The drift/collapse monitor an embedding
+    pipeline runs per class or per shard — a centroid norm near 0 means
+    the class is isotropic noise; near the mean norm means collapse.
+
+    This is the distributed COLUMN-WISE vector aggregation pattern:
+    posexplode to (label, pos, x) and partial+final aggregate per
+    (label, pos) — 64 fixed-width rows per label move in the shuffle,
+    never whole vectors. Cross-row float sums are NOT order-safe, so
+    every cross-row sum goes through decimal(27,15) (exact, associative
+    — the functions.money discipline); per-row norms are sequential
+    array folds (norm_expr) that any single-threaded oracle reproduces
+    bit-for-bit, and the only cross-engine float ops left (double
+    divide, sqrt, round) are IEEE correctly-rounded in both engines.
+    """
+    vecs = emb.select(F.col(label_col).alias("label"), _dbl(vec_col).alias("v"))
+    comp_sums = (
+        vecs.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(27,15)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label", "pos", (F.col("s").cast("double") / F.col("n")).alias("c")
+        )
+    )
+    centroid_norms = comp_sums.groupBy("label").agg(
+        F.sqrt(
+            F.sum((F.col("c") * F.col("c")).cast("decimal(27,15)")).cast("double")
+        ).alias("centroid_norm")
+    )
+    row_norms = vecs.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (
+            F.sum(norm_expr(F.col("v")).cast("decimal(27,15)")).cast("double")
+        ).alias("sum_norm"),
+    )
+    return (
+        row_norms.join(centroid_norms, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round("centroid_norm", 9).alias("centroid_norm"),
+            F.round(F.col("sum_norm") / F.col("n_vecs"), 9).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,227 @@
+"""Round-6 pipeline queries, registered after extension_queries and
+rotated INTO the driver's first-50 correctness window (see
+__spark_entry__._PAST_WINDOW and COVERAGE.md §"Correctness window
+rotation" — new queries get driver-hash evidence; long-stable spine
+variants spill to the local gate replica).
+
+Contents — the curation / audit surface a training-data pipeline needs
+beyond the round-1-5 families, plus two classic BI analyses the
+reference's dashboard genre implies but its four queries stop short of:
+
+- dedup_substring_spans   : per-doc duplicated 8-gram span fraction
+                            (ExactSubstr signal, relational form)
+- corpus_stratified_sample: deterministic exact-fraction stratified
+                            sample preserving the lang x source mix
+- embed_label_centroids   : per-label centroid norm / mean norm audit
+                            (distributed column-wise vector agg)
+- events_retention_cohorts: first-seen cohort x day-offset retention
+- bi_rfm_segmentation     : RFM quartile segmentation over orders
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.curation import stratified_sample
+from ..operators.dedup import duplicated_span_stats
+from ..operators.similarity import label_centroid_stats
+from ..sources.tables import load_table
+from .registry import query
+from .text_queries import _SQL_TOKS
+from .dedup_queries import _hex60
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t)-7,1)),
+                    i -> md5(array_to_string(t[i:i+7], ' ')))) AS gh
+      FROM toks),
+    df AS (SELECT gh, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY 1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+           ROUND(CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_frac
+    FROM grams JOIN df USING (gh)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span fraction per document (operators.dedup.
+    duplicated_span_stats): the Lee-et-al ExactSubstr signal as a
+    relational plan — positional 8-gram md5 hashes, doc-frequency
+    groupBy, hash-co-partitioned join back, per-doc rollup. The text
+    never shuffles; cost is linear in corpus tokens. Note the DuckDB
+    slice t[i:i+7] is INCLUSIVE (8 tokens) = Spark F.slice(toks, i, 8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, n=8)
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+                 ORDER BY {_hex60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang, source) AS n_stratum
+      FROM documents)
+    SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn,
+           CAST(n_stratum AS BIGINT) AS n_stratum
+    FROM ranked WHERE rn <= CAST(ceil(0.1 * n_stratum) AS BIGINT)
+    ORDER BY lang, source, rn
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-fraction (10%) stratified sample preserving the
+    lang x source mix (operators.curation.stratified_sample):
+    hash60-ranked row_number per stratum against a ceil(frac*n)
+    threshold — deterministic in both engines, no RNG streams."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, frac=0.1)
+
+
+@query(
+    "embed_label_centroids",
+    oracle="""
+    WITH comp AS (
+      SELECT label, unnest(generate_series(0, len(embedding)-1)) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings),
+    sums AS (
+      SELECT label, pos,
+             SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,15))) AS s,
+             COUNT(*) AS n
+      FROM comp GROUP BY 1,2),
+    cent AS (SELECT label, pos, CAST(s AS DOUBLE)/n AS c FROM sums),
+    nrm AS (SELECT label, SUM(CAST(c*c AS DECIMAL(27,15))) AS nsq
+            FROM cent GROUP BY 1),
+    per_row AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[])))
+                           AS DECIMAL(27,15))) AS DOUBLE) AS sum_norm
+      FROM embeddings GROUP BY 1)
+    SELECT r.label, r.n_vecs,
+           ROUND(sqrt(CAST(n.nsq AS DOUBLE)), 9) AS centroid_norm,
+           ROUND(r.sum_norm / r.n_vecs, 9) AS mean_norm
+    FROM per_row r JOIN nrm n ON r.label = n.label
+    ORDER BY r.label
+    """,
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid/norm audit (operators.similarity.
+    label_centroid_stats): posexplode to fixed-width (label, pos, x)
+    rows, decimal-exact partial+final sums, IEEE-only float tail.
+    DuckDB zips the two parallel unnests positionally; its 0-based
+    generate_series matches Spark posexplode's 0-based pos."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_stats(emb)
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH ue AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    coh AS (SELECT user_id, MIN(d) AS cohort_date FROM ue GROUP BY 1)
+    SELECT cohort_date,
+           CAST(date_diff('day', cohort_date, d) AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ue JOIN coh USING (user_id)
+    GROUP BY 1,2 ORDER BY 1,2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-active date,
+    counted per (cohort, day offset). The (user, day) distinct runs
+    first so the cohort join and the final count move one fixed-width
+    row per active user-day, not per event; the cohort side (one row
+    per user) is orders of magnitude below the event stream, so AQE
+    broadcasts it. COUNT(*) over the distinct set replaces
+    COUNT(DISTINCT user) downstream — cheaper and identical. ts
+    instants are the normalized micros from sources.tables (UTC
+    session => DuckDB-equal dates)."""
+    events = load_table(spark, sf_dir, "events")
+    ue = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    coh = ue.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        ue.join(coh, "user_id")
+        .groupBy("cohort_date", F.datediff("d", "cohort_date").cast("bigint").alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+@query(
+    "bi_rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             count(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT *,
+             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM cust)
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE) AS segment_revenue
+    FROM scored GROUP BY 1,2,3 ORDER BY 1,2,3
+    """,
+)
+def bi_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic recency/frequency/
+    monetary quartile scoring behind retail dashboard segment tiles
+    (the reference's q4 buckets on a static balance; RFM derives the
+    buckets from behavior). Monetary sums are decimal-exact; quartiles
+    are ntile(4) with an id tie-break so both engines cut identically.
+
+    Scale note: the input to the windows is the CUSTOMER-grain
+    aggregate — fact-table-compressed by orders of magnitude — but
+    ntile over an unpartitioned window is still a single-task global
+    sort. At 100 TB (≈10^8 customers, 3 ints each — low GBs) that task
+    is heavy but feasible; beyond it, swap ntile for bucketing against
+    broadcast exact-quartile boundaries (two scans, fully parallel) at
+    the cost of ntile's equal-count tie-splitting — documented in
+    SCALE.md §window discipline."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = cust.select(
+        "*",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_order"), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("segment_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
