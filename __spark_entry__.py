@@ -69,6 +69,7 @@ _PAST_WINDOW = (
     "sim_ivf_multiprobe_topk",     # recomputed inside in-window sim_ann_recall
     "sim_ivf_kmedians_topk",       # recomputed inside in-window sim_ann_recall
     "dedup_embedding_cosine",      # recomputed inside in-window dedup_family_recall
+    "sim_lsh_ann_topk",            # recomputed inside in-window sim_ann_recall
     "events_dedup_first_per_key",  # row_number-first-per-key, as etl_surrogate_keys
     "window_top3_parts_per_brand",  # rank-over-partition, as stratified_sample/rfm
 )

@@ -89,6 +89,7 @@ HEADLINE = [
     "embed_label_centroids",
     "events_retention_cohorts",
     "bi_rfm_segmentation",
+    "corpus_pack_sharded",
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

@@ -99,10 +99,20 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    b = F.lit(budget)
     cum = docs.filter(F.col(token_col) > 0).withColumn(
         "cum", F.sum(token_col).over(w).cast("long")
     )
+    return _spans_from_cum(cum, token_col, budget, shard_col, id_col)
+
+
+def _spans_from_cum(
+    cum: DataFrame, token_col: str, budget: int, shard_col: str, id_col: str
+) -> DataFrame:
+    """Span math shared by the one-window packer and the sharded
+    two-phase packer: given each doc's inclusive running token total
+    ``cum`` within its shard's stream, emit the (doc, sequence) spans.
+    Pure per-row arithmetic — no shuffle."""
+    b = F.lit(budget)
     spans = (
         cum.withColumn("start", F.col("cum") - F.col(token_col))
         .withColumn("seq_lo", F.floor(F.col("start") / b).cast("long"))
@@ -121,6 +131,72 @@ def pack_sequences(
         .cast("long")
         .alias("tok_hi"),
     )
+
+
+def pack_sequences_sharded(
+    docs: DataFrame,
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    block_size: int = 1 << 20,
+) -> DataFrame:
+    """The 100 TB form of pack_sequences — IDENTICAL output, bounded
+    window partitions. pack_sequences runs one window cumsum per shard,
+    so a shard's whole token stream is a single task; fine for
+    thousands of balanced sources, a straggler/OOM for a mega-domain
+    (common-crawl-sized 'web' shards). This variant decomposes the
+    cumsum into two phases, the classic distributed prefix-sum:
+
+    1. docs are sub-sharded into CONTIGUOUS id blocks
+       (floor(id / block_size) — order-preserving, so concatenation
+       order is unchanged). Each (shard, block) window partition is at
+       most block_size docs, sized to a task. Production ingest with
+       arbitrary id distributions derives block boundaries from a
+       sampled range partitioning instead (Spark's RangePartitioner
+       discipline); the arithmetic below is identical.
+    2. a local window cumsum per (shard, block), plus per-block token
+       totals (groupBy — partial-aggregated, rows = shards x blocks,
+       KBs at any scale). An exclusive prefix sum over the totals
+       (window over the TINY totals table) gives each block's global
+       stream offset, broadcast-joined back: global cum = block offset
+       + local cum. Exactness: integer sums decompose associatively,
+       so the result equals the one-window form row-for-row (pinned by
+       tests/test_pipeline_queries.py and the shared DuckDB oracle of
+       corpus_pack_sharded, which replays the ONE-WINDOW spec).
+
+    Net plan: one bounded-partition window + one tiny agg/window +
+    one broadcast join — no unbounded task anywhere.
+    """
+    blk = F.floor(F.col(id_col) / F.lit(block_size)).cast("long").alias("_blk")
+    live = docs.filter(F.col(token_col) > 0).withColumn("_blk", blk)
+    w_local = (
+        Window.partitionBy(shard_col, "_blk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = live.withColumn("cum_local", F.sum(token_col).over(w_local).cast("long"))
+    totals = live.groupBy(shard_col, "_blk").agg(
+        F.sum(token_col).cast("long").alias("_blk_total")
+    )
+    w_prefix = (
+        Window.partitionBy(shard_col)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        shard_col,
+        "_blk",
+        F.coalesce(F.sum("_blk_total").over(w_prefix), F.lit(0))
+        .cast("long")
+        .alias("_offset"),
+    )
+    cum = (
+        local.join(F.broadcast(offsets), [shard_col, "_blk"])
+        .withColumn("cum", (F.col("_offset") + F.col("cum_local")).cast("long"))
+        .drop("_blk", "cum_local", "_offset")
+    )
+    return _spans_from_cum(cum, token_col, budget, shard_col, id_col)
 
 
 def stratified_sample(

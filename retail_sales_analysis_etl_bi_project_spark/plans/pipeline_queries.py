@@ -23,12 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.curation import stratified_sample
+from ..operators.curation import pack_sequences_sharded, stratified_sample
 from ..operators.dedup import duplicated_span_stats
 from ..operators.similarity import label_centroid_stats
+from ..operators.text import token_count_expr
 from ..sources.tables import load_table
 from .registry import query
-from .text_queries import _SQL_TOKS
+from .text_queries import _SQL_NTOK, _SQL_TOKS
 from .dedup_queries import _hex60
 
 
@@ -225,3 +226,54 @@ def bi_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+_PACK_BUDGET_SHARDED = 512
+_PACK_BLOCK = 64
+
+
+@query(
+    "corpus_pack_sharded",
+    oracle=f"""
+    WITH kept AS (
+      SELECT doc_id, source, CAST({_SQL_NTOK} AS BIGINT) AS n_tokens
+      FROM documents WHERE CAST({_SQL_NTOK} AS BIGINT) > 0),
+    cum_t AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM kept),
+    spans AS (
+      SELECT source, doc_id, n_tokens, cum, cum - n_tokens AS strt,
+             unnest(generate_series(
+               CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET_SHARDED}) AS BIGINT),
+               CAST(FLOOR((cum - 1) / {_PACK_BUDGET_SHARDED}) AS BIGINT))) AS seq_id
+      FROM cum_t)
+    SELECT source, seq_id, doc_id, n_tokens,
+           CAST(GREATEST(strt, seq_id * {_PACK_BUDGET_SHARDED})
+                - seq_id * {_PACK_BUDGET_SHARDED} AS BIGINT) AS tok_lo,
+           CAST(LEAST(cum, (seq_id + 1) * {_PACK_BUDGET_SHARDED})
+                - seq_id * {_PACK_BUDGET_SHARDED} AS BIGINT) AS tok_hi
+    FROM spans
+    ORDER BY source, seq_id, doc_id
+    """,
+)
+def corpus_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase sub-sharded sequence packing (operators.curation.
+    pack_sequences_sharded) — the bounded-window-partition 100 TB form
+    of pack_sequences. The DuckDB oracle deliberately replays the
+    ONE-WINDOW spec: the distributed prefix-sum decomposition must be
+    row-identical to the simple form (the winnowing discipline — scale
+    plan hash-pinned against the spec plan). block_size=64 forces ~8
+    blocks per source at test scale so the offset join genuinely
+    exercises multi-block streams."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count_expr("text").alias("n_tokens")
+    )
+    return pack_sequences_sharded(
+        docs,
+        token_col="n_tokens",
+        budget=_PACK_BUDGET_SHARDED,
+        shard_col="source",
+        id_col="doc_id",
+        block_size=_PACK_BLOCK,
+    ).orderBy("source", "seq_id", "doc_id")

@@ -122,3 +122,45 @@ def test_rfm_segmentation_invariants(spark, sf_dir):
     for r in rows:
         per_r[r.r_score] = per_r.get(r.r_score, 0) + r.n_customers
     assert max(per_r.values()) - min(per_r.values()) <= 1
+
+
+def test_pack_sharded_equals_one_window(spark, sf_dir):
+    from retail_sales_analysis_etl_bi_project_spark.operators.curation import (
+        pack_sequences,
+        pack_sequences_sharded,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.operators.text import (
+        token_count_expr,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", token_count_expr("text").alias("n_tokens"))
+    )
+    cols = ["source", "seq_id", "doc_id", "n_tokens", "tok_lo", "tok_hi"]
+    base = sorted(map(tuple, pack_sequences(docs, budget=512).select(cols).collect()))
+    # block_size=16 -> many blocks per source; output must be row-identical
+    shard = sorted(
+        map(
+            tuple,
+            pack_sequences_sharded(docs, budget=512, block_size=16)
+            .select(cols)
+            .collect(),
+        )
+    )
+    assert base == shard
+    # micro edge case: a doc spanning a block boundary AND the budget
+    tiny = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 900), ("a", 17, 600), ("b", 3, 50)],
+        ["source", "doc_id", "n_tokens"],
+    )
+    b = sorted(map(tuple, pack_sequences(tiny, budget=512).select(cols).collect()))
+    s = sorted(
+        map(
+            tuple,
+            pack_sequences_sharded(tiny, budget=512, block_size=16)
+            .select(cols)
+            .collect(),
+        )
+    )
+    assert b == s
