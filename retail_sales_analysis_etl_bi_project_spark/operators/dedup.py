@@ -60,16 +60,31 @@ def fingerprint_dup_groups(
 
 # ------------------------------------------------------- n-gram jaccard
 
-def shingles_expr(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string>; documents shorter
-    than n words get their full token join as a single shingle."""
-    toks = tokens_expr(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>) from a MATERIALIZED
+    token-array column; documents shorter than n words get their full
+    token join as a single shingle.
+
+    PERF CONTRACT: ``toks`` must be a projected column, not an inline
+    tokenize expression. Spark does not common-subexpression-eliminate
+    across higher-order-function lambda boundaries, so an inline
+    ``split(...)`` here is re-evaluated once per sequence element —
+    O(tokens^2) work per document (measured 5x on the corpus-wide gram
+    explode at sf0.1). Catalyst's CollapseProject keeps the separate
+    projection because the alias is referenced more than once."""
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.array_distinct(grams)
+
+
+def shingles_expr(text: Column | str, n: int = 3) -> Column:
+    """Inline-tokenize spec form of shingles_from_tokens — fine for
+    per-row array use on SMALL inputs and for tests; corpus-scale
+    explodes must materialize tokens first (see shingles_from_tokens)."""
+    return shingles_from_tokens(tokens_expr(text), n)
 
 
 def contaminated_ids(
@@ -89,13 +104,16 @@ def contaminated_ids(
     distinct — no corpus-sized shuffle besides the distinct on the
     (tiny) contaminated-id set."""
     bng = (
-        bench.select(F.explode(shingles_expr(F.col(text_col), n)).alias("g"))
+        bench.select(tokens_expr(F.col(text_col)).alias("_toks"))
+        .select(F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("g"))
         .select(F.md5("g").alias("gh"))
         .distinct()
     )
-    cng = corpus.select(
-        F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("g")
-    ).select(id_col, F.md5("g").alias("gh"))
+    cng = (
+        corpus.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks"))
+        .select(id_col, F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("g"))
+        .select(id_col, F.md5("g").alias("gh"))
+    )
     return cng.join(F.broadcast(bng), "gh").select(id_col).distinct()
 
 
@@ -122,11 +140,11 @@ def ngram_jaccard_pairs(
     ``id % query_mod == 0`` — the 'dedup a sample against the corpus'
     shape."""
     a = docs.select(
-        F.col(id_col).alias("doc_a"), shingles_expr(F.col(text_col), n).alias("sh_a")
-    )
+        F.col(id_col).alias("doc_a"), tokens_expr(F.col(text_col)).alias("_t")
+    ).select("doc_a", shingles_from_tokens(F.col("_t"), n).alias("sh_a"))
     b = docs.select(
-        F.col(id_col).alias("doc_b"), shingles_expr(F.col(text_col), n).alias("sh_b")
-    )
+        F.col(id_col).alias("doc_b"), tokens_expr(F.col(text_col)).alias("_t")
+    ).select("doc_b", shingles_from_tokens(F.col("_t"), n).alias("sh_b"))
     if query_mod:
         a = a.filter(F.col("doc_a") % query_mod == 0)
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
@@ -222,9 +240,15 @@ def minhash_signatures(
     at input-file granularity."""
     from .partitioning import to_cluster_width
 
-    tall = to_cluster_width(docs, id_col).select(
-        F.col(id_col).alias("doc_id_"),
-        F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
+    tall = (
+        to_cluster_width(docs, id_col)
+        .select(
+            F.col(id_col).alias("doc_id_"),
+            tokens_expr(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "doc_id_", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
+        )
     )
     # ONE md5 per shingle; the num_hashes family members are cheap
     # multiply-add-mod derivations of that base (universal hashing) —
@@ -450,8 +474,10 @@ def minhash_dedup_pairs(
     # otherwise shingle serially — the minhash_signatures discipline).
     from .partitioning import to_cluster_width
 
-    sh = to_cluster_width(docs, id_col).select(
-        F.col(id_col).alias("did"), shingles_expr(F.col(text_col), n).alias("sh")
+    sh = (
+        to_cluster_width(docs, id_col)
+        .select(F.col(id_col).alias("did"), tokens_expr(F.col(text_col)).alias("_t"))
+        .select("did", shingles_from_tokens(F.col("_t"), n).alias("sh"))
     )
     return (
         cand.join(sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
@@ -479,10 +505,10 @@ def winnow_fingerprints_arrays(
     winnow_fingerprints, which bounds per-row state via explode +
     windowed min. tests/test_dedup.py asserts both forms emit identical
     fingerprint sets."""
-    toks = tokens_expr(F.col(text_col))
+    toks = F.col("_toks")
     n = F.size(toks)
-    # ordered, duplicate-preserving grams (unlike shingles_expr, which
-    # dedups — winnowing needs the positional sequence)
+    # ordered, duplicate-preserving grams (unlike shingles_from_tokens,
+    # which dedups — winnowing needs the positional sequence)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
@@ -494,8 +520,11 @@ def winnow_fingerprints_arrays(
         lambda i: F.array_min(F.slice(hashes, i, window)),
     )
     fps = F.array_sort(F.array_distinct(wins))
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(fps).alias("fingerprint")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("_toks")
+        )
+        .select("doc_id", F.explode(fps).alias("fingerprint"))
     )
 
 
@@ -770,14 +799,16 @@ def embedding_lsh_near_dup_pairs(
 # ----------------------------------------------- exact duplicated spans
 
 
-def positional_grams_expr(text: Column | str, n: int = 8) -> Column:
-    """POSITIONAL word n-grams (one per start offset, repeats kept) —
-    unlike shingles_expr, which is the distinct-set form for Jaccard.
+def positional_grams_from_tokens(toks: Column, n: int = 8) -> Column:
+    """POSITIONAL word n-gram md5 hashes (one per start offset, repeats
+    kept) from a MATERIALIZED token-array column — unlike
+    shingles_from_tokens, which is the distinct-set form for Jaccard.
     Span-level dedup needs every occurrence: the metric is 'what
     fraction of this document's spans also occur elsewhere', so a span
     repeated at 5 offsets contributes 5, not 1. Documents shorter than
-    n tokens contribute their full token join as a single span."""
-    toks = tokens_expr(text)
+    n tokens contribute their full token join as a single span.
+    Same perf contract as shingles_from_tokens: pass a projected
+    column, never an inline tokenize expression."""
     k = F.size(toks)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
@@ -801,29 +832,33 @@ def duplicated_span_stats(
     pipelines threshold on to drop mostly-boilerplate documents.
 
     Scale shape (100 TB): spans collapse to fixed-width md5 hashes at
-    the scan (the raw text never shuffles); document frequency is a
-    distinct + count groupBy on the hash; the spans->df join keys both
-    sides on gh, so the exchange introduced by the df aggregation is
-    REUSED by the join (co-partitioned); the final per-doc rollup
-    shuffles one fixed-width row per span occurrence. No all-pairs
-    stage anywhere — cost is linear in corpus token count.
+    the scan (the raw text never shuffles, and the expensive
+    tokenize+slice+md5 explode runs ONCE — a join-back formulation
+    would evaluate it twice, once per branch). Then three partial-
+    aggregated shuffles over strictly shrinking fixed-width rows:
+    (gh, doc) occurrence counts, a window count per gh over the
+    deduped pairs for document frequency, and the per-doc rollup.
+    No all-pairs stage anywhere — cost is linear in corpus tokens.
     """
     grams = docs.select(
-        F.col(id_col),
-        F.explode(positional_grams_expr(F.col(text_col), n)).alias("gh"),
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        F.explode(positional_grams_from_tokens(F.col("_toks"), n)).alias("gh"),
     )
-    doc_freq = (
-        grams.select("gh", id_col)
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count(F.col(id_col)).alias("ndocs"))
+    per_doc_gram = grams.groupBy("gh", id_col).agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    with_df = per_doc_gram.withColumn(
+        "ndocs", F.count(F.lit(1)).over(Window.partitionBy("gh"))
     )
     return (
-        grams.join(doc_freq, "gh")
-        .groupBy(id_col)
+        with_df.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias("dup_spans"),
+            F.sum("n_occ").alias("n_spans"),
+            F.sum(F.when(F.col("ndocs") > 1, F.col("n_occ")).otherwise(0)).alias(
+                "dup_spans"
+            ),
         )
         .select(
             id_col,

@@ -155,12 +155,18 @@ def repetition_signals(
     are NULL — matching the DuckDB twin, where len(NULL list) is NULL.
     The isNotNull guard below keeps that true even under non-ANSI
     Spark, where a bare size(NULL) would return -1."""
-    t = tokens_expr(text_col)
     # tokenize + n-gram construction is the compute-heavy phase; run it
-    # at cluster width, not input-file granularity
+    # at cluster width, not input-file granularity. Tokens are
+    # MATERIALIZED into a projected column first: the expression below
+    # references them ~9 times (two sizes + the slices inside both
+    # ngram_array_expr widths), and an inline tokenize would re-run the
+    # split for every reference (the shingles_from_tokens discipline).
     from .partitioning import to_cluster_width
 
-    docs = to_cluster_width(docs, id_col)
+    t = F.col("_toks")
+    docs = to_cluster_width(docs, id_col).select(
+        id_col, tokens_expr(text_col).alias("_toks")
+    )
     guarded_size = lambda c: F.when(  # noqa: E731
         c.isNotNull(), F.size(c)
     ).cast("bigint")

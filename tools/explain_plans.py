@@ -60,6 +60,12 @@ def main():
         "events_sessionization",
         "join_asof_last_purchase",
         "join_range_value_bands",
+        "dedup_substring_spans",
+        "corpus_pack_sharded",
+        "corpus_stratified_sample",
+        "embed_label_centroids",
+        "events_retention_cohorts",
+        "bi_rfm_segmentation",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
@@ -69,6 +75,8 @@ def main():
     print(bucketed_join_section(spark))
     print()
     print(aqe_skew_join_section(spark))
+    print()
+    print(runtime_bloom_filter_section(spark))
 
 
 def warehouse_pruning_section(spark):
@@ -201,3 +209,54 @@ def bucketed_join_section(spark):
 
 if __name__ == "__main__":
     main()
+
+
+def runtime_bloom_filter_section(spark):
+    """Evidence for the runtime-filter posture at 100 TB: when a big
+    fact x big dim join shuffles (no broadcast) and the dim side
+    carries a selective predicate, Spark injects a runtime bloom
+    filter (BloomFilterAggregate on the dim side, might_contain
+    wrapped around the fact side's scan) so most fact rows die BEFORE
+    the shuffle — the optimizer-native replacement for hand-built
+    semi-join prefilters. Shown with broadcast off and the injection
+    thresholds lowered so the 60k-row local build exercises the same
+    rule a 1000-executor cluster fires on TB inputs."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {c: spark.conf.get(c, None) for c in tuned}
+    for c, v in tuned.items():
+        spark.conf.set(c, v)
+    try:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+            "p_brand = 'Brand#1'"  # selective dim predicate -> filter creation side
+        )
+        q = lineitem.join(part, lineitem.l_partkey == part.p_partkey).groupBy(
+            "p_brand"
+        ).agg(F.count("*").alias("n"))
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        marker = _re.compile(r"bloom_filter_agg|might_contain|BloomFilter")
+        lines = [
+            ln.strip()[:150] for ln in plan.splitlines() if marker.search(ln)
+        ]
+        n = len(q.collect())
+        return (
+            "== runtime_bloom_filter (lineitem x selective part, broadcast off) ==\n"
+            + ("\n".join(lines) if lines else "(no runtime filter injected)")
+            + f"\n-- result groups: {n}; might_contain prunes fact rows pre-shuffle"
+        )
+    finally:
+        for c, v in old.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
