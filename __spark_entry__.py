@@ -72,6 +72,8 @@ _PAST_WINDOW = (
     "sim_lsh_ann_topk",            # recomputed inside in-window sim_ann_recall
     "events_dedup_first_per_key",  # row_number-first-per-key, as etl_surrogate_keys
     "window_top3_parts_per_brand",  # rank-over-partition, as stratified_sample/rfm
+    "agg_order_value_percentiles",  # percentile_cont pinned r2-r5; exact twins of
+                                    # in-window agg_sketch_profile cover the path
 )
 
 

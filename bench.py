@@ -90,6 +90,7 @@ HEADLINE = [
     "events_retention_cohorts",
     "bi_rfm_segmentation",
     "corpus_pack_sharded",
+    "events_funnel_conversion",
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

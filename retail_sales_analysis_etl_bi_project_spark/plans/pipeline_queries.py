@@ -277,3 +277,107 @@ def corpus_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         block_size=_PACK_BLOCK,
     ).orderBy("source", "seq_id", "doc_id")
+
+
+_FUNNEL_SQL_STAGES = """
+    WITH stage1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view,
+             MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_date
+      FROM events),
+    stage2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t_view
+                          AND ts <= t_view + INTERVAL 24 HOUR THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_click
+      FROM stage1),
+    stage3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t_click
+                          AND ts <= t_click + INTERVAL 24 HOUR THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_purchase
+      FROM stage2),
+    per_user AS (
+      SELECT user_id, MIN(cohort_date) AS cohort_date, MIN(t_view) AS t_view,
+             MIN(t_click) AS t_click, MIN(t_purchase) AS t_purchase
+      FROM stage3 GROUP BY user_id)
+"""
+
+
+@query(
+    "events_funnel_conversion",
+    oracle=f"""
+    {_FUNNEL_SQL_STAGES}
+    SELECT cohort_date,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS n_viewed,
+           CAST(COUNT(t_click) AS BIGINT) AS n_clicked,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_purchased,
+           ROUND(CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(*), 6) AS purchase_rate
+    FROM per_user GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion per first-seen cohort: first view ->
+    first click within 24h of it -> first purchase within 24h of that
+    click (deadlines make the funnel discriminating — without them a
+    month of dense events converts every user). The sibling of
+    events_retention_cohorts on the engagement axis; together they are
+    the two standard event-analytics dashboards.
+
+    Scale shape: the three stage timestamps are whole-partition window
+    MINs over the SAME user_id partitioning — one shuffle, no sort
+    (unordered frames), and the chained selects reuse the partitioning.
+    The per-user collapse and final cohort rollup are partial-aggregated
+    groupBys; nothing driver-side. Deadline comparisons are exact
+    timestamp+interval micros in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    day = F.expr("INTERVAL 24 HOURS")
+    s1 = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias("t_view"),
+        F.min(F.col("ts").cast("date")).over(w).alias("cohort_date"),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t_view"))
+                & (F.col("ts") <= F.col("t_view") + day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_click"))
+                & (F.col("ts") <= F.col("t_click") + day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.min("cohort_date").alias("cohort_date"),
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return (
+        per_user.groupBy("cohort_date")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.count("t_view").cast("bigint").alias("n_viewed"),
+            F.count("t_click").cast("bigint").alias("n_clicked"),
+            F.count("t_purchase").cast("bigint").alias("n_purchased"),
+            F.round(
+                F.count("t_purchase").cast("double") / F.count(F.lit(1)), 6
+            ).alias("purchase_rate"),
+        )
+        .orderBy("cohort_date")
+    )

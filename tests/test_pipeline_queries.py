@@ -164,3 +164,15 @@ def test_pack_sharded_equals_one_window(spark, sf_dir):
         )
     )
     assert b == s
+
+
+def test_funnel_conversion_invariants(spark, sf_dir):
+    rows = QUERIES["events_funnel_conversion"](spark, sf_dir).collect()
+    assert rows
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        # funnel stages are monotone non-increasing
+        assert r.n_users >= r.n_viewed >= r.n_clicked >= r.n_purchased >= 0
+        assert r.purchase_rate == round(r.n_purchased / r.n_users, 6)
