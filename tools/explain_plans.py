@@ -207,8 +207,6 @@ def bucketed_join_section(spark):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
-if __name__ == "__main__":
-    main()
 
 
 def runtime_bloom_filter_section(spark):
@@ -260,3 +258,6 @@ def runtime_bloom_filter_section(spark):
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
+
+if __name__ == "__main__":
+    main()
