@@ -213,7 +213,10 @@ def stratified_sample(
 
     Cross-engine: ranking is by the shared md5-derived hash60 primitive
     with an id tie-break, and the keep threshold ceil(frac * n) is the
-    same IEEE double product in Spark and DuckDB — no RNG, no float
+    same IEEE double product in Spark and DuckDB PROVIDED the oracle
+    casts the fraction literal to DOUBLE — a bare SQL literal like 0.1
+    parses as exact DECIMAL in DuckDB, whose product can ceil one off
+    from the double product for some (frac, n). No RNG, no float
     comparisons between engine-specific streams.
 
     Scale shape (100 TB): one window over (strata) — each stratum is a

@@ -832,13 +832,20 @@ def duplicated_span_stats(
     pipelines threshold on to drop mostly-boilerplate documents.
 
     Scale shape (100 TB): spans collapse to fixed-width md5 hashes at
-    the scan (the raw text never shuffles, and the expensive
-    tokenize+slice+md5 explode runs ONCE — a join-back formulation
-    would evaluate it twice, once per branch). Then three partial-
-    aggregated shuffles over strictly shrinking fixed-width rows:
-    (gh, doc) occurrence counts, a window count per gh over the
-    deduped pairs for document frequency, and the per-doc rollup.
-    No all-pairs stage anywhere — cost is linear in corpus tokens.
+    the scan — the raw text never shuffles. Document frequency is a
+    partial-aggregated groupBy(gh) joined back on gh — NOT a per-gh
+    window: a ubiquitous boilerplate gram (the very thing this operator
+    detects) would put its whole document list into one unsplittable
+    WindowExec partition, while join skew is split by AQE at runtime
+    (PLANS.txt §aqe_skew_join) and the groupBy combines map-side. The
+    tokenize+md5 explode is evaluated once per branch (column pruning
+    specializes each branch's (gh, doc) aggregate, so their exchanges
+    don't canonicalize equal and ReuseExchange cannot fire) — the same
+    documented rescan-over-unmanaged-cache tradeoff as the MinHash
+    verification join; a scoped persist would trade one scan for
+    storage-memory pressure. The final per-doc rollup shuffles one
+    fixed-width row per distinct (doc, gram). No all-pairs stage
+    anywhere — cost is linear in corpus tokens.
     """
     grams = docs.select(
         F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks")
@@ -849,9 +856,8 @@ def duplicated_span_stats(
     per_doc_gram = grams.groupBy("gh", id_col).agg(
         F.count(F.lit(1)).alias("n_occ")
     )
-    with_df = per_doc_gram.withColumn(
-        "ndocs", F.count(F.lit(1)).over(Window.partitionBy("gh"))
-    )
+    doc_freq = per_doc_gram.groupBy("gh").agg(F.count(F.lit(1)).alias("ndocs"))
+    with_df = per_doc_gram.join(doc_freq, "gh")
     return (
         with_df.groupBy(id_col)
         .agg(

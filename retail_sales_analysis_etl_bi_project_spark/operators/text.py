@@ -30,7 +30,11 @@ def tokens_expr(text: Column | str) -> Column:
 
 
 def token_count_expr(text: Column | str) -> Column:
-    return F.size(tokens_expr(text)).cast("bigint")
+    """NULL text -> NULL count (matching DuckDB's len(NULL)): a bare
+    size() would return -1 under non-ANSI Spark and diverge from every
+    oracle twin (same guard as repetition_signals' guarded_size)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(c.isNotNull(), F.size(tokens_expr(c))).cast("bigint")
 
 
 # BPE-style pre-tokenizer regex (GPT-2 family shape): contractions,

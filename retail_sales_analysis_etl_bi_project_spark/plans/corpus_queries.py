@@ -42,10 +42,11 @@ _SQL_SH8 = """
            list_distinct(
              list_transform(
                generate_series(1, greatest(len(toks) - 7, 1)),
-               i -> array_to_string(toks[i:i+7], ' ')))
+               i -> coalesce(array_to_string(toks[i:i+7], ' '), '')))
              AS sh
     FROM (SELECT doc_id,
-                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                 CASE WHEN text IS NULL OR length(trim(text)) = 0
+                      THEN []::VARCHAR[]
                       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
           FROM documents)
 """

@@ -36,10 +36,11 @@ _SQL_SHINGLES = """
            list_distinct(
              list_transform(
                generate_series(1, greatest(len(toks) - 2, 1)),
-               i -> array_to_string(toks[i:i+2], ' ')))
+               i -> coalesce(array_to_string(toks[i:i+2], ' '), '')))
              AS sh
     FROM (SELECT doc_id,
-                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                 CASE WHEN text IS NULL OR length(trim(text)) = 0
+                      THEN []::VARCHAR[]
                       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
           FROM documents)
 """
@@ -336,14 +337,15 @@ def _winnow_oracle(k: int = 3, window: int = 4) -> str:
     return f"""
     WITH t AS (
       SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0
+                  THEN []::VARCHAR[]
                   ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
       FROM documents),
     g AS (
       SELECT doc_id,
              list_transform(
                generate_series(1, greatest(len(toks) - {k - 1}, 1)),
-               i -> array_to_string(toks[i:i+{k - 1}], ' ')) AS grams
+               i -> coalesce(array_to_string(toks[i:i+{k - 1}], ' '), '')) AS grams
       FROM t),
     h AS (
       SELECT doc_id,

@@ -33,14 +33,25 @@ from .text_queries import _SQL_NTOK, _SQL_TOKS
 from .dedup_queries import _hex60
 
 
+# NULL-safe token twin for the span oracle: Spark's concat_ws turns the
+# NULL token array of a NULL-text doc into '' (one md5('') span), so the
+# oracle must coalesce to an empty list — md5(array_to_string(NULL,' '))
+# would be NULL, fail the JOIN, and silently drop the document.
+_SQL_TOKS_NULLSAFE = (
+    "CASE WHEN text IS NULL OR length(trim(text)) = 0 "
+    "THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
 @query(
     "dedup_substring_spans",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS_NULLSAFE} AS t FROM documents),
     grams AS (
       SELECT doc_id,
              unnest(list_transform(generate_series(1, greatest(len(t)-7,1)),
-                    i -> md5(array_to_string(t[i:i+7], ' ')))) AS gh
+                    i -> md5(coalesce(array_to_string(t[i:i+7], ' '), '')))) AS gh
       FROM toks),
     df AS (SELECT gh, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY 1)
     SELECT doc_id,
@@ -74,7 +85,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn,
            CAST(n_stratum AS BIGINT) AS n_stratum
-    FROM ranked WHERE rn <= CAST(ceil(0.1 * n_stratum) AS BIGINT)
+    FROM ranked WHERE rn <= CAST(ceil(CAST(0.1 AS DOUBLE) * n_stratum) AS BIGINT)
     ORDER BY lang, source, rn
     """,
 )

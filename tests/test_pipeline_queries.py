@@ -176,3 +176,87 @@ def test_funnel_conversion_invariants(spark, sf_dir):
         # funnel stages are monotone non-increasing
         assert r.n_users >= r.n_viewed >= r.n_clicked >= r.n_purchased >= 0
         assert r.purchase_rate == round(r.n_purchased / r.n_users, 6)
+
+
+def test_span_stats_null_text_matches_oracle(spark, tmp_path):
+    """Latent-case pin: NULL/blank text docs must survive BOTH engines
+    identically (Spark's concat_ws folds a NULL token array to '';
+    the oracle coalesces to [] for the same single-'' span)."""
+    import duckdb
+
+    from retail_sales_analysis_etl_bi_project_spark.plans.pipeline_queries import (
+        _SQL_TOKS_NULLSAFE,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.plans.registry import ORACLES
+
+    pdf = spark.createDataFrame(
+        [(1, "a b c d e f g h extra"), (2, "a b c d e f g h extra"),
+         (3, None), (4, ""), (5, "short doc")],
+        ["doc_id", "text"],
+    ).toPandas()
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+    docs = spark.read.parquet(path)
+    got = sorted(
+        (r.doc_id, r.n_spans, r.dup_spans) for r in duplicated_span_stats(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    sql = ORACLES["dedup_substring_spans"]
+    want = sorted((r[0], r[1], r[2]) for r in con.execute(sql).fetchall())
+    assert got == want
+    assert len(got) == 5  # the NULL-text doc is NOT dropped
+
+
+def test_degenerate_docs_cross_engine(spark, tmp_path):
+    """NULL-text / blank / sub-n-token docs through every shingle-family
+    oracle: Spark's concat_ws folds empty token arrays to '' while
+    DuckDB's array_to_string([]) is NULL, so every oracle wraps it in
+    coalesce — this pins the whole family on a corpus made ONLY of the
+    degenerate cases the real testdata lacks."""
+    import duckdb
+
+    import retail_sales_analysis_etl_bi_project_spark.plans.corpus_queries  # noqa: F401
+    import retail_sales_analysis_etl_bi_project_spark.plans.dedup_queries  # noqa: F401
+    import retail_sales_analysis_etl_bi_project_spark.plans.text_queries  # noqa: F401
+    from retail_sales_analysis_etl_bi_project_spark.plans.registry import ORACLES, QUERIES
+
+    pdf = spark.createDataFrame(
+        [
+            (0, "", "en", "s0", 0),
+            (1, None, "en", "s0", 0),
+            (2, "one", "en", "s1", 3),
+            (3, "a b", "de", "s1", 3),
+            (4, "shared passage of words here repeated verbatim", "en", "s2", 46),
+            (5, "shared passage of words here repeated verbatim", "en", "s2", 46),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).toPandas()
+    sf = tmp_path / "sf_degenerate"
+    sf.mkdir()
+    pdf.to_parquet(str(sf / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "text_winnow_fingerprints",
+        "dedup_substring_spans",
+        "text_profile",
+        "text_repetition_signals",
+    ):
+        sdf = QUERIES[name](spark, str(sf))
+        scols = sorted(sdf.columns)
+        srows = sorted(
+            tuple(str(r[c]) for c in scols) for r in (row.asDict() for row in sdf.collect())
+        )
+        res = con.execute(ORACLES[name])
+        dcols = sorted(d[0] for d in res.description)
+        idx = [
+            [d[0] for d in res.description].index(c) for c in dcols
+        ]
+        drows = sorted(tuple(str(r[i]) for i in idx) for r in res.fetchall())
+        assert scols == dcols, name
+        assert srows == drows, f"{name}: spark={srows[:4]} duckdb={drows[:4]}"

@@ -72,11 +72,11 @@ def main():
         print()
     print(warehouse_pruning_section(spark))
     print()
-    print(bucketed_join_section(spark))
+    print(bucketed_join_section(spark, sf_dir))
     print()
     print(aqe_skew_join_section(spark))
     print()
-    print(runtime_bloom_filter_section(spark))
+    print(runtime_bloom_filter_section(spark, sf_dir))
 
 
 def warehouse_pruning_section(spark):
@@ -160,7 +160,7 @@ def aqe_skew_join_section(spark):
                 spark.conf.set(c, v)
 
 
-def bucketed_join_section(spark):
+def bucketed_join_section(spark, sf_dir):
     """Evidence that the bucketed gold layout joins shuffle-free: write
     orders and customer bucketed on the key, join with broadcast/AQE
     off, and show a SortMergeJoin plan with zero Exchange operators
@@ -170,7 +170,6 @@ def bucketed_join_section(spark):
         save_bucketed,
     )
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     db = "plans_bucketed"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -209,7 +208,7 @@ def bucketed_join_section(spark):
 
 
 
-def runtime_bloom_filter_section(spark):
+def runtime_bloom_filter_section(spark, sf_dir):
     """Evidence for the runtime-filter posture at 100 TB: when a big
     fact x big dim join shuffles (no broadcast) and the dim side
     carries a selective predicate, Spark injects a runtime bloom
@@ -233,7 +232,6 @@ def runtime_bloom_filter_section(spark):
     for c, v in tuned.items():
         spark.conf.set(c, v)
     try:
-        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
         lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
             "p_brand = 'Brand#1'"  # selective dim predicate -> filter creation side
