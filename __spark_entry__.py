@@ -39,6 +39,7 @@ def _registry():
         # its position inside the driver's 50-query correctness window
         "retail_sales_analysis_etl_bi_project_spark.plans.extension_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.pipeline_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.lifecycle_queries",
     ):
         try:
             __import__(mod)
@@ -74,6 +75,15 @@ _PAST_WINDOW = (
     "window_top3_parts_per_brand",  # rank-over-partition, as stratified_sample/rfm
     "agg_order_value_percentiles",  # percentile_cont pinned r2-r5; exact twins of
                                     # in-window agg_sketch_profile cover the path
+    # r6b rotation (lifecycle_queries lands 6 new in-window): each spilled
+    # query's MECHANISM is recomputed by an in-window sibling and all are
+    # green in CORRECTNESS_r1-r5 + the local gate replica:
+    "sim_bruteforce_topk",         # recomputed as ground truth inside sim_ann_recall
+    "sim_ivf_ann_topk",            # recomputed inside in-window sim_ann_recall
+    "sim_ivfpq_adc_topk",          # recomputed inside in-window sim_ann_recall
+    "dedup_embedding_lsh",         # recomputed inside in-window dedup_family_recall
+    "dedup_minhash_lsh",           # candidates recomputed inside dedup_family_recall
+    "etl_orc_roundtrip",           # staging twin of in-window etl_json_roundtrip
 )
 
 

@@ -91,11 +91,17 @@ HEADLINE = [
     "bi_rfm_segmentation",
     "corpus_pack_sharded",
     "events_funnel_conversion",
+    "corpus_chunk_documents",
+    "text_pii_scrub",
+    "etl_snapshot_cdc_diff",
+    "embed_quantize_int8",
+    "layout_zorder_events",
+    "agg_numeric_histograms",
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the
 # bench measures the plan, not driver materialization of 60k+ rows.
-COUNT_ONLY_PREFIXES = ("etl_fact", "window_customer")
+COUNT_ONLY_PREFIXES = ("etl_fact", "window_customer", "etl_snapshot", "corpus_chunk")
 
 
 def main() -> None:

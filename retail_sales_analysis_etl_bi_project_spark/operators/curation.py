@@ -199,6 +199,64 @@ def pack_sequences_sharded(
     return _spans_from_cum(cum, token_col, budget, shard_col, id_col)
 
 
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window splitter
+    every RAG-ingest / pretraining pipeline runs between cleaning and
+    embedding: document d with n tokens becomes chunks
+    [i*stride, min(i*stride + chunk_size, n)) for i in 0..n_chunks-1,
+    n_chunks = 1 + ceil(max(n - chunk_size, 0) / stride) — every token
+    is covered (stride <= chunk_size) and consecutive chunks share
+    chunk_size - stride tokens of context. Emits (doc_id, chunk_id,
+    tok_lo, tok_hi, n_chunk_tokens, chunk_hash) with chunk_hash =
+    md5(space-joined chunk tokens) so downstream chunk-level dedup can
+    run without re-materializing text. Zero-token docs drop (nothing
+    to chunk); the half-open [tok_lo, tok_hi) mirrors pack_sequences.
+
+    Scale shape (100 TB): pure per-row compute fused into the scan — no
+    shuffle, no window. The token array materializes ONCE through a
+    select boundary before the per-chunk slice/hash expressions (the
+    positional-grams lesson: inlining the split into each chunk's
+    expression re-tokenizes per chunk). Unlike pack_sequences this
+    needs no cross-document token offsets, so there is no prefix-sum
+    stage and no partition-boundary discipline at all — chunking is
+    embarrassingly parallel.
+    """
+    from .text import tokens_expr  # local import to avoid module cycle
+
+    cs, st = F.lit(chunk_size), F.lit(stride)
+    sized = (
+        docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks"))
+        .select(id_col, "_toks", F.size("_toks").cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    # integer ceil-div via (x + st - 1) div st: both engines' integer
+    # division (Spark `div`, DuckDB `//`), no float boundary.
+    n_chunks = F.lit(1) + F.expr(
+        f"(greatest(n_tokens - {chunk_size}, 0) + {stride - 1}) div {stride}"
+    )
+    chunks = sized.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    )
+    tok_lo = F.col("chunk_id").cast("long") * st
+    tok_hi = F.least(tok_lo + cs, F.col("n_tokens"))
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        tok_lo.cast("bigint").alias("tok_lo"),
+        tok_hi.cast("bigint").alias("tok_hi"),
+        (tok_hi - tok_lo).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("_toks"), (tok_lo + 1).cast("int"), (tok_hi - tok_lo).cast("int")))
+        ).alias("chunk_hash"),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     frac: float = 0.1,

@@ -572,3 +572,75 @@ def label_centroid_stats(
         )
         .orderBy("label")
     )
+
+
+def quantize_int8_stats(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the compression
+    step an embedding store runs before serving ANN at scale (4x over
+    float32; FAISS SQ8 / product-scalar-quantization shape): each vector
+    quantizes with its own scale s = max|x|/127, codes
+    q_i = floor(x_i/s + 0.5) in [-127, 127], reconstruction x~ = q_i*s.
+    Emits per-label fleet stats — vector count, mean scale, MSE and max
+    absolute reconstruction error — the drift dashboard that decides
+    whether int8 is still safe for a given label/shard.
+
+    Cross-engine: scale/quantize/reconstruct are per-element IEEE ops
+    (divide, floor, multiply — correctly rounded in both engines); the
+    per-vector squared-error total is dot(err, err) via the sequential
+    fold of dot_expr, which DuckDB's list_dot_product reproduces
+    bit-for-bit (the label_centroid_stats discipline); cross-row sums
+    go through decimal(27,15). Zero vectors (s = 0) pass through with
+    zero error rather than dividing by zero (Spark double x/0 is NULL
+    while DuckDB yields inf — the guard keeps the engines identical).
+
+    Scale shape (100 TB): pure per-row expressions fused into the scan
+    plus one partial-aggregated groupBy(label) over 4 fixed-width
+    columns — vectors never shuffle.
+    """
+    v = _dbl(vec_col)
+    base = emb.select(
+        F.col(label_col).alias("label"),
+        v.alias("x"),
+        (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    err = base.select(
+        "label",
+        "scale",
+        F.size("x").cast("long").alias("dim"),
+        F.when(
+            F.col("scale") > 0,
+            F.transform(
+                "x",
+                lambda a: a - F.floor(a / F.col("scale") + F.lit(0.5)) * F.col("scale"),
+            ),
+        )
+        .otherwise(F.col("x"))
+        .alias("e"),
+    )
+    per_vec = err.select(
+        "label",
+        "scale",
+        "dim",
+        dot_expr(F.col("e"), F.col("e")).alias("sse"),
+        F.array_max(F.transform("e", F.abs)).alias("mae"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(27,15)")  # noqa: E731
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (F.sum(dec("scale")).cast("double") / F.count(F.lit(1))).alias("_avg_s"),
+            (F.sum(dec("sse")).cast("double") / F.sum("dim")).alias("_mse"),
+            F.max("mae").alias("_mae"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.round("_avg_s", 12).alias("avg_scale"),
+            F.round("_mse", 12).alias("mse"),
+            F.round("_mae", 12).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )

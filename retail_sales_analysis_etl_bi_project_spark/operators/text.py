@@ -222,3 +222,53 @@ def repetition_signals(
         (dbl("top_2gram") / dbl("n_2grams")).alias("top_2gram_frac"),
         (dbl("top_3gram") / dbl("n_3grams")).alias("top_3gram_frac"),
     )
+
+
+# PII scrubbing patterns. Restricted to constructs Java regex (Spark)
+# and RE2 (DuckDB) match identically: ASCII classes, bounded repeats,
+# \b word boundaries — no lookarounds, no backrefs (RE2 has neither).
+PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_REGEX = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_REGEX = r"\+[0-9]{7,15}\b"
+
+
+def pii_scrub(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """PII detection + redaction — the compliance pass every
+    training-data pipeline runs before text leaves the curation zone:
+    count and replace emails, dotted-quad IPv4 addresses, and
+    +international phone numbers with typed placeholder tags. Emits
+    (doc_id, n_emails, n_ipv4, n_phones, n_chars_before, n_chars_after,
+    redacted_hash) — the hash (md5 of the redacted text) lets audits
+    verify the scrub deterministically without persisting the text
+    twice. NULL text flows through as NULL counts/hash (the engine-
+    agnostic 'no signal' contract of repetition_signals).
+
+    Redaction ORDER is part of the contract: emails first (an address
+    would otherwise have its host's dotted runs half-eaten if a broad
+    pattern ran first), then IPv4, then phones. Scale shape: pure
+    per-row regexp_count/regexp_replace fused into the scan — no
+    shuffle, JVM-side, whole-stage-codegen'd.
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_REGEX, "<EMAIL>"),
+            PII_IPV4_REGEX,
+            "<IP>",
+        ),
+        PII_PHONE_REGEX,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(PII_EMAIL_REGEX)).cast("bigint").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_IPV4_REGEX)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(c, F.lit(PII_PHONE_REGEX)).cast("bigint").alias("n_phones"),
+        F.length(c).cast("bigint").alias("n_chars_before"),
+        F.length(redacted).cast("bigint").alias("n_chars_after"),
+        F.md5(redacted).alias("redacted_hash"),
+    )

@@ -1,0 +1,336 @@
+"""Round-6 data-lifecycle queries, registered after pipeline_queries
+and rotated INTO the driver's first-50 correctness window (six spine
+variants spill — see __spark_entry__._PAST_WINDOW and COVERAGE.md
+§"Correctness window rotation").
+
+Contents — the stages of a corpus/warehouse lifecycle the earlier
+families stop short of:
+
+- corpus_chunk_documents : overlapping token-window chunking (RAG /
+                           pretraining context splitter)
+- text_pii_scrub         : email/IPv4/phone detection + redaction audit
+- etl_snapshot_cdc_diff  : row-level insert/update/delete derivation
+                           between two table snapshots
+- embed_quantize_int8    : symmetric int8 embedding quantization with
+                           per-label reconstruction-error stats
+- layout_zorder_events   : Morton-key file-layout audit (two-dim
+                           min/max pruning quality as numbers)
+- agg_numeric_histograms : equi-width distribution profiles for the
+                           validation report
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import snapshot_diff
+from ..operators.curation import chunk_documents
+from ..operators.partitioning import zorder_layout_audit
+from ..operators.report import numeric_histogram
+from ..operators.similarity import quantize_int8_stats
+from ..operators.text import (
+    PII_EMAIL_REGEX,
+    PII_IPV4_REGEX,
+    PII_PHONE_REGEX,
+    pii_scrub,
+)
+from ..sources.tables import load_table
+from .pipeline_queries import _SQL_TOKS_NULLSAFE
+from .registry import query
+
+_CHUNK, _STRIDE = 64, 48
+
+
+@query(
+    "corpus_chunk_documents",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS_NULLSAFE} AS t FROM documents),
+    sized AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+              FROM toks WHERE len(t) > 0),
+    chunks AS (
+      SELECT doc_id, t, n,
+             unnest(generate_series(
+               0, (greatest(n - {_CHUNK}, 0) + {_STRIDE - 1}) // {_STRIDE}
+             )) AS chunk_id
+      FROM sized)
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {_STRIDE} AS BIGINT) AS tok_lo,
+           CAST(least(chunk_id * {_STRIDE} + {_CHUNK}, n) AS BIGINT) AS tok_hi,
+           CAST(least(chunk_id * {_STRIDE} + {_CHUNK}, n)
+                - chunk_id * {_STRIDE} AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+             t[chunk_id * {_STRIDE} + 1 : least(chunk_id * {_STRIDE} + {_CHUNK}, n)],
+             ' ')) AS chunk_hash
+    FROM chunks ORDER BY doc_id, chunk_id
+    """,
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (operators.curation.chunk_documents):
+    64-token windows at stride 48 — every token covered, 16 tokens of
+    shared context between neighbors, chunk_hash = md5 of the chunk
+    text for downstream chunk-level dedup. Embarrassingly parallel:
+    tokens materialize once per doc, chunks explode per row, no
+    shuffle. The DuckDB twin's inclusive slice t[lo+1 : hi] equals
+    Spark's slice(toks, lo+1, hi-lo)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_size=_CHUNK, stride=_STRIDE
+    ).orderBy("doc_id", "chunk_id")
+
+
+# Deterministic PII enrichment shared by both engines: the synthetic
+# corpus has no organic emails/IPs/phones, so every third document gets
+# an identically-constructed contact line appended before the scrub —
+# the operator is exercised against non-trivial counts while both
+# engines see byte-identical input text.
+_PII_TAIL_SQL = (
+    "concat(coalesce(text, ''), ' contact user', CAST(doc_id AS VARCHAR),"
+    " '@mail.example.com from 10.', CAST(doc_id % 200 AS VARCHAR),"
+    " '.0.1 call +1415555', lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0'))"
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN {_PII_TAIL_SQL} ELSE text END AS txt
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id, txt,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(txt, '{PII_EMAIL_REGEX}', '<EMAIL>', 'g'),
+                 '{PII_IPV4_REGEX}', '<IP>', 'g'),
+               '{PII_PHONE_REGEX}', '<PHONE>', 'g') AS red
+      FROM enriched)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{PII_EMAIL_REGEX}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{PII_IPV4_REGEX}')) AS BIGINT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(txt, '{PII_PHONE_REGEX}')) AS BIGINT)
+             AS n_phones,
+           CAST(length(txt) AS BIGINT) AS n_chars_before,
+           CAST(length(red) AS BIGINT) AS n_chars_after,
+           md5(red) AS redacted_hash
+    FROM scrubbed ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit (operators.text.pii_scrub): email -> IPv4 ->
+    phone redaction with per-doc counts and a redacted-text md5.
+    Patterns are the Java-regex/RE2 common subset (ASCII classes,
+    bounded repeats, \\b); DuckDB regexp_replace needs the explicit
+    'g' flag to match Spark's replace-all semantics. NULL text (no
+    enrichment) flows to NULL counts/hash in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tail = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.1 call +1415555"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 4, "0"),
+    )
+    enriched = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, tail).otherwise(F.col("text")).alias("text"),
+    )
+    return pii_scrub(enriched).orderBy("doc_id")
+
+
+_CDC_DIGEST_SQL = (
+    "md5(concat_ws(chr(31), coalesce(CAST({price} AS VARCHAR), chr(30)),"
+    " coalesce(o_orderstatus, chr(30))))"
+)
+
+
+@query(
+    "etl_snapshot_cdc_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderstatus
+      FROM orders),
+    old_snap AS (
+      SELECT o_orderkey, {_CDC_DIGEST_SQL.format(price="price")} AS old_digest
+      FROM base WHERE o_orderkey % 97 != 0),
+    new_snap AS (
+      SELECT o_orderkey,
+             {_CDC_DIGEST_SQL.format(
+                 price="CASE WHEN o_orderkey % 7 = 0 THEN price + 1 ELSE price END"
+             )} AS new_digest
+      FROM base WHERE o_orderkey % 89 != 3)
+    SELECT o_orderkey,
+           CASE WHEN old_digest IS NULL THEN 'insert'
+                WHEN new_digest IS NULL THEN 'delete'
+                WHEN old_digest != new_digest THEN 'update' END AS change_type,
+           old_digest, new_digest
+    FROM old_snap FULL OUTER JOIN new_snap USING (o_orderkey)
+    WHERE old_digest IS NULL OR new_digest IS NULL OR old_digest != new_digest
+    ORDER BY o_orderkey
+    """,
+)
+def etl_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC (operators.cdc.snapshot_diff) over two
+    deterministically-derived versions of orders: v_old drops keys
+    % 97 == 0, v_new drops % 89 == 3 and bumps price by 1 where
+    % 7 == 0 — yielding all three change classes. Prices ride as
+    DECIMAL(18,2) so the digest strings are format-identical across
+    engines (raw doubles would diverge on CAST-to-string)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderstatus",
+    )
+    old_snap = base.filter(F.col("o_orderkey") % 97 != 0)
+    new_snap = base.filter(F.col("o_orderkey") % 89 != 3).withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("price") + 1).otherwise(
+            F.col("price")
+        ),
+    )
+    return snapshot_diff(
+        old_snap, new_snap, ["o_orderkey"], ["price", "o_orderstatus"]
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    scaled AS (
+      SELECT label, x,
+             list_max(list_transform(x, a -> abs(a))) / 127.0 AS scale
+      FROM v),
+    errs AS (
+      SELECT label, scale, CAST(len(x) AS BIGINT) AS dim,
+             CASE WHEN scale > 0
+                  THEN list_transform(x, a -> a - floor(a / scale + 0.5) * scale)
+                  ELSE x END AS e
+      FROM scaled),
+    per_vec AS (
+      SELECT label, scale, dim,
+             list_dot_product(e, e) AS sse,
+             list_max(list_transform(e, a -> abs(a))) AS mae
+      FROM errs)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST(scale AS DECIMAL(27,15))) AS DOUBLE) / count(*),
+                 12) AS avg_scale,
+           ROUND(CAST(SUM(CAST(sse AS DECIMAL(27,15))) AS DOUBLE) / SUM(dim),
+                 12) AS mse,
+           ROUND(MAX(mae), 12) AS max_abs_err
+    FROM per_vec GROUP BY label ORDER BY label
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization audit (operators.similarity.
+    quantize_int8_stats): per-vector symmetric scale max|x|/127,
+    round-half-up codes, per-label reconstruction MSE / max-abs error.
+    Per-vector squared error is dot(err, err) — the sequential fold
+    DuckDB's list_dot_product reproduces bit-for-bit; cross-row sums
+    ride decimal(27,15)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8_stats(emb)
+
+
+_Z_BITS, _Z_CELLS = 8, 64
+_Z_SQL = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+@query(
+    "layout_zorder_events",
+    oracle=f"""
+    WITH xy AS (
+      SELECT ((user_id % 256) + 256) % 256 AS x,
+             ((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 256)
+              + 256) % 256 AS y
+      FROM events),
+    z AS (SELECT x, y, ({_Z_SQL}) // {_Z_CELLS} AS file_id FROM xy)
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS x_lo, CAST(max(x) AS BIGINT) AS x_hi,
+           CAST(min(y) AS BIGINT) AS y_lo, CAST(max(y) AS BIGINT) AS y_hi
+    FROM z GROUP BY file_id ORDER BY file_id
+    """,
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (operators.partitioning.zorder_key_expr /
+    zorder_layout_audit) over events bucketed by (user_id mod 256,
+    day-index mod 256): every 64-Z-cell 'file' reports its (x, y)
+    bounding box — both spans land near 8x8 (sqrt(64)) instead of one
+    dimension spanning 0..255, which is the measured min/max-pruning
+    win of Morton layout. Bucketing uses the explicit
+    ((v % m) + m) % m non-negative mod so Spark's pmod and DuckDB's
+    %-semantics cannot diverge on negative day indexes."""
+    events = load_table(spark, sf_dir, "events")
+    nonneg = lambda c, m: ((c % m) + m) % m  # noqa: E731
+    xy = events.select(
+        nonneg(F.col("user_id"), F.lit(256)).alias("x"),
+        nonneg(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")),
+            F.lit(256),
+        ).alias("y"),
+    )
+    return zorder_layout_audit(xy, "x", "y", bits=_Z_BITS, cells_per_file=_Z_CELLS)
+
+
+_HIST_SPECS = (
+    # (label, table, column, lo, hi, n_buckets)
+    ("o_totalprice", "orders", "o_totalprice", 0.0, 500_000.0, 25),
+    ("l_quantity", "lineitem", "l_quantity", 0.0, 50.0, 25),
+)
+
+
+def _hist_sql(label: str, table: str, col: str, lo: float, hi: float, nb: int) -> str:
+    w = (hi - lo) / nb
+    return f"""
+    SELECT '{label}' AS col_name, bucket,
+           {lo} + bucket * {w} AS bucket_lo,
+           {lo} + (bucket + 1) * {w} AS bucket_hi,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(CAST(count(*) AS DOUBLE) / SUM(count(*)) OVER (
+             PARTITION BY 1), 9) AS frac
+    FROM (
+      SELECT least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo}) / {w})
+                                 AS BIGINT), 0), {nb - 1}) AS bucket
+      FROM {table} WHERE {col} IS NOT NULL)
+    GROUP BY bucket"""
+
+
+@query(
+    "agg_numeric_histograms",
+    oracle=" UNION ALL ".join(
+        f"({_hist_sql(*spec)})" for spec in _HIST_SPECS
+    )
+    + " ORDER BY col_name, bucket",
+)
+def agg_numeric_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiles (operators.report.numeric_histogram) for
+    the validation report: equi-width histograms of o_totalprice and
+    l_quantity with clamped edge buckets (fat edges = stale range
+    config = outliers). Each histogram is one partial-aggregated
+    groupBy fused into its scan; frac is the empty-frame-window share
+    over the n_buckets-row aggregate."""
+    parts = []
+    for label, table, col, lo, hi, nb in _HIST_SPECS:
+        df = load_table(spark, sf_dir, table)
+        parts.append(
+            numeric_histogram(df, col, lo, hi, nb).select(
+                F.lit(label).alias("col_name"), "*"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name", "bucket")

@@ -1,0 +1,134 @@
+"""Round-6 lifecycle operators: chunking coverage/overlap invariants,
+PII scrub behavior, snapshot-diff classification, int8 quantization
+error bounds, Z-order locality, histogram clamping."""
+
+from pyspark.sql import functions as F
+
+from retail_sales_analysis_etl_bi_project_spark.operators.cdc import snapshot_diff
+from retail_sales_analysis_etl_bi_project_spark.operators.curation import (
+    chunk_documents,
+)
+from retail_sales_analysis_etl_bi_project_spark.operators.partitioning import (
+    zorder_key_expr,
+    zorder_layout_audit,
+)
+from retail_sales_analysis_etl_bi_project_spark.operators.report import (
+    numeric_histogram,
+)
+from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+    quantize_int8_stats,
+)
+from retail_sales_analysis_etl_bi_project_spark.operators.text import pii_scrub
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(200))),  # 200 toks -> 4 chunks
+            (2, "one two three"),  # short: single chunk
+            (3, ""),  # blank: dropped
+            (4, None),  # NULL: dropped
+        ],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(docs, chunk_size=64, stride=48).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    d1 = sorted([r for r in rows if r.doc_id == 1], key=lambda r: r.chunk_id)
+    # lo = i*48, hi = min(lo+64, 200); final chunk clipped
+    assert [(r.tok_lo, r.tok_hi) for r in d1] == [
+        (0, 64),
+        (48, 112),
+        (96, 160),
+        (144, 200),
+    ]
+    # consecutive chunks overlap by chunk_size - stride = 16 tokens
+    for a, b in zip(d1, d1[1:]):
+        assert a.tok_hi - b.tok_lo == 16
+    # full coverage: union of [lo, hi) is [0, 200)
+    assert d1[0].tok_lo == 0 and d1[-1].tok_hi == 200
+    (d2,) = [r for r in rows if r.doc_id == 2]
+    assert (d2.tok_lo, d2.tok_hi, d2.n_chunk_tokens) == (0, 3, 3)
+    assert all(len(r.chunk_hash) == 32 for r in rows)
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.org or c@d.co.uk from 10.0.0.1 call +4915112345678"),
+            (2, "no pii here 1.2 3.4"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (rows[1].n_emails, rows[1].n_ipv4, rows[1].n_phones) == (2, 1, 1)
+    # redaction shortens: both addresses + ip + phone collapse to tags
+    assert rows[1].n_chars_after < rows[1].n_chars_before
+    assert (rows[2].n_emails, rows[2].n_ipv4, rows[2].n_phones) == (0, 0, 0)
+    assert rows[2].n_chars_after == rows[2].n_chars_before
+    assert rows[3].n_emails is None and rows[3].redacted_hash is None
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 31), (4, "", 40), (5, "e", 50)],
+        ["k", "s", "v"],
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    # 2 unchanged (absent); NULL vs '' must NOT collide (sentinel coding)
+    assert got == {1: "delete", 3: "update", 4: "update", 5: "insert"}
+
+
+def test_quantize_int8_error_bounded_by_half_scale(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, -0.5, 0.25, 127.0]),
+            (0, [0.1, 0.2, -0.3, 0.4]),
+            (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector: zero error, scale 0
+        ],
+        ["label", "embedding"],
+    )
+    rows = {r.label: r for r in quantize_int8_stats(emb).collect()}
+    # reconstruction error of round-to-nearest is <= scale/2 per element;
+    # the largest per-vector scale in label 0 is 127/127 = 1.0
+    assert rows[0].max_abs_err <= 0.5 + 1e-12
+    assert rows[0].mse > 0
+    assert rows[1].avg_scale == 0.0 and rows[1].mse == 0.0
+    assert rows[1].max_abs_err == 0.0
+
+
+def test_zorder_locality_beats_single_column_stripes(spark):
+    # full 16x16 grid, 4 bits per dim -> 256 cells, 16 cells per file
+    grid = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    audit = zorder_layout_audit(grid, "x", "y", bits=4, cells_per_file=16).collect()
+    assert len(audit) == 16 and all(r.n_rows == 16 for r in audit)
+    for r in audit:
+        # each 16-cell Z-file is a 4x4 square: both spans are 3, never a
+        # 16-wide stripe (what single-column sort would produce)
+        assert r.x_hi - r.x_lo == 3
+        assert r.y_hi - r.y_lo == 3
+    # key expression: bit i of x -> 2i, of y -> 2i+1
+    z = spark.range(1).select(
+        zorder_key_expr(F.lit(3), F.lit(1), bits=4).alias("z")
+    ).collect()[0].z
+    assert z == 0b0111  # x=0b11 -> bits 0,2; y=0b1 -> bit 1
+
+
+def test_numeric_histogram_clamps_outliers_into_edge_buckets(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.9,), (5.0,), (9.9,), (25.0,), (None,)], ["v"]
+    )
+    rows = {r.bucket: r for r in numeric_histogram(df, "v", 0.0, 10.0, 2).collect()}
+    # buckets: [0,5) and [5,10); -5 clamps low, 25 clamps high, NULL excluded
+    assert rows[0].n == 3 and rows[1].n == 3
+    assert rows[0].bucket_lo == 0.0 and rows[1].bucket_hi == 10.0
+    assert abs(rows[0].frac - 0.5) < 1e-9
