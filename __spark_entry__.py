@@ -84,6 +84,10 @@ _PAST_WINDOW = (
     "dedup_embedding_lsh",         # recomputed inside in-window dedup_family_recall
     "dedup_minhash_lsh",           # candidates recomputed inside dedup_family_recall
     "etl_orc_roundtrip",           # staging twin of in-window etl_json_roundtrip
+    "dedup_hash_groups",           # exact-dedup stage runs inside in-window
+                                   # corpus_filter_pipeline; green r1-r5
+    "etl_dim_date_build",          # rows converge with etl_upsert_dim_date
+                                   # (r1-r5 green) + test_dims golden tests
 )
 
 

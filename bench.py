@@ -97,6 +97,8 @@ HEADLINE = [
     "embed_quantize_int8",
     "layout_zorder_events",
     "agg_numeric_histograms",
+    "text_quality_classifier",
+    "bi_daily_revenue_gapfill",
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

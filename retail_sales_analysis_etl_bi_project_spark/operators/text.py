@@ -272,3 +272,65 @@ def pii_scrub(
         F.length(redacted).cast("bigint").alias("n_chars_after"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+# Deployed-artifact weights for the linear quality classifier. In a real
+# pipeline these come from a trained fastText/logreg model; the VALUES
+# are a fixed artifact either way — scoring cost and plan shape are
+# identical, which is what this operator demonstrates.
+QUALITY_CLF_WEIGHTS = {
+    "bias": -1.0,
+    "stop_ratio": 4.0,      # stopword presence: strongest prose signal
+    "punct_ratio": -8.0,    # punctuation walls -> boilerplate/code
+    "digit_ratio": -2.0,    # digit-heavy -> tables/ids
+    "wlen_dev": -0.15,      # |mean word len - 5| deviation penalty
+}
+
+
+def digit_count_expr(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"[0-9]")).cast("bigint")
+
+
+def quality_classifier(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> "DataFrame":
+    """Model-based quality filtering — the classifier pass of a
+    training-data pipeline (CCNet/fastText discipline): a linear model
+    over cheap per-row features, squashed to (0,1), thresholded into a
+    keep decision. Differs from quality_score_expr (a hand-tuned
+    heuristic) in shape: weights are a deployed ARTIFACT (literals in
+    the plan, swappable without code changes) and the output carries
+    the score + decision for audit.
+
+    The squash is the ALGEBRAIC sigmoid z/(1+|z|) rescaled to (0,1) —
+    exp() is a transcendental whose last-ulp behavior differs across
+    libm implementations, while divide/abs are IEEE-exact in every
+    engine, so the score is hash-verifiable cross-engine at full
+    precision. Monotone in z, so thresholding is equivalent up to
+    re-calibration. Scale shape: pure per-row expressions fused into
+    the scan; no shuffle, no UDF."""
+    c = F.col(text_col)
+    n_tok = token_count_expr(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    stop_ratio = F.when(n_tok > 0, stopword_count_expr(c).cast("double") / n_tok).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, punct_count_expr(c).cast("double") / n_chars).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, digit_count_expr(c).cast("double") / n_chars).otherwise(0.0)
+    mean_wlen = F.when(n_tok > 0, n_chars / n_tok).otherwise(0.0)
+    w = QUALITY_CLF_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["stop_ratio"]) * stop_ratio
+        + F.lit(w["punct_ratio"]) * punct_ratio
+        + F.lit(w["digit_ratio"]) * digit_ratio
+        + F.lit(w["wlen_dev"]) * F.abs(mean_wlen - F.lit(5.0))
+    )
+    score = (z / (F.lit(1.0) + F.abs(z)) + F.lit(1.0)) * F.lit(0.5)
+    return docs.select(
+        F.col(id_col),
+        F.round(score, 9).alias("quality_score"),
+        (score >= F.lit(float(threshold))).alias("kept"),
+    )

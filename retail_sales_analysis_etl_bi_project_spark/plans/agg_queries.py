@@ -27,17 +27,29 @@ from .registry import query
 )
 def agg_rollup_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(year, month): monthly rows + yearly subtotals + grand
-    total in one pass (Spark expands grouping sets in a single shuffle).
-    The BI 'drill-up' companion to q02."""
+    total. The BI 'drill-up' companion to q02.
+
+    Two-phase shape: Spark implements rollup as Expand (one copy of
+    every input row per grouping set), so rolling up the raw join
+    output triples the rows entering the aggregate's shuffle — at
+    100 TB that's the dominant cost. Instead a plain groupBy(year,
+    month) collapses the join first (partial-aggregated, fixed-width),
+    and the rollup's Expand runs over the ~#months-sized aggregate.
+    Decimal sums are associative, so sum-of-monthly-sums is exactly the
+    one-pass value the DuckDB twin computes."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    monthly = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .rollup(
+        .groupBy(
             F.year("o_orderdate").alias("year"),
             F.month("o_orderdate").alias("month"),
         )
-        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .agg(F.sum(revenue_expr()).alias("_rev"))
+    )
+    return (
+        monthly.rollup("year", "month")
+        .agg(F.sum("_rev").cast("double").alias("revenue"))
         .orderBy("year", "month")
     )
 

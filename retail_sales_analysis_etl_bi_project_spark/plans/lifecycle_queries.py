@@ -17,6 +17,10 @@ families stop short of:
                            min/max pruning quality as numbers)
 - agg_numeric_histograms : equi-width distribution profiles for the
                            validation report
+- text_quality_classifier: model-based quality filter (linear weights
+                           artifact + algebraic sigmoid, r6c)
+- bi_daily_revenue_gapfill: dense calendar series + trailing moving
+                           average over date-grain aggregates (r6c)
 """
 
 from __future__ import annotations
@@ -334,3 +338,87 @@ def agg_numeric_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col_name", "bucket")
+
+
+# ------------------------------------------------------------------ r6c
+# quality-classifier filter + calendar gap-fill (registered after the
+# first lifecycle batch; two more spine variants spill — see
+# __spark_entry__._PAST_WINDOW).
+
+from ..operators.text import QUALITY_CLF_WEIGHTS, quality_classifier  # noqa: E402
+from ..operators.timeseries import calendar_gapfill  # noqa: E402
+from .text_queries import _SQL_NPUNCT, _SQL_NSTOP, _SQL_NTOK  # noqa: E402
+
+_SQL_NDIGIT = "len(regexp_extract_all(text, '[0-9]'))"
+
+
+def _clf_z_sql() -> str:
+    w = QUALITY_CLF_WEIGHTS
+    ntok = f"CAST({_SQL_NTOK} AS DOUBLE)"
+    nchars = "CAST(length(text) AS DOUBLE)"
+    sr = f"CASE WHEN {ntok} > 0 THEN CAST({_SQL_NSTOP} AS DOUBLE) / {ntok} ELSE 0.0 END"
+    pr = f"CASE WHEN {nchars} > 0 THEN CAST({_SQL_NPUNCT} AS DOUBLE) / {nchars} ELSE 0.0 END"
+    dr = f"CASE WHEN {nchars} > 0 THEN CAST({_SQL_NDIGIT} AS DOUBLE) / {nchars} ELSE 0.0 END"
+    mw = f"CASE WHEN {ntok} > 0 THEN {nchars} / {ntok} ELSE 0.0 END"
+    # same left-associated order as the Spark expression
+    return (
+        f"{w['bias']} + {w['stop_ratio']} * ({sr})"
+        f" + {w['punct_ratio']} * ({pr})"
+        f" + {w['digit_ratio']} * ({dr})"
+        f" + {w['wlen_dev']} * abs(({mw}) - 5.0)"
+    )
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH z AS (SELECT doc_id, ({_clf_z_sql()}) AS zv FROM documents),
+    s AS (SELECT doc_id, (zv / (1.0 + abs(zv)) + 1.0) * 0.5 AS score FROM z)
+    SELECT doc_id, ROUND(score, 9) AS quality_score, score >= 0.5 AS kept
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators.text.quality_classifier):
+    linear model over stopword/punct/digit ratios and word-length
+    deviation, squashed with the ALGEBRAIC sigmoid z/(1+|z|) (exp()'s
+    last-ulp varies across libms; divide/abs are IEEE-exact), giving a
+    hash-verifiable score and keep decision per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier(docs).orderBy("doc_id")
+
+
+@query(
+    "bi_daily_revenue_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY 1),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    cal AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                               CAST(hi AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS day
+            FROM b),
+    dense AS (
+      SELECT cal.day, coalesce(rev, CAST(0 AS DECIMAL(18,4))) AS v,
+             rev IS NULL AS is_gap
+      FROM cal LEFT JOIN daily USING (day))
+    SELECT day, CAST(v AS DOUBLE) AS revenue, is_gap,
+           CAST(SUM(v) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+    FROM dense
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def bi_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily-revenue series (operators.timeseries.
+    calendar_gapfill): missing calendar days filled with 0 and flagged,
+    7-day trailing moving average over the dense series. The fact table
+    collapses to date grain FIRST (partial-aggregated), so the explode,
+    fill join, and ordered window all run over day-count-sized data."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("revenue"))
+    return calendar_gapfill(daily, "day", "revenue", ma_days=7)

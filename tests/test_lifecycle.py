@@ -132,3 +132,52 @@ def test_numeric_histogram_clamps_outliers_into_edge_buckets(spark):
     assert rows[0].n == 3 and rows[1].n == 3
     assert rows[0].bucket_lo == 0.0 and rows[1].bucket_hi == 10.0
     assert abs(rows[0].frac - 0.5) < 1e-9
+
+
+def test_quality_classifier_separates_prose_from_junk(spark):
+    from retail_sales_analysis_etl_bi_project_spark.operators.text import (
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was a good day for this"),
+            (2, "!!!???;;;:::...,,,!!!???;;;:::...,,,"),
+            (3, "0123456789 0123456789 0123456789"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in quality_classifier(docs).collect()}
+    assert rows[1].kept and rows[1].quality_score > 0.5
+    assert not rows[2].kept  # punctuation wall
+    assert not rows[3].kept  # digit-heavy
+    # NULL text: all ratios collapse to 0 -> defined (low) score, not NULL
+    assert rows[4].quality_score is not None and not rows[4].kept
+    assert all(0.0 < r.quality_score < 1.0 for r in rows.values())
+
+
+def test_calendar_gapfill_densifies_and_averages(spark):
+    from datetime import date
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.timeseries import (
+        calendar_gapfill,
+    )
+
+    daily = spark.createDataFrame(
+        [
+            (date(2024, 1, 1), 10.0),
+            (date(2024, 1, 3), 30.0),  # Jan 2 missing
+            (date(2024, 1, 5), 50.0),  # Jan 4 missing
+        ],
+        ["day", "revenue"],
+    ).select("day", F.col("revenue").cast("decimal(18,4)").alias("revenue"))
+    rows = sorted(
+        calendar_gapfill(daily, "day", "revenue", ma_days=2).collect(),
+        key=lambda r: r.day,
+    )
+    assert [r.day.day for r in rows] == [1, 2, 3, 4, 5]
+    assert [r.is_gap for r in rows] == [False, True, False, True, False]
+    assert [r.revenue for r in rows] == [10.0, 0.0, 30.0, 0.0, 50.0]
+    # trailing 2-day MA over the DENSE series (gaps pull it down)
+    assert [r.ma2 for r in rows] == [10.0, 5.0, 15.0, 15.0, 25.0]

@@ -66,6 +66,13 @@ def main():
         "embed_label_centroids",
         "events_retention_cohorts",
         "bi_rfm_segmentation",
+        "agg_rollup_year_month",
+        "corpus_chunk_documents",
+        "text_pii_scrub",
+        "etl_snapshot_cdc_diff",
+        "embed_quantize_int8",
+        "layout_zorder_events",
+        "agg_numeric_histograms",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
