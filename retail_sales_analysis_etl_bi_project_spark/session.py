@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Python DataSource filter pushdown (sources/pyds.py): a reader
+        # that implements pushFilters() ERRORS when this is off (4.1's
+        # fail-loud contract), and the conf is read at plan time, so the
+        # engine session enables it up front. Ignored by Spark 3.x.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,227 @@
+"""Custom Python DataSource connector (Spark 4 ``pyspark.sql.datasource``
+API): the synthetic retail feed exposed as a real pluggable source —
+``spark.read.format("retail_synth")`` — instead of a library function.
+
+Why this exists next to sources/generator.py (the spark.range
+expression generator): the generator covers S7 (synthetic data as a
+DataFrame program); this module covers the CONNECTOR surface — schema
+declaration, partition planning, filter pushdown, and streaming offsets
+— the way an external system (a feed API, a message queue, a legacy
+store with no JDBC driver) would be wired into Spark when no built-in
+format exists. Everything below is the public DataSource V2-for-Python
+contract introduced in Spark 4.0.
+
+Scale notes:
+- partition planning: the row range splits into ``parts`` independent
+  InputPartitions, so generation (or, in a real connector, fetching)
+  runs once per executor slot — no driver loop, no single-task scan.
+- filter pushdown: ``pushFilters`` absorbs sale_id range/equality
+  predicates into the partition planner, so ``WHERE sale_id < k``
+  prunes whole partitions before any worker starts (the Python-source
+  equivalent of parquet's PushedFilters); unsupported predicates are
+  returned to Spark, which re-applies them after the scan (the API's
+  correctness contract — pushdown is an optimization, never a filter
+  REPLACEMENT).
+- rows are derived purely from sale_id via md5 (hashlib), so any
+  partitioning of the id range yields byte-identical data — the
+  determinism that makes the source's output verifiable and the
+  streaming reader's replay exactly-once.
+- the streaming reader tracks a monotone row-count offset:
+  ``initialOffset``/``latestOffset`` advance by ``batch_rows`` per
+  micro-batch and ``readBetweenOffsets`` replays any committed range
+  bit-identically after restart.
+
+This is an Arrow-batched Python path (rows cross via the Python
+worker), i.e. the slow lane relative to JVM scans — correct for a
+connector demo and for sources that are remote-API-bound anyway; bulk
+synthetic data at 100 TB should keep using sources/generator.py's pure
+expression pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+try:  # Spark 4.x only; import-gated like the VARIANT path
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    HAS_PYDS = True
+except ImportError:  # pragma: no cover — Spark 3.x
+    HAS_PYDS = False
+
+    class DataSource:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceStreamReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        pass
+
+
+SCHEMA_DDL = (
+    "sale_id bigint, customer_id bigint, category string, "
+    "quantity int, unit_price double"
+)
+
+_CATEGORIES = (
+    "Electronics",
+    "Home & Kitchen",
+    "Fashion",
+    "Sports",
+    "Toys",
+    "Books",
+    "Health",
+    "Automotive",
+)
+
+
+def synth_row(sale_id: int) -> tuple:
+    """The one source of truth for row content: every field derives
+    from md5(sale_id), so workers generate identical rows regardless of
+    which partition (or micro-batch) an id lands in, and tests can
+    recompute expectations without Spark."""
+    h = int.from_bytes(
+        hashlib.md5(str(sale_id).encode()).digest()[:8], "big"
+    )
+    return (
+        sale_id,
+        h % 50_000 + 1,
+        _CATEGORIES[(h >> 16) % len(_CATEGORIES)],
+        (h >> 24) % 5 + 1,
+        round(((h >> 8) % 990_000) / 100.0 + 100.0, 2),
+    )
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    start: int
+    end: int  # exclusive
+
+
+class RetailSynthReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("parts", 8))
+        self.lo = 1  # sale_id domain [lo, hi] inclusive
+        self.hi = self.n_rows
+
+    def pushFilters(self, filters):
+        """Absorb sale_id range predicates into the planner; yield back
+        everything else (Spark re-applies those post-scan)."""
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if col == "sale_id" and isinstance(f, EqualTo):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value))
+            elif col == "sale_id" and isinstance(f, GreaterThan):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif col == "sale_id" and isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, int(f.value))
+            elif col == "sale_id" and isinstance(f, LessThan):
+                self.hi = min(self.hi, int(f.value) - 1)
+            elif col == "sale_id" and isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, int(f.value))
+            else:
+                yield f
+
+    def partitions(self):
+        lo, hi = self.lo, self.hi + 1  # half-open
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]  # fully pruned: one empty split
+        span = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
+        return [
+            _RangePartition(s, min(s + span, hi))
+            for s in range(lo, hi, span)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for sale_id in range(partition.start, partition.end):
+            yield synth_row(sale_id)
+
+
+class RetailSynthStreamReader(DataSourceStreamReader):
+    """Monotone row-count offsets, the Kafka discipline: latestOffset
+    reports the upstream's CURRENT end (the ``rows`` option — restart
+    the query with a larger value to model the feed growing), Spark
+    checkpoints the committed offset, and each micro-batch covers
+    (committed, latest]. The reader holds no offset state of its own —
+    a restarted instance resumes purely from the checkpoint, and
+    readBetweenOffsets replays any committed range bit-identically
+    (rows derive from sale_id alone) — restart-safe exactly-once."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.max_rows = int(options.get("rows", 1000))
+
+    def initialOffset(self):
+        return {"next_id": 1}
+
+    def latestOffset(self):
+        return {"next_id": self.max_rows + 1}
+
+    def partitions(self, start, end):
+        # split the batch's offset range into batch_rows-sized splits so
+        # a large catch-up batch still reads at cluster width
+        lo, hi = int(start["next_id"]), int(end["next_id"])
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        return [
+            _RangePartition(s, min(s + self.batch_rows, hi))
+            for s in range(lo, hi, self.batch_rows)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for sale_id in range(partition.start, partition.end):
+            yield synth_row(sale_id)
+
+    def readBetweenOffsets(self, start, end):
+        return self.read(
+            _RangePartition(int(start["next_id"]), int(end["next_id"]))
+        )
+
+    def commit(self, end):
+        pass  # nothing to acknowledge upstream
+
+
+class RetailSynthDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "retail_synth"
+
+    def schema(self):
+        return SCHEMA_DDL
+
+    def reader(self, schema):
+        return RetailSynthReader(self.options)
+
+    def streamReader(self, schema):
+        return RetailSynthStreamReader(self.options)
+
+
+def register(spark) -> bool:
+    """Register the format on a session; False on Spark 3.x (callers
+    skip, same gating discipline as the VARIANT queries)."""
+    if not HAS_PYDS:
+        return False
+    # the reader implements pushFilters(), which fails loud when the
+    # pushdown conf is off; it is a runtime-settable SQL conf, so flip
+    # it here for sessions not built by session.get_spark (which sets
+    # it at build time).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(RetailSynthDataSource)
+    return True

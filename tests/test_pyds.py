@@ -1,0 +1,88 @@
+"""Custom Python DataSource connector (sources/pyds.py, Spark 4
+``pyspark.sql.datasource`` API): deterministic batch read, filter
+pushdown partition pruning, and exactly-once streaming offsets."""
+
+import tempfile
+
+import pytest
+
+from retail_sales_analysis_etl_bi_project_spark.sources import pyds
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    if not pyds.register(spark):
+        pytest.skip("Python DataSource API needs Spark 4.x")
+    return spark
+
+
+def test_batch_read_is_deterministic_and_partitioned(registered):
+    spark = registered
+    df = (
+        spark.read.format("retail_synth")
+        .option("rows", 40)
+        .option("parts", 4)
+        .load()
+    )
+    rows = sorted([tuple(r) for r in df.collect()])
+    assert rows == [pyds.synth_row(i) for i in range(1, 41)]
+    # partition planning: the id range splits into 4 independent reads
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_filter_pushdown_prunes_partitions(registered):
+    spark = registered
+    df = (
+        spark.read.format("retail_synth")
+        .option("rows", 1000)
+        .option("parts", 8)
+        .load()
+    )
+    got = df.filter("sale_id > 990").collect()
+    assert sorted(r.sale_id for r in got) == list(range(991, 1001))
+    # the planner itself absorbs the range: direct contract check
+    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+    r = pyds.RetailSynthReader({"rows": "1000", "parts": "8"})
+    residual = list(
+        r.pushFilters([
+            GreaterThan(("sale_id",), 990),
+            LessThanOrEqual(("quantity",), 3),  # not ours -> handed back
+        ])
+    )
+    assert [type(f).__name__ for f in residual] == ["LessThanOrEqual"]
+    parts = r.partitions()
+    assert parts[0].start == 991 and parts[-1].end == 1001
+    assert sum(p.end - p.start for p in parts) == 10  # 99% pruned
+
+
+def test_stream_resumes_from_checkpoint_exactly_once(registered):
+    spark = registered
+    ckpt = tempfile.mkdtemp(prefix="pyds_ckpt_")
+    out = tempfile.mkdtemp(prefix="pyds_out_")
+
+    def run_once(upstream_rows):
+        # parquet sink: the memory sink refuses checkpoint RECOVERY, and
+        # recovery is exactly what this test exercises
+        q = (
+            spark.readStream.format("retail_synth")
+            .option("rows", upstream_rows)
+            .option("batch_rows", 40)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        return len(rows), sorted(r.sale_id for r in rows)
+
+    n1, ids1 = run_once(100)
+    assert (n1, ids1[0], ids1[-1]) == (100, 1, 100)
+    # restart with the upstream grown to 250: the reader resumes from
+    # the CHECKPOINTED offset — only ids 101..250 are read, no replays,
+    # no gaps (rows 1..100 appear exactly once in the sink)
+    n2, ids2 = run_once(250)
+    assert n2 == 250 and ids2 == list(range(1, 251))
