@@ -26,10 +26,14 @@ Scale notes:
   partitioning of the id range yields byte-identical data — the
   determinism that makes the source's output verifiable and the
   streaming reader's replay exactly-once.
-- the streaming reader tracks a monotone row-count offset:
-  ``initialOffset``/``latestOffset`` advance by ``batch_rows`` per
-  micro-batch and ``readBetweenOffsets`` replays any committed range
-  bit-identically after restart.
+- the streaming reader tracks a monotone row-count offset the Kafka
+  way: ``latestOffset`` reports the upstream's current end, committed
+  offsets live in the checkpoint (the reader itself is stateless), and
+  ``readBetweenOffsets`` replays any committed range bit-identically
+  after restart.
+- the writer half is a manifest-committed JSON-lines sink: tasks write
+  uniquely-named part files, the driver's ``commit()`` publishes the
+  manifest atomically — the V2 two-phase commit protocol.
 
 This is an Arrow-batched Python path (rows cross via the Python
 worker), i.e. the slow lane relative to JVM scans — correct for a
@@ -212,6 +216,11 @@ class RetailSynthDataSource(DataSource):
     def streamReader(self, schema):
         return RetailSynthStreamReader(self.options)
 
+    def writer(self, schema, overwrite):
+        # ManifestJsonWriter is defined below (inside the HAS_PYDS
+        # guard); name resolution happens at call time.
+        return ManifestJsonWriter(self.options, overwrite)
+
 
 def register(spark) -> bool:
     """Register the format on a session; False on Spark 3.x (callers
@@ -225,3 +234,94 @@ def register(spark) -> bool:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(RetailSynthDataSource)
     return True
+
+
+# ---------------------------------------------------------------- writer
+# The sink half of the connector: a manifest-committed JSON-lines
+# directory writer demonstrating the V2 two-phase commit protocol that
+# gives file sinks job-level atomicity — each task writes a uniquely
+# named part file and returns its path as the commit message; ONLY the
+# driver-side commit() publishes the manifest listing exactly the
+# committed files. A reader that honors the manifest (read_manifest_json
+# below) can never observe a torn job: before commit the manifest is
+# absent, after abort the orphaned part files are deleted, and a re-run
+# overwrites the manifest wholesale. This is the same protocol Spark's
+# own FileCommitProtocol implements JVM-side.
+
+if HAS_PYDS:
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    @dataclass
+    class _PartFileCommit(WriterCommitMessage):
+        path: str
+        n_rows: int
+
+    class ManifestJsonWriter(DataSourceWriter):
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("retail_synth sink requires option('path', ...)")
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            """Task-side: stream rows to a uniquely named part file.
+            The uuid suffix means a retried/zombie task can never
+            clobber another attempt's file; losers simply go unlisted
+            by the manifest (and are reaped by the next commit)."""
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            _os.makedirs(self.path, exist_ok=True)
+            part = _os.path.join(
+                self.path, f"part-{_uuid.uuid4().hex[:12]}.jsonl"
+            )
+            n = 0
+            with open(part, "w") as fh:
+                for row in iterator:
+                    fh.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _PartFileCommit(path=part, n_rows=n)
+
+        def commit(self, messages):
+            """Driver-side: publish the manifest atomically (tmp +
+            rename), listing exactly the files of THIS job; stale part
+            files from earlier jobs or lost task attempts are removed
+            so the directory converges to the manifest."""
+            import json as _json
+            import os as _os
+
+            files = sorted(
+                _os.path.basename(m.path) for m in messages if m is not None
+            )
+            rows = sum(m.n_rows for m in messages if m is not None)
+            manifest = _os.path.join(self.path, "_manifest.json")
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump({"files": files, "n_rows": rows}, fh)
+            _os.replace(tmp, manifest)
+            keep = set(files) | {"_manifest.json"}
+            for f in _os.listdir(self.path):
+                if f.endswith(".jsonl") and f not in keep:
+                    _os.remove(_os.path.join(self.path, f))
+
+        def abort(self, messages):
+            import os as _os
+
+            for m in messages:
+                if m is not None and _os.path.exists(m.path):
+                    _os.remove(m.path)
+
+
+
+def read_manifest_json(spark, path: str):
+    """Manifest-honoring reader for the sink above: only files listed in
+    _manifest.json are visible — uncommitted or orphaned part files are
+    invisible by construction."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_manifest.json")) as fh:
+        manifest = _json.load(fh)
+    files = [_os.path.join(path, f) for f in manifest["files"]]
+    return spark.read.json(files) if files else None

@@ -86,3 +86,41 @@ def test_stream_resumes_from_checkpoint_exactly_once(registered):
     # no gaps (rows 1..100 appear exactly once in the sink)
     n2, ids2 = run_once(250)
     assert n2 == 250 and ids2 == list(range(1, 251))
+
+
+def test_manifest_writer_two_phase_commit(registered):
+    spark = registered
+    out = tempfile.mkdtemp(prefix="pyds_sink_")
+    df = (
+        spark.read.format("retail_synth")
+        .option("rows", 30)
+        .option("parts", 3)
+        .load()
+    )
+    df.write.format("retail_synth").mode("append").option("path", out).save()
+
+    import json
+    import os
+
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["n_rows"] == 30
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    # the manifest lists EXACTLY the committed part files
+    assert set(manifest["files"]) == on_disk and len(on_disk) >= 1
+
+    back = pyds.read_manifest_json(spark, out)
+    got = sorted(
+        (r.sale_id, r.customer_id, r.category, r.quantity, r.unit_price)
+        for r in back.collect()
+    )
+    assert got == [pyds.synth_row(i) for i in range(1, 31)]
+
+    # an orphaned part file (lost task attempt / torn earlier job) is
+    # invisible to the manifest reader and reaped by the next commit
+    orphan = os.path.join(out, "part-deadbeef.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write('{"sale_id": 999999}\n')
+    assert pyds.read_manifest_json(spark, out).count() == 30
+    df.write.format("retail_synth").mode("append").option("path", out).save()
+    assert not os.path.exists(orphan)
