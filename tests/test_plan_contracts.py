@@ -1,0 +1,87 @@
+"""Physical-plan contract guards: the scale properties SCALE.md claims
+(broadcast dim joins, parquet pushdown, pre-aggregation before Expand,
+no cartesian products) asserted against the ACTUAL plans, so a future
+refactor that silently degrades a plan fails CI instead of only
+showing up as a bench regression.
+
+Deliberately coarse assertions (operator presence/absence, not plan
+shape equality) — they must survive Spark version bumps and AQE
+re-planning, and only fail when a load-bearing property is lost."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+def plan_of(spark, qs, name, sf_dir):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        qs[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_broadcasts_dims_and_takes_ordered(spark, qs, sf_dir):
+    plan = plan_of(spark, qs, "q01_top5_products_by_revenue", sf_dir)
+    # top-5 must be TakeOrderedAndProject (never global sort + limit)
+    assert "TakeOrderedAndProject" in plan
+    # the part dim joins as a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_silver_filters_push_down_to_parquet(spark, qs, sf_dir):
+    plan = plan_of(spark, qs, "etl_silver_filters", sf_dir)
+    assert "PushedFilters: [" in plan
+    # at least one real predicate reached the scan (not just the
+    # implicit IsNotNull)
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "GreaterThan" in ln
+    ]
+    assert pushed, f"no range predicate pushed: {plan[:2000]}"
+
+
+def test_rollup_expands_over_preaggregate_not_join_output(spark, qs, sf_dir):
+    plan = plan_of(spark, qs, "agg_rollup_year_month", sf_dir)
+    assert "Expand" in plan
+    # the Expand's input side must already be aggregated: a partial
+    # HashAggregate appears BELOW the Expand in the formatted tree
+    # (tree prints top-down, so the pre-aggregate has a HIGHER node id
+    # but appears after Expand textually; assert ordering on first
+    # occurrence indexes of the operators in the tree section)
+    tree = plan.split("\n\n")[0]
+    expand_at = tree.index("Expand")
+    assert "HashAggregate" in tree[expand_at:], "no aggregate below Expand"
+
+
+def test_fact_assembly_has_no_shuffle_joins(spark, qs, sf_dir):
+    plan = plan_of(spark, qs, "etl_fact_assembly", sf_dir)
+    # all four dim lookups broadcast; the fact side never shuffles
+    # for a join
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_chunking_is_shuffle_free_before_presentation_sort(spark, qs, sf_dir):
+    plan = plan_of(spark, qs, "corpus_chunk_documents", sf_dir)
+    # one Exchange (the output orderBy's range partitioning) and no
+    # aggregate/join anywhere — chunking itself must stay scan-fused
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 1
+    assert "HashAggregate" not in tree and "Join" not in tree
+
+
+def test_histograms_aggregate_before_window(spark, qs, sf_dir):
+    plan = plan_of(spark, qs, "agg_numeric_histograms", sf_dir)
+    # the empty-frame share window must run over the n_buckets-row
+    # aggregate, never over the raw table: Window appears above (before,
+    # textually) the aggregates in the top-down tree
+    tree = plan.split("\n\n")[0]
+    assert tree.index("Window") < tree.index("HashAggregate")
