@@ -155,3 +155,57 @@ def jdbc_sink(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.mode(mode).save()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    streaming/micro-batch ingest needs (each micro-batch commit writes
+    >=1 file per partition; a month of 1-minute batches is ~40k tiny
+    files whose open/footer costs dominate scans long before data
+    volume does). Rewrites the directory to ceil(bytes / target_mb)
+    files and atomically swaps it in (write to sibling tmp + two
+    os.rename, the upsert_stream_to_parquet protocol — readers never
+    observe a half-compacted table).
+
+    Sizing note: the file count comes from the CURRENT on-disk bytes
+    (post-encoding), not row counts, so compression ratio changes are
+    self-correcting. repartition (round-robin shuffle), not coalesce:
+    coalesce(n) would fuse into upstream tasks and produce files sized
+    by input-split accident; a compaction's whole point is uniform
+    output files. At warehouse scale this runs per PARTITION directory
+    (month_key= dirs from save_warehouse), bounding shuffle and swap
+    scope to one partition at a time.
+
+    Returns {files_before, files_after, bytes} for the maintenance log.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}_old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    return {
+        "files_before": len(files),
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

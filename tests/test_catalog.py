@@ -122,3 +122,47 @@ def test_jdbc_sink_configures_writer_and_reaches_jdbc_layer(spark):
         )
     msg = str(exc.value)
     assert "JDBC" in msg or "driver" in msg.lower() or "No suitable" in msg
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.operators.catalog import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "tiny_files")
+    # simulate micro-batch ingest: 24 single-row commits -> 24+ files
+    df = spark.range(240).withColumnRenamed("id", "k")
+    df.repartition(24).write.parquet(path)
+    import os
+
+    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) >= 20
+
+    stats = compact_parquet(spark, path, target_mb=128)
+    assert stats["files_before"] == len(before)
+    assert stats["files_after"] == 1  # well under one target file
+
+    back = spark.read.parquet(path)
+    assert back.count() == 240
+    assert sorted(r.k for r in back.collect()) == list(range(240))
+
+
+def test_parquet_schema_evolution_roundtrip(spark, tmp_path):
+    """Schema-evolution contract for append-style staging dirs: an
+    appended batch may ADD columns; mergeSchema reads reconcile the
+    union, old rows NULL-fill the new column (the reference's ALTER
+    TABLE ADD COLUMN analogue, without DDL)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.range(3).select(F.col("id").alias("k"), F.lit("a").alias("s"))
+    v1.write.parquet(path)
+    v2 = spark.range(3, 5).select(
+        F.col("id").alias("k"), F.lit("b").alias("s"), F.lit(1.5).alias("extra")
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"k", "s", "extra"}
+    rows = {r.k: r for r in merged.collect()}
+    assert rows[0].extra is None and rows[4].extra == 1.5
