@@ -73,6 +73,8 @@ def main():
         "embed_quantize_int8",
         "layout_zorder_events",
         "agg_numeric_histograms",
+        "text_quality_classifier",
+        "bi_daily_revenue_gapfill",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
