@@ -88,6 +88,13 @@ _PAST_WINDOW = (
                                    # corpus_filter_pipeline; green r1-r5
     "etl_dim_date_build",          # rows converge with etl_upsert_dim_date
                                    # (r1-r5 green) + test_dims golden tests
+    "etl_quality_audit",           # superseded by in-window
+                                   # etl_expectations_report (its null-cell
+                                   # and FK checks are the not_null/ref
+                                   # rules there); green r1-r5
+    "events_hourly_agg",           # tumbling date_trunc agg — sliding twin
+                                   # + streaming==batch tests cover the
+                                   # mechanism; green r1-r5
 )
 
 

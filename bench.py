@@ -99,6 +99,8 @@ HEADLINE = [
     "agg_numeric_histograms",
     "text_quality_classifier",
     "bi_daily_revenue_gapfill",
+    "join_scd2_pit_attribution",
+    "etl_expectations_report",
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

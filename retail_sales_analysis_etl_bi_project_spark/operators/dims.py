@@ -204,3 +204,39 @@ def null_audit(df: DataFrame) -> DataFrame:
         F.sum(F.col(c).isNull().cast("bigint")).alias(c) for c in df.columns
     ]
     return df.agg(*aggs)
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    ts: str,
+) -> DataFrame:
+    """Point-in-time (PIT) lookup against a type-2 history: attach to
+    each fact row the dimension version in effect at the fact's
+    timestamp — inner join on the key plus the interval containment
+    valid_from <= ts < valid_to (NULL valid_to = open current
+    version). The temporal sibling of the as-of join (joins.py): as-of
+    picks the latest EVENT before ts; PIT picks the VERSION covering
+    ts, which is the correct semantics against historized dimensions
+    (versions tile time, so exactly one matches any in-range ts; facts
+    before the key's first version drop, same as a missed inner join).
+
+    Scale shape: a plain equi-join on the key — both sides
+    hash-partition once, AQE splits skewed keys — with the interval
+    predicate evaluated as a post-join filter on the (usually few)
+    versions per key. No range-bucketing machinery is warranted here:
+    unlike the general interval join (range_join), version counts per
+    key are small by construction (regime CHANGES, not events), so the
+    per-key fanout before filtering is bounded.
+    """
+    h = history.withColumnRenamed("valid_from", "_vf").withColumnRenamed(
+        "valid_to", "_vt"
+    )
+    joined = facts.join(h, key).filter(
+        (F.col(ts) >= F.col("_vf"))
+        & (F.col("_vt").isNull() | (F.col(ts) < F.col("_vt")))
+    )
+    return joined.withColumnRenamed("_vf", "valid_from").withColumnRenamed(
+        "_vt", "valid_to"
+    )

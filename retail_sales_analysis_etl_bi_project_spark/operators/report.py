@@ -89,3 +89,89 @@ def numeric_histogram(
         "n",
         F.round(F.col("n").cast("double") / total, 9).alias("frac"),
     ).orderBy("bucket")
+
+
+def expectations_report(
+    tables: "dict[str, DataFrame]",
+    rules: "list[dict]",
+) -> DataFrame:
+    """Declarative data-quality expectations (the dbt-test / Great-
+    Expectations genre, distilled to the four rule kinds that cover the
+    reference's audit surface and most real suites): evaluate every
+    rule distributed and return one row per rule —
+    (rule, n_checked, n_violations) — for the validation report.
+
+    Rule shapes (dicts, so suites can live in config):
+      {"kind": "not_null", "table": t, "column": c}
+      {"kind": "unique",   "table": t, "column": c}
+      {"kind": "range",    "table": t, "column": c, "lo": x, "hi": y}
+        (inclusive bounds; NULLs don't violate — not_null is its own rule)
+      {"kind": "ref",      "table": t, "column": c,
+                           "ref_table": rt, "ref_column": rc}
+
+    Scale shape: each rule is ONE aggregate over its table — not_null
+    and range are filter-counts fused into the scan; unique is
+    count - count(distinct); ref is a left-anti broadcast/shuffle join
+    count (AQE picks). The per-rule results are single rows unioned
+    lazily, so the whole suite is one job with R tiny branches; rules
+    over the same table share the scan via Spark's exchange/scan reuse
+    where plans align, and a 100 TB suite runs each branch partially
+    aggregated — nothing driver-side but the R-row report.
+    """
+    from pyspark.sql import functions as F
+
+    parts = []
+    for r in rules:
+        t, c = r["table"], r.get("column")
+        df = tables[t]
+        label = f"{r['kind']}:{t}.{c}"
+        if r["kind"] == "not_null":
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                    "n_violations"
+                ),
+            )
+        elif r["kind"] == "unique":
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                (F.count(c) - F.count_distinct(F.col(c))).alias("n_violations"),
+            )
+        elif r["kind"] == "range":
+            lo, hi = r["lo"], r["hi"]
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull()
+                        & ((F.col(c) < lo) | (F.col(c) > hi)),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_violations"),
+            )
+        elif r["kind"] == "ref":
+            ref = tables[r["ref_table"]].select(
+                F.col(r["ref_column"]).alias(c)
+            )
+            label = (
+                f"ref:{t}.{c}->{r['ref_table']}.{r['ref_column']}"
+            )
+            agg = (
+                df.select(c)
+                .join(ref, c, "left_anti")
+                .agg(F.count(F.lit(1)).alias("n_violations"))
+                .crossJoin(df.agg(F.count(F.lit(1)).alias("n_checked")))
+            )
+        else:  # pragma: no cover
+            raise ValueError(f"unknown rule kind {r['kind']!r}")
+        parts.append(
+            agg.select(
+                F.lit(label).alias("rule"),
+                F.col("n_checked").cast("bigint").alias("n_checked"),
+                F.col("n_violations").cast("bigint").alias("n_violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rule")

@@ -422,3 +422,156 @@ def bi_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("day")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("revenue"))
     return calendar_gapfill(daily, "day", "revenue", ma_days=7)
+
+
+# ------------------------------------------------------------------ r6d
+# SCD2 point-in-time attribution + declarative expectations suite.
+
+from ..functions.money import revenue_expr  # noqa: E402
+from ..operators.dims import scd2_history, scd2_point_in_time_join  # noqa: E402
+from ..operators.report import expectations_report  # noqa: E402
+from .bi import REVENUE_SQL  # noqa: E402
+
+_SCD2_HIST_SQL = """
+    ordered AS (
+      SELECT o_custkey, o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+             o_orderkey,
+             (LAG(1) OVER w IS NULL
+              OR o_orderpriority IS DISTINCT FROM LAG(o_orderpriority) OVER w)
+               AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey)),
+    hist AS (
+      SELECT o_custkey, o_orderpriority AS regime_priority, d AS valid_from,
+             LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+               AS valid_to
+      FROM ordered WHERE chg)
+"""
+
+
+@query(
+    "join_scd2_pit_attribution",
+    oracle=f"""
+    WITH {_SCD2_HIST_SQL},
+    facts AS (
+      SELECT o.o_custkey, o.o_orderpriority AS order_priority,
+             CAST(l.l_shipdate AS DATE) AS ship_d,
+             {REVENUE_SQL} AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT order_priority, regime_priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM facts f JOIN hist h ON f.o_custkey = h.o_custkey
+      AND f.ship_d >= h.valid_from
+      AND (h.valid_to IS NULL OR f.ship_d < h.valid_to)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def join_scd2_pit_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the type-2 history
+    (operators.dims.scd2_point_in_time_join): each line item's shipment
+    is attributed to the customer's priority REGIME in effect on the
+    ship date — off-diagonal cells (order placed under one regime,
+    shipped under another) are exactly what PIT semantics exist to get
+    right and what an as-of join against raw events would misattribute.
+    Equi-join on the key with interval containment as a post-join
+    filter; version fanout per key is bounded by regime CHANGES."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    hist = scd2_history(
+        o, key="o_custkey", ts="d", attrs=["o_orderpriority"], tiebreak="o_orderkey"
+    ).withColumnRenamed("o_orderpriority", "regime_priority")
+    facts = lineitem.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderpriority"),
+        lineitem.l_orderkey == orders.o_orderkey,
+    ).select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("order_priority"),
+        F.to_date("l_shipdate").alias("ship_d"),
+        revenue_expr().alias("rev"),
+    )
+    pit = scd2_point_in_time_join(facts, hist, "o_custkey", "ship_d")
+    return (
+        pit.groupBy("order_priority", "regime_priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("order_priority", "regime_priority")
+    )
+
+
+_EXPECTATION_RULES = [
+    {"kind": "not_null", "table": "orders", "column": "o_custkey"},
+    {"kind": "not_null", "table": "lineitem", "column": "l_shipdate"},
+    {"kind": "unique", "table": "orders", "column": "o_orderkey"},
+    {"kind": "range", "table": "lineitem", "column": "l_quantity",
+     "lo": 1, "hi": 50},
+    {"kind": "range", "table": "orders", "column": "o_totalprice",
+     "lo": 0, "hi": 1_000_000},
+    {"kind": "ref", "table": "lineitem", "column": "l_orderkey",
+     "ref_table": "orders", "ref_column": "o_orderkey"},
+]
+
+
+@query(
+    "etl_expectations_report",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'not_null:orders.o_custkey' AS rule,
+             CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'not_null:lineitem.l_shipdate',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'unique:orders.o_orderkey',
+             CAST(count(*) AS BIGINT),
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'range:lineitem.l_quantity',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                            AND (l_quantity < 1 OR l_quantity > 50)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'range:orders.o_totalprice',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'ref:lineitem.l_orderkey->orders.o_orderkey',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey))
+                  AS BIGINT)
+    ) ORDER BY rule
+    """,
+)
+def etl_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators.report.
+    expectations_report): not_null / unique / range / referential rules
+    evaluated distributed, one row per rule — the dbt-test genre over
+    the reference's audit surface (supersedes the ad-hoc quality audit:
+    its null-cell and FK checks are the not_null and ref rules here)."""
+    tables = {
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+    }
+    return expectations_report(tables, _EXPECTATION_RULES)

@@ -181,3 +181,62 @@ def test_calendar_gapfill_densifies_and_averages(spark):
     assert [r.revenue for r in rows] == [10.0, 0.0, 30.0, 0.0, 50.0]
     # trailing 2-day MA over the DENSE series (gaps pull it down)
     assert [r.ma2 for r in rows] == [10.0, 5.0, 15.0, 15.0, 25.0]
+
+
+def test_scd2_pit_join_picks_covering_version(spark):
+    from datetime import date
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.dims import (
+        scd2_point_in_time_join,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (1, "LOW", date(2024, 1, 1), date(2024, 2, 1)),
+            (1, "HIGH", date(2024, 2, 1), None),  # open current version
+            (2, "MED", date(2024, 3, 1), None),
+        ],
+        ["k", "regime", "valid_from", "valid_to"],
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, date(2024, 1, 15), "a"),  # inside LOW
+            (1, date(2024, 2, 1), "b"),   # boundary: belongs to HIGH
+            (1, date(2024, 6, 1), "c"),   # open version
+            (2, date(2024, 2, 1), "d"),   # before first version: drops
+        ],
+        ["k", "ts", "tag"],
+    )
+    got = {
+        r.tag: r.regime
+        for r in scd2_point_in_time_join(facts, hist, "k", "ts").collect()
+    }
+    assert got == {"a": "LOW", "b": "HIGH", "c": "HIGH"}
+
+
+def test_expectations_report_counts_violations(spark):
+    from retail_sales_analysis_etl_bi_project_spark.operators.report import (
+        expectations_report,
+    )
+
+    t = spark.createDataFrame(
+        [(1, 5.0), (2, None), (2, 200.0), (None, 3.0)], ["k", "v"]
+    )
+    ref = spark.createDataFrame([(1,), (2,)], ["rk"])
+    rules = [
+        {"kind": "not_null", "table": "t", "column": "k"},
+        {"kind": "unique", "table": "t", "column": "k"},
+        {"kind": "range", "table": "t", "column": "v", "lo": 0, "hi": 100},
+        {"kind": "ref", "table": "t", "column": "k",
+         "ref_table": "ref", "ref_column": "rk"},
+    ]
+    rows = {
+        r.rule: r
+        for r in expectations_report({"t": t, "ref": ref}, rules).collect()
+    }
+    assert rows["not_null:t.k"].n_violations == 1
+    assert rows["unique:t.k"].n_violations == 1  # k=2 twice (NULL ignored)
+    assert rows["range:t.v"].n_violations == 1   # 200 out of range; NULL not
+    # NULL k and any unmatched keys count as ref violations (anti-join)
+    assert rows["ref:t.k->ref.rk"].n_violations == 1
+    assert all(r.n_checked == 4 for r in rows.values())

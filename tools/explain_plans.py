@@ -75,6 +75,8 @@ def main():
         "agg_numeric_histograms",
         "text_quality_classifier",
         "bi_daily_revenue_gapfill",
+        "join_scd2_pit_attribution",
+        "etl_expectations_report",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
