@@ -95,6 +95,10 @@ _PAST_WINDOW = (
     "events_hourly_agg",           # tumbling date_trunc agg — sliding twin
                                    # + streaming==batch tests cover the
                                    # mechanism; green r1-r5
+    "corpus_sample_and_pack",      # pack mechanism row-identical to
+                                   # in-window corpus_pack_sharded;
+                                   # temperature sampling distribution
+                                   # pytest-pinned; green r2-r5
 )
 
 

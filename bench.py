@@ -101,6 +101,7 @@ HEADLINE = [
     "bi_daily_revenue_gapfill",
     "join_scd2_pit_attribution",
     "etl_expectations_report",
+    "dedup_graph_stats",
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

@@ -575,3 +575,43 @@ def etl_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem": load_table(spark, sf_dir, "lineitem"),
     }
     return expectations_report(tables, _EXPECTATION_RULES)
+
+
+# ------------------------------------------------------------------ r6e
+# dup-graph analytics readout over the shared CC machinery.
+
+from .dedup_queries import _cc_oracle, shared_minhash_pairs  # noqa: E402
+from ..operators.graph import connected_components  # noqa: E402
+
+
+@query(
+    "dedup_graph_stats",
+    oracle=f"""
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({_cc_oracle()}) cc
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup graph — the readout a
+    dedup run is judged by ('how much corpus mass sits in how-big dup
+    clusters', the decision input for representative-keeping vs
+    dropping): sizes from the same shared verified-pairs + connected-
+    components machinery as dedup_cluster_components (one persisted
+    pairs stage, CC rounds bounded by diameter), then a tiny
+    groupBy(size). Hash-verified through the full chain: shingles ->
+    MinHash -> bands -> verify -> transitive closure -> histogram."""
+    pairs = shared_minhash_pairs(spark, sf_dir)
+    cc = connected_components(
+        pairs, src="doc_a", dst="doc_b", max_iters=4, early_exit=True
+    )
+    return (
+        cc.groupBy("cluster_size")
+        .agg(
+            F.count_distinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -77,6 +77,7 @@ def main():
         "bi_daily_revenue_gapfill",
         "join_scd2_pit_attribution",
         "etl_expectations_report",
+        "dedup_graph_stats",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
