@@ -32,7 +32,11 @@ from retail_sales_analysis_etl_bi_project_spark.session import get_spark
 import __spark_entry__ as entrymod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+# 3 repeats (median = middle run) since the headline grew 45 -> 62
+# queries: keeps total bench wall time in the r5 envelope so an
+# external runner's timeout can't kill the run before the stdout
+# artifact prints. IQR spread over 3 runs still flags instability.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 # Headline set: the reference-parity BI spine + one of each north-star
 # operator family (dedup, similarity, text, events). Heavy quadratic
@@ -179,6 +183,10 @@ def main() -> None:
             spark._jvm.System.gc()
         except Exception:
             pass
+        # crash insurance: persist the partial medians after every
+        # query, so a runner that hard-kills the process mid-bench
+        # still leaves all completed measurements on disk.
+        _write_partial(timings, spreads, errors, action_overhead_ms, sf)
     total = round(sum(timings.values()), 3)
     # stdout artifact: ONE compact line, summary fields FIRST and the
     # per-query spread/error detail moved to BENCH_LOCAL.json — the r5
@@ -206,6 +214,32 @@ def main() -> None:
     except OSError:
         pass  # the stdout line is the contract; the file is best-effort
     print(json.dumps(out, separators=(",", ":")))
+
+
+def _write_partial(timings, spreads, errors, action_overhead_ms, sf) -> None:
+    """Atomic (tmp + replace) partial BENCH_LOCAL.json after each query."""
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    doc = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeats": REPEATS,
+        "action_overhead_ms": action_overhead_ms,
+        "n_errors": len(errors),
+        "partial": True,  # flipped off by the final full write
+        "queries": timings,
+        "spread": spreads,
+        "errors": errors,
+    }
+    try:
+        with open(local_path + ".tmp", "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(local_path + ".tmp", local_path)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
