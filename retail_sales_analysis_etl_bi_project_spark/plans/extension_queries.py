@@ -341,14 +341,10 @@ def dedup_corpus_after_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     and AQE is free to demote it to a broadcast when the measured drop
     list is actually small. Hash-verified end to end against the
     recursive-CTE closure."""
-    from ..operators.graph import connected_components
-    from .dedup_queries import shared_minhash_pairs
+    from .dedup_queries import shared_cluster_assignments
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = shared_minhash_pairs(spark, sf_dir)
-    cc = connected_components(
-        pairs, src="doc_a", dst="doc_b", max_iters=4, early_exit=True
-    )
+    cc = shared_cluster_assignments(spark, sf_dir)
     non_reps = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return (
         docs.join(non_reps, "doc_id", "left_anti")

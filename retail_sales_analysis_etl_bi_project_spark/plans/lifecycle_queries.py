@@ -580,8 +580,7 @@ def etl_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ r6e
 # dup-graph analytics readout over the shared CC machinery.
 
-from .dedup_queries import _cc_oracle, shared_minhash_pairs  # noqa: E402
-from ..operators.graph import connected_components  # noqa: E402
+from .dedup_queries import _cc_oracle, shared_cluster_assignments  # noqa: E402
 
 
 @query(
@@ -598,15 +597,12 @@ def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram over the near-dup graph — the readout a
     dedup run is judged by ('how much corpus mass sits in how-big dup
     clusters', the decision input for representative-keeping vs
-    dropping): sizes from the same shared verified-pairs + connected-
-    components machinery as dedup_cluster_components (one persisted
-    pairs stage, CC rounds bounded by diameter), then a tiny
+    dropping): sizes from the SAME persisted cluster-assignments stage
+    as dedup_cluster_components (pairs + CC each computed once per
+    session, CC rounds bounded by diameter), then a tiny
     groupBy(size). Hash-verified through the full chain: shingles ->
     MinHash -> bands -> verify -> transitive closure -> histogram."""
-    pairs = shared_minhash_pairs(spark, sf_dir)
-    cc = connected_components(
-        pairs, src="doc_a", dst="doc_b", max_iters=4, early_exit=True
-    )
+    cc = shared_cluster_assignments(spark, sf_dir)
     return (
         cc.groupBy("cluster_size")
         .agg(
