@@ -46,15 +46,22 @@ WAREHOUSE_DDL: dict[str, str] = {
 def initialise_schema(spark: SparkSession, database: str = "retail_dw") -> bool:
     """Create the star schema if absent (idempotent — reference
     etl/etl.py:229-234 checks has_table('dim_customer') first). Returns
-    True when tables were created, False when they already existed."""
+    True when any table was created, False when all already existed.
+
+    Unlike the reference's single-sentinel check, EVERY table runs its
+    own CREATE IF NOT EXISTS: a run that died after creating only
+    dim_customer must not leave the schema permanently half-built
+    behind a sentinel that now reads 'done' (r6 review finding)."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
-    if spark.catalog.tableExists(f"{database}.dim_customer"):
-        return False
+    created = False
     for table, cols in WAREHOUSE_DDL.items():
+        if spark.catalog.tableExists(f"{database}.{table}"):
+            continue
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {database}.{table} ({cols}) USING parquet"
         )
-    return True
+        created = True
+    return created
 
 
 def bulk_load(df: DataFrame, table: str, database: str = "retail_dw") -> int:
@@ -62,9 +69,18 @@ def bulk_load(df: DataFrame, table: str, database: str = "retail_dw") -> int:
     etl/etl.py:143-160 — chunked INSERTs become one distributed
     per-partition write; the 5000-row batch knob is obsolete). Returns
     the row count written (reference logged it, etl.py:160)."""
-    n = df.count()
-    df.write.mode("append").insertInto(f"{database}.{table}")
-    return n
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    # Observation rides the write job itself: the lineage executes ONCE
+    # and the count is exactly the rows written (a separate df.count()
+    # would recompute the full upstream plan and could disagree for
+    # non-deterministic sources — r6 review finding).
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).insertInto(f"{database}.{table}")
+    return int(obs.get["n"])
 
 
 def replace_table(df: DataFrame, table: str, database: str = "retail_dw") -> None:
@@ -177,8 +193,19 @@ def compact_parquet(
     coalesce(n) would fuse into upstream tasks and produce files sized
     by input-split accident; a compaction's whole point is uniform
     output files. At warehouse scale this runs per PARTITION directory
-    (month_key= dirs from save_warehouse), bounding shuffle and swap
-    scope to one partition at a time.
+    (month_key= dirs from save_warehouse) — ENFORCED: a path containing
+    subdirectories is refused rather than silently flattened into one
+    file that destroys the partition layout (r6 review finding).
+
+    Swap protocol (the upsert_stream_to_parquet discipline, with the
+    same FIXED `_prev` name): materialize to a uuid tmp dir, move the
+    live dir to `<path>_prev`, move tmp in, remove `_prev`. A crash
+    between the two moves leaves the committed data at `_prev`; the
+    NEXT invocation restores it before compacting, so no state is ever
+    stranded under an unguessable name. The sub-second window where
+    `path` itself is absent is inherent to rename-swap on a plain
+    filesystem (a table format's manifest commit removes it; readers
+    here retry or arrive through the restore path).
 
     Returns {files_before, files_after, bytes} for the maintenance log.
     """
@@ -187,9 +214,22 @@ def compact_parquet(
     import shutil
     import uuid
 
+    prev = f"{path.rstrip('/')}_prev"
+    # crash recovery: a death between the swap moves left the committed
+    # table at _prev and nothing at path — restore before compacting
+    if not os.path.exists(path) and os.path.exists(prev):
+        shutil.move(prev, path)
+    entries = os.listdir(path)
+    subdirs = [e for e in entries if os.path.isdir(os.path.join(path, e))]
+    if subdirs:
+        raise ValueError(
+            f"compact_parquet: {path} contains partition subdirectories "
+            f"({subdirs[:3]}...); run per partition directory so the "
+            "layout (and its pruning) survives compaction"
+        )
     files = [
         os.path.join(path, f)
-        for f in os.listdir(path)
+        for f in entries
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     ]
     total_bytes = sum(os.path.getsize(f) for f in files)
@@ -197,10 +237,11 @@ def compact_parquet(
     df = spark.read.parquet(path)
     tmp = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    old = f"{path.rstrip('/')}_old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    if os.path.exists(prev):
+        shutil.rmtree(prev)
+    shutil.move(path, prev)
+    shutil.move(tmp, path)
+    shutil.rmtree(prev)
     files_after = len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )

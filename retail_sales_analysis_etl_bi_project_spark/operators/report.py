@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from .dims import fk_violations, null_audit
+from .dims import fk_violations
 
 
 def validation_report(
@@ -18,12 +18,27 @@ def validation_report(
     """Build the report text (reference data/validation_report.txt
     format: 'rows in <t>: N', 'null cells in <t>: N', 'sales rows with
     bad foreign keys: N')."""
+    from pyspark.sql import functions as F
+
+    # one fused aggregate per table: row count + per-column null counts
+    # in a single scan (separate count()/null_audit jobs doubled every
+    # table's scan — r6 review finding)
+    stats: dict[str, tuple[int, int]] = {}
+    for name, df in tables.items():
+        row = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.col(c).isNull().cast("int")).alias(f"_null_{c}")
+                for c in df.columns
+            ],
+        ).collect()[0]
+        d = row.asDict()
+        stats[name] = (d.pop("_n"), sum(v or 0 for v in d.values()))
     lines: list[str] = []
-    for name, df in tables.items():
-        lines.append(f"rows in {name}: {df.count()}")
-    for name, df in tables.items():
-        nulls = null_audit(df).collect()[0]
-        lines.append(f"null cells in {name}: {sum(nulls.asDict().values())}")
+    for name in tables:
+        lines.append(f"rows in {name}: {stats[name][0]}")
+    for name in tables:
+        lines.append(f"null cells in {name}: {stats[name][1]}")
     if fact_name and fk_map:
         fact = tables[fact_name]
         dims = [
@@ -120,6 +135,11 @@ def expectations_report(
     """
     from pyspark.sql import functions as F
 
+    if not rules:  # config-driven suites can legitimately filter to []
+        spark = next(iter(tables.values())).sparkSession
+        return spark.createDataFrame(
+            [], "rule string, n_checked bigint, n_violations bigint"
+        )
     parts = []
     for r in rules:
         t, c = r["table"], r.get("column")
@@ -156,8 +176,12 @@ def expectations_report(
             label = (
                 f"ref:{t}.{c}->{r['ref_table']}.{r['ref_column']}"
             )
+            # SQL FK semantics: a NULL FK is not a referential
+            # violation (and would double-report with not_null —
+            # the range rule's isNotNull convention, r6 review finding)
             agg = (
                 df.select(c)
+                .filter(F.col(c).isNotNull())
                 .join(ref, c, "left_anti")
                 .agg(F.count(F.lit(1)).alias("n_violations"))
                 .crossJoin(df.agg(F.count(F.lit(1)).alias("n_checked")))

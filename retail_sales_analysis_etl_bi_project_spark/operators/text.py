@@ -249,28 +249,42 @@ def pii_scrub(
 
     Redaction ORDER is part of the contract: emails first (an address
     would otherwise have its host's dotted runs half-eaten if a broad
-    pattern ran first), then IPv4, then phones. Scale shape: pure
-    per-row regexp_count/regexp_replace fused into the scan — no
-    shuffle, JVM-side, whole-stage-codegen'd.
+    pattern ran first), then IPv4, then phones — and each COUNT runs on
+    the same intermediate its replacement runs on (emails on the raw
+    text, IPs on the email-redacted text, phones on the IP-redacted
+    text), so every count equals the number of tags actually inserted.
+    Counting everything on the raw text would disagree with the
+    redactions when patterns overlap — 'a+12345678@x.com' is one email
+    and zero phones, but the raw text also matches the phone pattern
+    (r6 review finding). Scale shape: pure per-row regexp_count/
+    regexp_replace fused into the scan — no shuffle, JVM-side,
+    whole-stage-codegen'd.
     """
     c = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(c, PII_EMAIL_REGEX, "<EMAIL>"),
-            PII_IPV4_REGEX,
-            "<IP>",
-        ),
-        PII_PHONE_REGEX,
-        "<PHONE>",
-    )
-    return docs.select(
+    after_email = F.regexp_replace(c, PII_EMAIL_REGEX, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4_REGEX, "<IP>")
+    redacted = F.regexp_replace(after_ip, PII_PHONE_REGEX, "<PHONE>")
+    staged = docs.select(
         F.col(id_col),
-        F.regexp_count(c, F.lit(PII_EMAIL_REGEX)).cast("bigint").alias("n_emails"),
-        F.regexp_count(c, F.lit(PII_IPV4_REGEX)).cast("bigint").alias("n_ipv4"),
-        F.regexp_count(c, F.lit(PII_PHONE_REGEX)).cast("bigint").alias("n_phones"),
-        F.length(c).cast("bigint").alias("n_chars_before"),
-        F.length(redacted).cast("bigint").alias("n_chars_after"),
-        F.md5(redacted).alias("redacted_hash"),
+        c.alias("_t0"),
+        after_email.alias("_t1"),
+        after_ip.alias("_t2"),
+        redacted.alias("_t3"),
+    )
+    return staged.select(
+        id_col,
+        F.regexp_count(F.col("_t0"), F.lit(PII_EMAIL_REGEX))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(F.col("_t1"), F.lit(PII_IPV4_REGEX))
+        .cast("bigint")
+        .alias("n_ipv4"),
+        F.regexp_count(F.col("_t2"), F.lit(PII_PHONE_REGEX))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.length(F.col("_t0")).cast("bigint").alias("n_chars_before"),
+        F.length(F.col("_t3")).cast("bigint").alias("n_chars_after"),
+        F.md5(F.col("_t3")).alias("redacted_hash"),
     )
 
 

@@ -103,20 +103,22 @@ _PII_TAIL_SQL = (
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN {_PII_TAIL_SQL} ELSE text END AS txt
       FROM documents),
-    scrubbed AS (
+    staged AS (
       SELECT doc_id, txt,
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(txt, '{PII_EMAIL_REGEX}', '<EMAIL>', 'g'),
-                 '{PII_IPV4_REGEX}', '<IP>', 'g'),
-               '{PII_PHONE_REGEX}', '<PHONE>', 'g') AS red
-      FROM enriched)
+             regexp_replace(txt, '{PII_EMAIL_REGEX}', '<EMAIL>', 'g') AS t1
+      FROM enriched),
+    staged2 AS (
+      SELECT *, regexp_replace(t1, '{PII_IPV4_REGEX}', '<IP>', 'g') AS t2
+      FROM staged),
+    scrubbed AS (
+      SELECT *, regexp_replace(t2, '{PII_PHONE_REGEX}', '<PHONE>', 'g') AS red
+      FROM staged2)
     SELECT doc_id,
            CAST(len(regexp_extract_all(txt, '{PII_EMAIL_REGEX}')) AS BIGINT)
              AS n_emails,
-           CAST(len(regexp_extract_all(txt, '{PII_IPV4_REGEX}')) AS BIGINT)
+           CAST(len(regexp_extract_all(t1, '{PII_IPV4_REGEX}')) AS BIGINT)
              AS n_ipv4,
-           CAST(len(regexp_extract_all(txt, '{PII_PHONE_REGEX}')) AS BIGINT)
+           CAST(len(regexp_extract_all(t2, '{PII_PHONE_REGEX}')) AS BIGINT)
              AS n_phones,
            CAST(length(txt) AS BIGINT) AS n_chars_before,
            CAST(length(red) AS BIGINT) AS n_chars_after,
@@ -126,7 +128,9 @@ _PII_TAIL_SQL = (
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub audit (operators.text.pii_scrub): email -> IPv4 ->
-    phone redaction with per-doc counts and a redacted-text md5.
+    phone redaction with per-doc counts and a redacted-text md5; each
+    count runs on the same intermediate its replacement runs on, so
+    counts always equal tags inserted.
     Patterns are the Java-regex/RE2 common subset (ASCII classes,
     bounded repeats, \\b); DuckDB regexp_replace needs the explicit
     'g' flag to match Spark's replace-all semantics. NULL text (no
@@ -558,7 +562,8 @@ _EXPECTATION_RULES = [
       SELECT 'ref:lineitem.l_orderkey->orders.o_orderkey',
              (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
              CAST((SELECT count(*) FROM lineitem l
-                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                   WHERE l.l_orderkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM orders o
                                      WHERE o.o_orderkey = l.l_orderkey))
                   AS BIGINT)
     ) ORDER BY rule

@@ -166,3 +166,33 @@ def test_parquet_schema_evolution_roundtrip(spark, tmp_path):
     assert set(merged.columns) == {"k", "s", "extra"}
     rows = {r.k: r for r in merged.collect()}
     assert rows[0].extra is None and rows[4].extra == 1.5
+
+
+def test_compact_parquet_recovers_interrupted_swap_and_refuses_partitions(
+    spark, tmp_path
+):
+    import os
+    import shutil
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.catalog import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100).withColumnRenamed("id", "k").repartition(8).write.parquet(path)
+    # simulate a crash between the two swap moves: committed data sits
+    # at the FIXED _prev name, nothing at path
+    shutil.move(path, path + "_prev")
+    stats = compact_parquet(spark, path, target_mb=128)
+    assert stats["files_after"] == 1 and not os.path.exists(path + "_prev")
+    assert spark.read.parquet(path).count() == 100
+
+    # partitioned layout: refuse rather than flatten to one file
+    part = str(tmp_path / "parted")
+    spark.range(10).selectExpr("id as k", "id % 2 as p").write.partitionBy(
+        "p"
+    ).parquet(part)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition subdirectories"):
+        compact_parquet(spark, part)

@@ -57,11 +57,15 @@ def test_pii_scrub_counts_and_redacts(spark):
             (1, "mail a.b@x.org or c@d.co.uk from 10.0.0.1 call +4915112345678"),
             (2, "no pii here 1.2 3.4"),
             (3, None),
+            # the email consumes '+12345678' — counts must describe the
+            # SEQUENTIAL redaction (1 email, 0 phones), not raw matches
+            (4, "reach a+12345678@x.com"),
         ],
         ["doc_id", "text"],
     )
     rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
     assert (rows[1].n_emails, rows[1].n_ipv4, rows[1].n_phones) == (2, 1, 1)
+    assert (rows[4].n_emails, rows[4].n_phones) == (1, 0)
     # redaction shortens: both addresses + ip + phone collapse to tags
     assert rows[1].n_chars_after < rows[1].n_chars_before
     assert (rows[2].n_emails, rows[2].n_ipv4, rows[2].n_phones) == (0, 0, 0)
@@ -237,6 +241,13 @@ def test_expectations_report_counts_violations(spark):
     assert rows["not_null:t.k"].n_violations == 1
     assert rows["unique:t.k"].n_violations == 1  # k=2 twice (NULL ignored)
     assert rows["range:t.v"].n_violations == 1   # 200 out of range; NULL not
-    # NULL k and any unmatched keys count as ref violations (anti-join)
-    assert rows["ref:t.k->ref.rk"].n_violations == 1
+    # SQL FK semantics: NULL FK is NOT a ref violation (not_null owns
+    # it); all non-null keys here resolve, so zero violations
+    assert rows["ref:t.k->ref.rk"].n_violations == 0
     assert all(r.n_checked == 4 for r in rows.values())
+    # empty config-driven suite: empty report, not IndexError
+    from retail_sales_analysis_etl_bi_project_spark.operators.report import (
+        expectations_report as er,
+    )
+
+    assert er({"t": t}, []).count() == 0
