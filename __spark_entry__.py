@@ -43,8 +43,16 @@ def _registry():
     ):
         try:
             __import__(mod)
-        except ImportError:
-            pass  # module not built yet (incremental rounds)
+        except ImportError as e:
+            # graceful skip for incremental rounds, but VISIBLE: a real
+            # import breakage must not silently shrink the registry
+            # (bench/correctness would read the loss as improvement)
+            import sys
+
+            print(
+                f"WARNING __spark_entry__: {mod} failed to import: {e}",
+                file=sys.stderr,
+            )
     return registry
 
 

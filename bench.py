@@ -7,10 +7,11 @@ JVM/codegen/Python-worker startup isn't billed, and the reported
 per-query number is the MEDIAN wall-clock (plan + execute + collect of
 the small result). Medians make one-off outliers (GC pause,
 first-touch page faults) harmless; the reported spread is the
-INTERQUARTILE range over the runs divided by the median — a robust
-dispersion stat that a single outlier run can't inflate — so a
-genuinely unstable timing is visible in the artifact itself while a
-lone GC pause is not mistaken for one. Spreads and error detail live
+MEDIAN ABSOLUTE DEVIATION over the runs divided by the median — a
+robust dispersion stat (50% breakdown at any repeat count) that a
+single outlier run can't inflate — so a genuinely unstable timing is
+visible in the artifact itself while a lone GC pause is not mistaken
+for one. Spreads and error detail live
 in BENCH_LOCAL.json (written next to this file); the stdout line
 carries only summary + per-query medians so it fits the driver's
 line capture (r5's fatter line overflowed it and the round's medians
@@ -32,10 +33,10 @@ from retail_sales_analysis_etl_bi_project_spark.session import get_spark
 import __spark_entry__ as entrymod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-# 3 repeats (median = middle run) since the headline grew 45 -> 62
+# 3 repeats (median = middle run) since the headline grew 45 -> 63
 # queries: keeps total bench wall time in the r5 envelope so an
 # external runner's timeout can't kill the run before the stdout
-# artifact prints. IQR spread over 3 runs still flags instability.
+# artifact prints. The MAD spread stays robust at 3 runs.
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 # Headline set: the reference-parity BI spine + one of each north-star
@@ -153,6 +154,11 @@ def main() -> None:
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
+            # a HEADLINE name missing from the registry is breakage
+            # (an import failure upstream), never a silent skip — a
+            # shrinking headline must not read as a perf improvement
+            errors[name] = "missing from queries() registry"
+            _write_partial(timings, spreads, errors, action_overhead_ms, sf)
             continue
         runs: list[float] = []
         try:
@@ -168,12 +174,18 @@ def main() -> None:
                 assert n >= 0
         except Exception as e:  # noqa: BLE001 — partial medians > no artifact
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+            # persist the error NOW: if the next query hangs and the
+            # runner hard-kills us, the failure must already be on disk
+            _write_partial(timings, spreads, errors, action_overhead_ms, sf)
             continue
         med = statistics.median(runs)
         timings[name] = round(med, 3)
-        s = sorted(runs)
-        iqr = s[(3 * len(s)) // 4] - s[len(s) // 4]
-        spreads[name] = round(iqr / med, 2) if med > 0 else 0.0
+        # dispersion: median absolute deviation over the runs, relative
+        # to the median — robust at ANY repeat count (the previous
+        # index-quartile form degraded to max-min at n=3, exactly the
+        # single-outlier sensitivity the docstring promises against)
+        mad = statistics.median(abs(r - med) for r in runs)
+        spreads[name] = round(mad / med, 2) if med > 0 else 0.0
         # measurement hygiene: nudge the JVM to free the previous
         # query's dead weight (localCheckpoint blocks, broadcast vars —
         # ContextCleaner only reclaims them after a GC notices the dead

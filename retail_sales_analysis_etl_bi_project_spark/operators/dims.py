@@ -185,14 +185,11 @@ def scd2_history(
     for a in attrs:
         changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
     points = df.withColumn("_chg", changed).filter(F.col("_chg"))
-    w2 = Window.partitionBy(key).orderBy(
-        F.col(ts).asc(), F.col(tiebreak).asc()
-    )
     return points.select(
         key,
         *attrs,
         F.col(ts).alias("valid_from"),
-        F.lead(ts).over(w2).alias("valid_to"),
+        F.lead(ts).over(w).alias("valid_to"),
     )
 
 

@@ -213,12 +213,22 @@ def kmedians_codebook(
     huge.)"""
     train = emb.filter((F.col(id_col) % train_mod) == 0) if train_mod > 1 else emb
     _, cb = ivf_assignments(train, n_centroids, id_col, vec_col)
+    if not cb:
+        raise ValueError(
+            "kmedians_codebook: empty training sample "
+            f"(train_mod={train_mod} over a corpus with no matching ids)"
+        )
+    # a small sample can seed FEWER than n_centroids centroids; iterate
+    # over the codebook actually built, not the requested count (the
+    # rebuild below indexed cb[c] for c in range(n_centroids) and threw
+    # IndexError on small corpora — r6 review finding)
+    n_eff = len(cb)
     # assignment expressions are the compute-heavy phase of each Lloyd
     # round — run them at cluster width, not input-file granularity
     train = _parallelize(train, id_col)
     dim = len(cb[0])
     for _ in range(iters):
-        assigned, _ = ivf_assignments(train, n_centroids, id_col, vec_col, codebook=cb)
+        assigned, _ = ivf_assignments(train, n_eff, id_col, vec_col, codebook=cb)
         rows = (
             assigned.select(
                 "centroid_id", F.posexplode(_dbl(vec_col)).alias("pos", "val")
@@ -232,7 +242,7 @@ def kmedians_codebook(
             medians.setdefault(r.centroid_id, {})[r.pos] = r.m
         cb = [
             [medians[c][p] for p in range(dim)] if c in medians else cb[c]
-            for c in range(n_centroids)
+            for c in range(n_eff)
         ]
     return cb
 
