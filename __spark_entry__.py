@@ -40,6 +40,7 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.extension_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.pipeline_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.lifecycle_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.analysis_queries",
     ):
         try:
             __import__(mod)
@@ -91,7 +92,6 @@ _PAST_WINDOW = (
     "sim_ivfpq_adc_topk",          # recomputed inside in-window sim_ann_recall
     "dedup_embedding_lsh",         # recomputed inside in-window dedup_family_recall
     "dedup_minhash_lsh",           # candidates recomputed inside dedup_family_recall
-    "etl_orc_roundtrip",           # staging twin of in-window etl_json_roundtrip
     "dedup_hash_groups",           # exact-dedup stage runs inside in-window
                                    # corpus_filter_pipeline; green r1-r5
     "etl_dim_date_build",          # rows converge with etl_upsert_dim_date
@@ -107,6 +107,25 @@ _PAST_WINDOW = (
                                    # in-window corpus_pack_sharded;
                                    # temperature sampling distribution
                                    # pytest-pinned; green r2-r5
+    # r6c rotation — etl_orc_roundtrip rotates BACK IN (r5 VERDICT item
+    # 2's done-criterion names it) and the two new term-statistics
+    # queries (text_tfidf_topterms, text_bpe_pair_merge) enter; spills:
+    "skew_salted_revenue_by_segment",  # final rows identical to a plain
+                                   # groupBy-sum (q03/q04 family, in-
+                                   # window); the salting mechanism is
+                                   # pinned by pytest + the PLANS.txt
+                                   # AQE skew-join capture; green r2-r5
+    "tpch_q5_local_supplier_volume",   # broadcast-dim multi-join + agg,
+                                   # the same shape as in-window q03 +
+                                   # etl_fact_assembly; green r2-r5
+    "join_asof_last_purchase",     # as-of (most-recent-effective-row)
+                                   # mechanism recomputed by in-window
+                                   # join_scd2_pit_attribution; green
+                                   # r2-r5
+    "text_corpus_contrast",        # NEW r6c, registered past the window
+                                   # (r5-extras precedent): gate-replica
+                                   # verified this round, rotates in
+                                   # next round
 )
 
 

@@ -107,6 +107,9 @@ HEADLINE = [
     "join_scd2_pit_attribution",
     "etl_expectations_report",
     "dedup_graph_stats",
+    "text_tfidf_topterms",
+    "text_bpe_pair_merge",
+    "text_corpus_contrast",
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

@@ -1,0 +1,282 @@
+"""Round-6c corpus-analysis queries (registered after lifecycle_queries).
+
+The text family (operators/text.py) covers per-document signals —
+token counts, quality, language ID, repetition, PII — and
+extension_queries covers corpus heavy-hitters. This module adds the
+three corpus-level *term statistics* stages an LLM-data pipeline runs
+between cleaning and training:
+
+- text_tfidf_topterms  : per-document top-3 distinctive terms by
+                         TF-IDF (rational smoothed IDF — log-free so
+                         the score is bit-identical across engines)
+- text_bpe_pair_merge  : the first byte-pair-encoding merge round —
+                         corpus-weighted adjacent character-pair
+                         frequencies over the word-frequency table
+- text_corpus_contrast : smoothed relative-frequency ratio of terms in
+                         the English slice vs the rest (the keyword /
+                         domain-drift contrast every corpus mix audit
+                         needs)
+
+Window note: text_tfidf_topterms and text_bpe_pair_merge rotate INTO
+the driver's first-50 correctness window this round;
+text_corpus_contrast registers past it (r5-extras precedent:
+gate-replica verified now, rotates in next round). See
+__spark_entry__._PAST_WINDOW and COVERAGE.md.
+
+Numeric discipline (see REQUIREMENTS.md): scores use only +,*,/ over
+doubles — IEEE-correctly-rounded and therefore bit-identical in Spark
+and DuckDB when written in the same association order; no ln/exp libm
+calls whose last ulp differs between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.partitioning import to_cluster_width
+from ..operators.text import tokens_expr
+from ..sources.tables import load_table
+from .registry import query
+from .text_queries import _SQL_TOKS
+
+_TFIDF_TOP = 3
+
+
+def _lower_terms(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """doc_id (+extra cols) with one lowercased whitespace token per row.
+
+    Shared explode stage of all three queries: repartition to cluster
+    width first (corpora arrive as few files; tokenization should run
+    at cluster parallelism, not input-file granularity)."""
+    wide = to_cluster_width(docs, "doc_id")
+    return wide.select(
+        "doc_id", *extra_cols, F.explode(tokens_expr("text")).alias("tok")
+    ).select("doc_id", *extra_cols, F.lower("tok").alias("term"))
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest({_SQL_TOKS})) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             (CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE))
+               / CAST(df.df + 1 AS DOUBLE) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, tfidf
+    FROM ranked WHERE rnk <= {_TFIDF_TOP}
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by TF-IDF — the classic
+    keyword-extraction / relevance-weighting stage (reference scope:
+    document fingerprinting + quality scoring family).
+
+    IDF is the smoothed RATIONAL form (N+1)/(df+1) rather than
+    ln((N+1)/(df+1))+1: monotone-identical ranking, but the score stays
+    inside IEEE +,*,/ so the hash-compared doubles are bit-identical in
+    Spark and DuckDB (ln's last ulp is libm-dependent — the same reason
+    the quality classifier uses an algebraic sigmoid).
+
+    Scale shape (the standard distributed TF-IDF plan):
+    - explode -> groupBy(doc_id, term): map-side partial aggregation,
+      shuffle carries one row per distinct (doc, term);
+    - df derives from the tf TABLE (groupBy term — vocabulary-sized,
+      never re-reads the corpus);
+    - tf⋈df is a shuffle equi-join on term (vocabulary can be billions
+      of rows at web scale — NOT broadcast; AQE is free to downgrade);
+    - the single-row corpus count IS broadcast;
+    - per-doc top-3 is row_number over a doc_id-partitioned window —
+      co-partitioned with tf's grouping key, so the plan reuses the
+      existing hash partitioning (plan shows WindowGroupLimit + Sort
+      with NO exchange between the join and the window).
+    Ties break on term text so the cut is deterministic.
+
+    Known tradeoff (same call as dedup_minhash_lsh's verification
+    join): the df branch re-derives tf from its own corpus scan, so
+    the corpus is tokenized twice rather than holding an unmanaged
+    (doc,term)-sized cache; callers embedding this in a multi-consumer
+    pipeline should persist tf in scope and unpersist after."""
+    docs = load_table(spark, sf_dir, "documents")
+    tall = _lower_terms(docs)
+    tf = tall.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)).cast("double"))
+            / (F.col("df") + F.lit(1)).cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TFIDF_TOP)
+        .select("doc_id", "rnk", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@query(
+    "text_bpe_pair_merge",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lower(unnest({_SQL_TOKS})) AS word FROM documents
+    ),
+    wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS word_freq
+           FROM toks GROUP BY 1),
+    pairs AS (
+      SELECT word, word_freq,
+             unnest(list_transform(
+               generate_series(1, CAST(length(word) AS INTEGER) - 1),
+               i -> substr(word, i, 2))) AS pair
+      FROM wf
+    )
+    SELECT pair,
+           CAST(SUM(word_freq) AS BIGINT) AS pair_count,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+    FROM pairs GROUP BY 1
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+)
+def text_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First byte-pair-encoding merge round: the 20 most frequent
+    adjacent character pairs across the corpus, weighted by word
+    frequency — exactly the statistic a BPE tokenizer trainer computes
+    to pick its next merge (Sennrich et al. 2016, public algorithm).
+
+    Scale shape — the classic BPE trainer trick, distributed: pair
+    expansion runs over the WORD-FREQUENCY table, not the corpus. The
+    explode->groupBy(word) first stage collapses the corpus to its
+    vocabulary with map-side combine (the same heavy-hitter shuffle
+    shape as text_top_tokens), then per distinct word a
+    transform(sequence) expression emits its length-1 adjacent pairs —
+    all JVM-side codegen, zero Python. The final groupBy(pair) shuffle
+    is bounded by |vocab| * avg_word_len, independent of corpus row
+    count; the top-20 plans as TakeOrderedAndProject. Integer counts
+    only — nothing float-hash-fragile.
+
+    Words shorter than 2 chars emit no pairs: the Spark guard is
+    explicit (when length>=2) because sequence(1, 0) would yield a
+    DESCENDING [1,0] in Spark while generate_series(1, 0) is empty in
+    DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        _lower_terms(docs)
+        .groupBy(F.col("term").alias("word"))
+        .agg(F.count(F.lit(1)).alias("word_freq"))
+    )
+    pair_arr = F.when(
+        F.length("word") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.col("word").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select("word", "word_freq", F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(
+            F.sum("word_freq").alias("pair_count"),
+            F.count_distinct("word").alias("n_words"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_corpus_contrast",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, lower(unnest({_SQL_TOKS})) AS term FROM documents
+    ),
+    counts AS (
+      SELECT term,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_rest
+      FROM toks GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_en) AS BIGINT) AS tot_en,
+             CAST(SUM(n_rest) AS BIGINT) AS tot_rest
+      FROM counts
+    )
+    SELECT term, n_en, n_rest,
+           ((CAST(n_en AS DOUBLE) + 0.5) * (CAST(tot_rest AS DOUBLE) + 0.5))
+             / ((CAST(n_rest AS DOUBLE) + 0.5) * (CAST(tot_en AS DOUBLE) + 0.5))
+             AS en_ratio
+    FROM counts CROSS JOIN tot
+    WHERE n_en + n_rest >= 10
+    ORDER BY en_ratio DESC, term
+    LIMIT 15
+    """,
+)
+def text_corpus_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-slice contrast: the 15 terms most distinctive of the
+    English slice vs the rest of the corpus, by add-half smoothed
+    relative-frequency ratio — the keyword-contrast / domain-drift
+    audit run when deciding a corpus mix (which terms does slice A
+    over-represent?).
+
+    The statistic is the smoothed rate ratio
+    ((a+.5)/(A+.5)) / ((b+.5)/(B+.5)), algebraically rearranged to
+    ((a+.5)*(B+.5)) / ((b+.5)*(A+.5)) so both engines evaluate the
+    identical +,*,/ sequence (bit-identical doubles; a log-likelihood
+    form would rank similarly but pull in libm ln). Min-support
+    n_en+n_rest >= 10 keeps one-off typos out of the ratio tail.
+
+    Scale shape: one explode -> groupBy(term) with conditional partial
+    sums (single corpus-token shuffle, vocabulary-sized output); slice
+    totals re-aggregate the COUNTS table (vocabulary-sized, never the
+    corpus) into one broadcast row; top-15 is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    tall = _lower_terms(docs, "lang")
+    counts = tall.groupBy("term").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_en"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_rest"),
+    )
+    tot = counts.agg(
+        F.sum("n_en").cast("bigint").alias("tot_en"),
+        F.sum("n_rest").cast("bigint").alias("tot_rest"),
+    )
+    ratio = (
+        (F.col("n_en").cast("double") + F.lit(0.5))
+        * (F.col("tot_rest").cast("double") + F.lit(0.5))
+    ) / (
+        (F.col("n_rest").cast("double") + F.lit(0.5))
+        * (F.col("tot_en").cast("double") + F.lit(0.5))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_en") + F.col("n_rest")) >= 10)
+        .select("term", "n_en", "n_rest", ratio.alias("en_ratio"))
+        .orderBy(F.desc("en_ratio"), F.asc("term"))
+        .limit(15)
+    )
