@@ -126,6 +126,9 @@ _PAST_WINDOW = (
                                    # (r5-extras precedent): gate-replica
                                    # verified this round, rotates in
                                    # next round
+    "bi_revenue_pivot_priority_year",  # NEW r6c, same precedent as
+                                   # text_corpus_contrast above
+    "bi_revenue_cube_status_year",  # NEW r6c, same precedent
 )
 
 

@@ -110,6 +110,8 @@ HEADLINE = [
     "text_tfidf_topterms",
     "text_bpe_pair_merge",
     "text_corpus_contrast",
+    "bi_revenue_pivot_priority_year",
+    "bi_revenue_cube_status_year",
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

@@ -280,3 +280,123 @@ def text_corpus_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("en_ratio"), F.asc("term"))
         .limit(15)
     )
+
+
+_PIVOT_YEARS = list(range(1995, 2002))  # testdata o_orderdate span
+
+
+@query(
+    "bi_revenue_pivot_priority_year",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           {cols}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """.format(
+        cols=",\n           ".join(
+            "CAST(SUM(CASE WHEN year(o.o_orderdate) = {y} THEN "
+            "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) "
+            "END) AS DOUBLE) AS y{y}".format(y=y)
+            for y in _PIVOT_YEARS
+        )
+    ),
+)
+def bi_revenue_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI cross-tab: revenue by order priority (rows) x order year
+    (columns) via DataFrame ``pivot`` — the report-matrix operator every
+    BI surface ships (the reference's dashboard visuals are pivots of
+    the gold fact by date/product axes).
+
+    The pivot VALUES are declared explicitly (1995-2001, the testdata
+    date span): with an explicit list Spark plans a single-pass
+    conditional aggregation (PivotFirst / one HashAggregate over
+    fact rows — exactly the CASE-WHEN matrix the oracle spells out)
+    and the output schema is static; omitting the list would add an
+    eager distinct-scan job to discover values, an anti-pattern at
+    100 TB. Revenue stays exact-decimal until the final double cast
+    (functions/money.py discipline); year-x-priority cells absent from
+    the data yield NULL in both engines.
+
+    The inverse reshape (unpivot/melt back to long form) is pinned
+    lossless in tests/test_analysis_queries.py — Spark's unpivot
+    compiles to an Expand, no shuffle."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    from ..functions.money import revenue_expr
+
+    joined = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("o_year"),
+        revenue_expr().alias("rev"),
+    )
+    pivoted = (
+        joined.groupBy("priority")
+        .pivot("o_year", _PIVOT_YEARS)
+        .agg(F.sum("rev"))
+    )
+    return pivoted.select(
+        "priority",
+        *[F.col(str(y)).cast("double").alias(f"y{y}") for y in _PIVOT_YEARS],
+    ).orderBy("priority")
+
+
+@query(
+    "bi_revenue_cube_status_year",
+    oracle="""
+    WITH yearly AS (
+      SELECT o.o_orderstatus AS status,
+             CAST(year(o.o_orderdate) AS INTEGER) AS year,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+               AS _rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT status, year,
+           CAST(GROUPING(status) * 2 + GROUPING(year) AS BIGINT) AS gid,
+           CAST(SUM(_rev) AS DOUBLE) AS revenue
+    FROM yearly
+    GROUP BY CUBE(status, year)
+    ORDER BY gid, status, year
+    """,
+)
+def bi_revenue_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, year) with grouping_id: every subtotal plane of the
+    status x year matrix in one pass — detail cells, per-status and
+    per-year margins, grand total — the dashboard subtotal companion of
+    agg_rollup_year_month (gid disambiguates a NULL group key from a
+    subtotal row, the standard CUBE-consumer discipline).
+
+    Same two-phase shape as the rollup: a plain groupBy collapses the
+    fact join to the ~|status|x|years| aggregate FIRST, so the CUBE's
+    Expand (4 copies per input row — 2^k for k cube columns) runs over
+    dozens of rows, not the 100 TB fact. Decimal sums are associative,
+    so the sum-of-partials is exactly the one-pass value. Spark and
+    DuckDB agree on grouping(): 1 when the column is aggregated away,
+    0 when grouped."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    from ..functions.money import revenue_expr
+
+    yearly = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.year("o_orderdate").cast("int").alias("year"),
+        )
+        .agg(F.sum(revenue_expr()).alias("_rev"))
+    )
+    return (
+        yearly.cube("status", "year")
+        .agg(
+            (F.grouping("status") * 2 + F.grouping("year"))
+            .cast("bigint")
+            .alias("gid"),
+            F.sum("_rev").cast("double").alias("revenue"),
+        )
+        .select("status", "year", "gid", "revenue")
+        .orderBy("gid", "status", "year")
+    )

@@ -8,6 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from retail_sales_analysis_etl_bi_project_spark.plans.analysis_queries import (
+    _PIVOT_YEARS,
+    bi_revenue_cube_status_year,
+    bi_revenue_pivot_priority_year,
     text_bpe_pair_merge,
     text_corpus_contrast,
     text_tfidf_topterms,
@@ -106,3 +109,61 @@ def test_corpus_contrast_known(spark, tmp_path):
     # en-distinctive term ranks first
     first = text_corpus_contrast(spark, d).collect()[0]
     assert first.term == "zebra"
+
+
+def test_pivot_unpivot_roundtrip(spark, sf_dir):
+    """The pivot cross-tab must melt back (unpivot/Expand, no shuffle)
+    to exactly the long-form year/priority revenue aggregate, and its
+    wide totals must equal the plain groupBy totals."""
+    wide = bi_revenue_pivot_priority_year(spark, sf_dir)
+    assert wide.columns == ["priority"] + [f"y{y}" for y in _PIVOT_YEARS]
+    long = wide.unpivot(
+        "priority",
+        [f"y{y}" for y in _PIVOT_YEARS],
+        "year_col",
+        "revenue",
+    ).filter(F.col("revenue").isNotNull())
+
+    from retail_sales_analysis_etl_bi_project_spark.functions.money import (
+        revenue_expr,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ref = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+    )
+    got = {(r.priority, r.year_col): r.revenue for r in long.collect()}
+    want = {(r.priority, f"y{r.o_year}"): r.revenue for r in ref.collect()}
+    assert got == want  # exact decimal sums -> exact double equality
+    # unpivot compiles to Expand (a narrow, shuffle-free op)
+    long_plan = long._jdf.queryExecution().optimizedPlan().toString()
+    assert "Expand" in long_plan
+
+
+def test_cube_planes_consistent(spark, sf_dir):
+    """The four CUBE planes must agree: the grand total (gid=3) equals
+    the sum of the detail cells (gid=0) and of each one-dim margin, and
+    gid distinguishes subtotal rows from genuine NULL keys."""
+    rows = bi_revenue_cube_status_year(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    grand = by_gid[3]
+    assert len(grand) == 1 and grand[0].status is None and grand[0].year is None
+    detail_sum = sum(r.revenue for r in by_gid[0])
+    year_margin_sum = sum(r.revenue for r in by_gid[2])  # grouped by year
+    status_margin_sum = sum(r.revenue for r in by_gid[1])  # grouped by status
+    # decimal partials -> double only at the end; planes agree to fp noise
+    assert detail_sum == pytest.approx(grand[0].revenue, rel=1e-12)
+    assert year_margin_sum == pytest.approx(grand[0].revenue, rel=1e-12)
+    assert status_margin_sum == pytest.approx(grand[0].revenue, rel=1e-12)

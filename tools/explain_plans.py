@@ -78,6 +78,11 @@ def main():
         "join_scd2_pit_attribution",
         "etl_expectations_report",
         "dedup_graph_stats",
+        "text_tfidf_topterms",
+        "text_bpe_pair_merge",
+        "text_corpus_contrast",
+        "bi_revenue_pivot_priority_year",
+        "bi_revenue_cube_status_year",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
