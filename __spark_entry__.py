@@ -107,7 +107,7 @@ _PAST_WINDOW = (
                                    # in-window corpus_pack_sharded;
                                    # temperature sampling distribution
                                    # pytest-pinned; green r2-r5
-    # r6c rotation — etl_orc_roundtrip rotates BACK IN (r5 VERDICT item
+    # r6f rotation — etl_orc_roundtrip rotates BACK IN (r5 VERDICT item
     # 2's done-criterion names it) and the two new term-statistics
     # queries (text_tfidf_topterms, text_bpe_pair_merge) enter; spills:
     "skew_salted_revenue_by_segment",  # final rows identical to a plain
@@ -122,13 +122,13 @@ _PAST_WINDOW = (
                                    # mechanism recomputed by in-window
                                    # join_scd2_pit_attribution; green
                                    # r2-r5
-    "text_corpus_contrast",        # NEW r6c, registered past the window
+    "text_corpus_contrast",        # NEW r6f, registered past the window
                                    # (r5-extras precedent): gate-replica
                                    # verified this round, rotates in
                                    # next round
-    "bi_revenue_pivot_priority_year",  # NEW r6c, same precedent as
+    "bi_revenue_pivot_priority_year",  # NEW r6f, same precedent as
                                    # text_corpus_contrast above
-    "bi_revenue_cube_status_year",  # NEW r6c, same precedent
+    "bi_revenue_cube_status_year",  # NEW r6f, same precedent
 )
 
 

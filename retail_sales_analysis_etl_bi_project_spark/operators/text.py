@@ -54,6 +54,26 @@ def bpe_token_count_expr(text: Column | str) -> Column:
     return F.regexp_count(c, F.lit(BPE_TOKEN_REGEX)).cast("bigint")
 
 
+def lower_terms(docs, *extra_cols: str):
+    """doc_id (+extra cols) with one lowercased whitespace token per
+    row — THE shared explode stage of every corpus term-statistics
+    query (text_top_tokens, TF-IDF, BPE pairs, slice contrast): a
+    single definition so the blank-text guard and the cluster-width
+    repartition can never diverge between consumers.
+
+    Repartitions to cluster width first (corpora arrive as few files;
+    tokenization should run at cluster parallelism, not input-file
+    granularity — see operators/partitioning.to_cluster_width)."""
+    from pyspark.sql import functions as F
+
+    from .partitioning import to_cluster_width
+
+    wide = to_cluster_width(docs, "doc_id")
+    return wide.select(
+        "doc_id", *extra_cols, F.explode(tokens_expr("text")).alias("tok")
+    ).select("doc_id", *extra_cols, F.lower("tok").alias("term"))
+
+
 def stopword_count_expr(text: Column | str) -> Column:
     """Count of English stopword occurrences (word-bounded)."""
     c = F.col(text) if isinstance(text, str) else text

@@ -1,4 +1,4 @@
-"""Round-6c corpus-analysis queries (registered after lifecycle_queries).
+"""Round-6f corpus-analysis queries (registered after lifecycle_queries).
 
 The text family (operators/text.py) covers per-document signals —
 token counts, quality, language ID, repetition, PII — and
@@ -19,8 +19,9 @@ between cleaning and training:
 
 Window note: text_tfidf_topterms and text_bpe_pair_merge rotate INTO
 the driver's first-50 correctness window this round;
-text_corpus_contrast registers past it (r5-extras precedent:
-gate-replica verified now, rotates in next round). See
+text_corpus_contrast, bi_revenue_pivot_priority_year, and
+bi_revenue_cube_status_year register past it (r5-extras precedent:
+gate-replica verified now, rotate in next round). See
 __spark_entry__._PAST_WINDOW and COVERAGE.md.
 
 Numeric discipline (see REQUIREMENTS.md): scores use only +,*,/ over
@@ -34,25 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.partitioning import to_cluster_width
-from ..operators.text import tokens_expr
+from ..operators.text import lower_terms
 from ..sources.tables import load_table
 from .registry import query
 from .text_queries import _SQL_TOKS
 
 _TFIDF_TOP = 3
-
-
-def _lower_terms(docs: DataFrame, *extra_cols: str) -> DataFrame:
-    """doc_id (+extra cols) with one lowercased whitespace token per row.
-
-    Shared explode stage of all three queries: repartition to cluster
-    width first (corpora arrive as few files; tokenization should run
-    at cluster parallelism, not input-file granularity)."""
-    wide = to_cluster_width(docs, "doc_id")
-    return wide.select(
-        "doc_id", *extra_cols, F.explode(tokens_expr("text")).alias("tok")
-    ).select("doc_id", *extra_cols, F.lower("tok").alias("term"))
 
 
 @query(
@@ -114,7 +102,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc,term)-sized cache; callers embedding this in a multi-consumer
     pipeline should persist tf in scope and unpersist after."""
     docs = load_table(spark, sf_dir, "documents")
-    tall = _lower_terms(docs)
+    tall = lower_terms(docs)
     tf = tall.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -182,7 +170,7 @@ def text_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
-        _lower_terms(docs)
+        lower_terms(docs)
         .groupBy(F.col("term").alias("word"))
         .agg(F.count(F.lit(1)).alias("word_freq"))
     )
@@ -253,7 +241,7 @@ def text_corpus_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals re-aggregate the COUNTS table (vocabulary-sized, never the
     corpus) into one broadcast row; top-15 is TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
-    tall = _lower_terms(docs, "lang")
+    tall = lower_terms(docs, "lang")
     counts = tall.groupBy("term").agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
         .cast("bigint")

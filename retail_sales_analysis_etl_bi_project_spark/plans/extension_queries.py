@@ -67,14 +67,10 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy for Spark 4's approx_top_k sketch — fixed-size state,
     map-side mergeable; tests/test_agg_approx.py pins the sketch to
     this exact query's results at test scale."""
-    from ..operators.text import tokens_expr
-
-    from ..operators.partitioning import to_cluster_width
+    from ..operators.text import lower_terms
 
     docs = load_table(spark, sf_dir, "documents")
-    tall = to_cluster_width(docs, "doc_id").select(
-        "doc_id", F.explode(tokens_expr("text")).alias("tok")
-    ).select("doc_id", F.lower("tok").alias("token"))
+    tall = lower_terms(docs).select("doc_id", F.col("term").alias("token"))
     return (
         tall.groupBy("token")
         .agg(

@@ -69,16 +69,15 @@ def test_bpe_pairs_known(spark, corpus):
     assert "" not in got and all(len(p) == 2 for p in got)
 
 
-def test_bpe_short_word_guard(spark):
+def test_bpe_short_word_guard(spark, tmp_path):
     """length<2 words must emit zero pairs (Spark sequence(1,0) would
     otherwise yield a descending [1,0])."""
     df = spark.createDataFrame(
         [(1, "a b a x", "en", "s", 7)],
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
-    import tempfile, os
-    d = tempfile.mkdtemp()
-    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    d = str(tmp_path / "short")
+    df.write.parquet(f"{d}/documents.parquet")
     assert text_bpe_pair_merge(spark, d).count() == 0
 
 
