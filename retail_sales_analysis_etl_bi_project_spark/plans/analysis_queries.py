@@ -238,8 +238,12 @@ def text_corpus_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one explode -> groupBy(term) with conditional partial
     sums (single corpus-token shuffle, vocabulary-sized output); slice
-    totals re-aggregate the COUNTS table (vocabulary-sized, never the
-    corpus) into one broadcast row; top-15 is TakeOrderedAndProject."""
+    totals LOGICALLY re-aggregate the counts table into one broadcast
+    row — but without a cache Spark recomputes that subtree, so the
+    plan scans the corpus twice (same documented
+    no-unmanaged-cache tradeoff as text_tfidf_topterms's df branch;
+    a pipeline embedding this persists counts in scope instead);
+    top-15 is TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     tall = lower_terms(docs, "lang")
     counts = tall.groupBy("term").agg(
