@@ -129,6 +129,7 @@ _PAST_WINDOW = (
     "bi_revenue_pivot_priority_year",  # NEW r6f, same precedent as
                                    # text_corpus_contrast above
     "bi_revenue_cube_status_year",  # NEW r6f, same precedent
+    "dedup_fuzzy_name_pairs",      # NEW r6f, same precedent
 )
 
 

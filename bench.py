@@ -112,6 +112,7 @@ HEADLINE = [
     "text_corpus_contrast",
     "bi_revenue_pivot_priority_year",
     "bi_revenue_cube_status_year",
+    "dedup_fuzzy_name_pairs",
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

@@ -17,12 +17,18 @@ between cleaning and training:
                          domain-drift contrast every corpus mix audit
                          needs)
 
+plus the BI reshape pair (bi_revenue_pivot_priority_year — explicit-
+values pivot cross-tab; bi_revenue_cube_status_year — CUBE with
+grouping_id over a pre-collapsed aggregate) and the string-edit-
+distance dedup member (dedup_fuzzy_name_pairs — SymSpell deletion-
+neighborhood blocking + levenshtein verify).
+
 Window note: text_tfidf_topterms and text_bpe_pair_merge rotate INTO
 the driver's first-50 correctness window this round;
-text_corpus_contrast, bi_revenue_pivot_priority_year, and
-bi_revenue_cube_status_year register past it (r5-extras precedent:
-gate-replica verified now, rotate in next round). See
-__spark_entry__._PAST_WINDOW and COVERAGE.md.
+text_corpus_contrast, bi_revenue_pivot_priority_year,
+bi_revenue_cube_status_year, and dedup_fuzzy_name_pairs register past
+it (r5-extras precedent: gate-replica verified now, rotate in next
+round). See __spark_entry__._PAST_WINDOW and COVERAGE.md.
 
 Numeric discipline (see REQUIREMENTS.md): scores use only +,*,/ over
 doubles — IEEE-correctly-rounded and therefore bit-identical in Spark
@@ -333,6 +339,99 @@ def bi_revenue_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFram
         "priority",
         *[F.col(str(y)).cast("double").alias(f"y{y}") for y in _PIVOT_YEARS],
     ).orderBy("priority")
+
+
+@query(
+    "dedup_fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT c_custkey AS k, lower(trim(c_name)) AS name FROM customer
+    ),
+    keys AS (
+      SELECT k, name,
+             unnest(list_transform(
+               generate_series(0, CAST(length(name) AS INTEGER)),
+               i -> CASE WHEN i = 0 THEN name
+                    ELSE substr(name, 1, i - 1)
+                         || substr(name, i + 1, length(name) - i) END
+             )) AS delkey
+      FROM names
+    ),
+    cand AS (
+      SELECT DISTINCT a.k AS ka, b.k AS kb, a.name AS na, b.name AS nb
+      FROM keys a JOIN keys b ON a.delkey = b.delkey AND a.k < b.k
+    )
+    SELECT CAST((SELECT COUNT(*) FROM names) AS BIGINT) AS n_names,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN levenshtein(na, nb) <= 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_pairs
+    FROM cand
+    """,
+)
+def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-duplicate audit: customer-name pairs within edit
+    distance 1, found WITHOUT any all-pairs comparison — SymSpell-style
+    deletion-neighborhood blocking (Garbe's public algorithm): every
+    name emits itself plus its length-L one-char-deletion variants
+    (L+1 keys); two names within Levenshtein distance 1 necessarily
+    share at least one key, so candidates come from a plain equi-join
+    on the deletion key and only candidates pay the exact
+    levenshtein() verify. The string-edit-distance member of the dedup
+    family (token n-grams, MinHash, SimHash, embeddings cover the
+    other similarity axes).
+
+    Scale shape: key explosion is linear in total name characters;
+    the candidate join is shuffle-on-key with bucket sizes bounded by
+    the neighborhood structure (names sharing a deletion key differ in
+    at most the deleted position — alphabet-bounded, no hot key), and
+    the DISTINCT collapses multi-key candidate duplicates before the
+    verify. Output is a single audit row (counts), so the hash check
+    pins the whole pipeline: blocking recall, dedup of candidates, and
+    verify threshold. Spark and DuckDB both implement classic
+    Levenshtein (substitution/insert/delete, unit costs)."""
+    customer = load_table(spark, sf_dir, "customer")
+    names = customer.select(
+        F.col("c_custkey").alias("k"), F.lower(F.trim("c_name")).alias("name")
+    )
+    delkeys = F.transform(
+        F.sequence(F.lit(0), F.length("name")),
+        lambda i: F.when(i == 0, F.col("name")).otherwise(
+            F.concat(
+                F.col("name").substr(F.lit(1), i - 1),
+                F.col("name").substr(i + 1, F.length("name") - i),
+            )
+        ),
+    )
+    keys = names.select("k", "name", F.explode(delkeys).alias("delkey"))
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.delkey") == F.col("b.delkey"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("ka"),
+            F.col("b.k").alias("kb"),
+            F.col("a.name").alias("na"),
+            F.col("b.name").alias("nb"),
+        )
+        .distinct()
+    )
+    n_names = names.agg(F.count(F.lit(1)).cast("bigint").alias("n_names"))
+    return (
+        cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+            F.sum(
+                F.when(F.levenshtein("na", "nb") <= 1, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dup_pairs"),
+        )
+        .crossJoin(F.broadcast(n_names))
+        .select("n_names", "n_candidate_pairs", "n_dup_pairs")
+    )
 
 
 @query(

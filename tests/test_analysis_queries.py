@@ -11,6 +11,7 @@ from retail_sales_analysis_etl_bi_project_spark.plans.analysis_queries import (
     _PIVOT_YEARS,
     bi_revenue_cube_status_year,
     bi_revenue_pivot_priority_year,
+    dedup_fuzzy_name_pairs,
     text_bpe_pair_merge,
     text_corpus_contrast,
     text_tfidf_topterms,
@@ -146,6 +147,47 @@ def test_pivot_unpivot_roundtrip(spark, sf_dir):
     # unpivot compiles to Expand (a narrow, shuffle-free op)
     long_plan = long._jdf.queryExecution().optimizedPlan().toString()
     assert "Expand" in long_plan
+
+
+def test_fuzzy_name_pairs_known(spark, tmp_path):
+    """Hand-computed SymSpell check: anna/ana (one deletion, lev 1) and
+    bob/bobb (one insertion, lev 1) are found; bob/rob would be a
+    substitution (also lev 1, shares deletion key 'ob'); carol pairs
+    with nothing; anna/bob never become candidates."""
+    rows = [
+        (1, "anna"), (2, "ana"), (3, "bob"), (4, "bobb"),
+        (5, "rob"), (6, "carol"),
+    ]
+    df = spark.createDataFrame(rows, "c_custkey bigint, c_name string")
+    d = str(tmp_path / "fuzzy")
+    df.write.parquet(f"{d}/customer.parquet")
+    out = dedup_fuzzy_name_pairs(spark, d).collect()[0]
+    assert out.n_names == 6
+    # verified lev<=1 pairs: (anna,ana), (bob,bobb), (bob,rob), (bobb,rob)?
+    # bobb vs rob: lev 2 (substitute b->r, delete b) -> NOT a dup pair,
+    # though they may appear as candidates via shared key 'ob'+... no:
+    # deletion keys of bobb: {bobb,obb,bbb,bob,bob}; rob: {rob,ob,rb,ro}
+    # -> no shared key, not even a candidate.
+    assert out.n_dup_pairs == 3
+    assert out.n_candidate_pairs >= out.n_dup_pairs
+
+
+def test_spark_duckdb_levenshtein_agree(spark):
+    """Both engines implement classic unit-cost Levenshtein."""
+    import duckdb
+
+    cases = [
+        ("kitten", "sitting"), ("anna", "ana"), ("bob", "bobb"),
+        ("", "abc"), ("same", "same"), ("ab", "ba"),
+    ]
+    got_spark = (
+        spark.createDataFrame(cases, "a string, b string")
+        .select(F.levenshtein("a", "b").alias("d"))
+        .collect()
+    )
+    con = duckdb.connect()
+    for (a, b), r in zip(cases, got_spark):
+        assert con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0] == r.d
 
 
 def test_cube_planes_consistent(spark, sf_dir):

@@ -83,6 +83,7 @@ def main():
         "text_corpus_contrast",
         "bi_revenue_pivot_priority_year",
         "bi_revenue_cube_status_year",
+        "dedup_fuzzy_name_pairs",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
