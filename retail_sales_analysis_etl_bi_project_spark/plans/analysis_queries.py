@@ -363,7 +363,8 @@ def bi_revenue_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT CAST((SELECT COUNT(*) FROM names) AS BIGINT) AS n_names,
            CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
-           CAST(SUM(CASE WHEN levenshtein(na, nb) <= 1 THEN 1 ELSE 0 END)
+           CAST(COALESCE(SUM(CASE WHEN levenshtein(na, nb) <= 1
+                              THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS n_dup_pairs
     FROM cand
     """,
@@ -423,8 +424,12 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
-            F.sum(
-                F.when(F.levenshtein("na", "nb") <= 1, 1).otherwise(0)
+            # coalesce: SUM over ZERO candidate pairs is NULL in both
+            # engines, but "no candidates" means 0 duplicate pairs
+            # (caught by the hypothesis blocking-completeness property)
+            F.coalesce(
+                F.sum(F.when(F.levenshtein("na", "nb") <= 1, 1).otherwise(0)),
+                F.lit(0),
             )
             .cast("bigint")
             .alias("n_dup_pairs"),

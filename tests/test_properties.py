@@ -114,3 +114,92 @@ def test_sharded_packing_identical_to_one_window_form(
     # the distributed prefix-sum decomposition is row-identical to the
     # one-window spec for ANY block size, including degenerate size 1
     assert sharded == simple
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (classic unit-cost DP)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(**_SETTINGS)
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_fuzzy_blocking_finds_every_lev1_pair(spark, tmp_path_factory, names):
+    """SymSpell completeness law: the deletion-neighborhood join must
+    report EXACTLY the brute-force count of distinct-name pairs with
+    Levenshtein distance <= 1 — blocking can add candidates but must
+    never lose a true pair, and the verify must discard every false
+    candidate. Tiny alphabet forces dense neighborhoods (the adversarial
+    case for both over- and under-counting)."""
+    from retail_sales_analysis_etl_bi_project_spark.plans.analysis_queries import (
+        dedup_fuzzy_name_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "c_custkey bigint, c_name string"
+    )
+    d = str(tmp_path_factory.mktemp("fuzzprop") / "t")
+    df.write.parquet(f"{d}/customer.parquet")
+    got = dedup_fuzzy_name_pairs(spark, d).collect()[0]
+    want = sum(
+        1
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if _lev(names[i], names[j]) <= 1
+    )
+    assert got.n_dup_pairs == want
+    assert got.n_names == len(names)
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bpe_pair_counts_match_python_reference(spark, tmp_path_factory, words):
+    """Corpus-weighted adjacent-pair counts equal the trivial Python
+    count over the raw token stream (the word-frequency-table rewrite
+    is an exact refactoring, not an approximation)."""
+    from collections import Counter
+
+    from retail_sales_analysis_etl_bi_project_spark.plans.analysis_queries import (
+        text_bpe_pair_merge,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(words), "en", "s", len(" ".join(words)))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    d = str(tmp_path_factory.mktemp("bpeprop") / "t")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = {r.pair: r.pair_count for r in text_bpe_pair_merge(spark, d).collect()}
+    ref = Counter()
+    for w in words:
+        for i in range(len(w) - 1):
+            ref[w[i : i + 2]] += 1
+    # compare on the intersection ranking-safe way: every reported pair
+    # must carry the exact reference count, and the top-20 cut must not
+    # under-report (got is the 20 highest reference counts)
+    for p, c in got.items():
+        assert ref[p] == c
+    if ref:
+        kept_min = min(got.values())
+        dropped = [c for p, c in ref.items() if p not in got]
+        assert all(c <= kept_min for c in dropped)
