@@ -345,10 +345,12 @@ def bi_revenue_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFram
     "dedup_fuzzy_name_pairs",
     oracle="""
     WITH names AS (
-      SELECT c_custkey AS k, lower(trim(c_name)) AS name FROM customer
+      SELECT lower(trim(c_name)) AS name,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer WHERE c_name IS NOT NULL GROUP BY 1
     ),
     keys AS (
-      SELECT k, name,
+      SELECT name, cnt,
              unnest(list_transform(
                generate_series(0, CAST(length(name) AS INTEGER)),
                i -> CASE WHEN i = 0 THEN name
@@ -358,41 +360,59 @@ def bi_revenue_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFram
       FROM names
     ),
     cand AS (
-      SELECT DISTINCT a.k AS ka, b.k AS kb, a.name AS na, b.name AS nb
-      FROM keys a JOIN keys b ON a.delkey = b.delkey AND a.k < b.k
+      SELECT DISTINCT a.name AS na, a.cnt AS ca, b.name AS nb, b.cnt AS cb
+      FROM keys a JOIN keys b ON a.delkey = b.delkey AND a.name < b.name
+    ),
+    cross_name AS (
+      SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS cand_pairs,
+             CAST(COALESCE(SUM(CASE WHEN levenshtein(na, nb) <= 1
+                                THEN ca * cb ELSE 0 END), 0)
+                  AS BIGINT) AS dup_pairs
+      FROM cand
+    ),
+    within_name AS (
+      SELECT CAST(COALESCE(SUM(cnt * (cnt - 1) / 2), 0) AS BIGINT) AS pairs,
+             CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows
+      FROM names
     )
-    SELECT CAST((SELECT COUNT(*) FROM names) AS BIGINT) AS n_names,
-           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
-           CAST(COALESCE(SUM(CASE WHEN levenshtein(na, nb) <= 1
-                              THEN 1 ELSE 0 END), 0)
-                AS BIGINT) AS n_dup_pairs
-    FROM cand
+    SELECT w.n_rows AS n_names,
+           c.cand_pairs + w.pairs AS n_candidate_pairs,
+           c.dup_pairs + w.pairs AS n_dup_pairs
+    FROM cross_name c CROSS JOIN within_name w
     """,
 )
 def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy entity-duplicate audit: customer-name pairs within edit
-    distance 1, found WITHOUT any all-pairs comparison — SymSpell-style
-    deletion-neighborhood blocking (Garbe's public algorithm): every
-    name emits itself plus its length-L one-char-deletion variants
-    (L+1 keys); two names within Levenshtein distance 1 necessarily
-    share at least one key, so candidates come from a plain equi-join
-    on the deletion key and only candidates pay the exact
-    levenshtein() verify. The string-edit-distance member of the dedup
-    family (token n-grams, MinHash, SimHash, embeddings cover the
-    other similarity axes).
+    """Fuzzy entity-duplicate audit: customer PAIRS whose names are
+    within edit distance 1, found WITHOUT any all-pairs comparison —
+    SymSpell-style deletion-neighborhood blocking (Garbe's public
+    algorithm): every name emits itself plus its length-L
+    one-char-deletion variants (L+1 keys); two names within Levenshtein
+    distance 1 necessarily share at least one key, so candidates come
+    from a plain equi-join on the deletion key and only candidates pay
+    the exact levenshtein() verify. The string-edit-distance member of
+    the dedup family (token n-grams, MinHash, SimHash, embeddings
+    cover the other similarity axes).
 
-    Scale shape: key explosion is linear in total name characters;
-    the candidate join is shuffle-on-key with bucket sizes bounded by
-    the neighborhood structure (names sharing a deletion key differ in
-    at most the deleted position — alphabet-bounded, no hot key), and
-    the DISTINCT collapses multi-key candidate duplicates before the
-    verify. Output is a single audit row (counts), so the hash check
-    pins the whole pipeline: blocking recall, dedup of candidates, and
-    verify threshold. Spark and DuckDB both implement classic
-    Levenshtein (substitution/insert/delete, unit costs)."""
+    Scale shape — the standard SymSpell-at-scale form: the corpus
+    FIRST collapses to DISTINCT names with multiplicities (one
+    map-side-combined groupBy), the deletion-key self-join runs over
+    distinct names only, and row-level pair counts are recovered
+    arithmetically (ca*cb across a cross-name candidate, C(c,2) within
+    an exact-duplicate name). Exact duplicates — the norm in real
+    entity data — therefore NEVER enter the join: a name shared by D
+    customers costs one row, not Theta(D^2) join output. Key buckets
+    are bounded by the distinct-name neighborhood density, and the
+    DISTINCT collapses multi-key candidate duplicates before the
+    verify. Output is a single audit row over customer pairs (counts
+    include same-name pairs, lev=0), so the hash check pins blocking
+    recall, candidate dedup, multiplicity algebra, and the verify
+    threshold. Spark and DuckDB both implement classic Levenshtein."""
     customer = load_table(spark, sf_dir, "customer")
-    names = customer.select(
-        F.col("c_custkey").alias("k"), F.lower(F.trim("c_name")).alias("name")
+    names = (
+        customer.filter(F.col("c_name").isNotNull())
+        .select(F.lower(F.trim("c_name")).alias("name"))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     delkeys = F.transform(
         F.sequence(F.lit(0), F.length("name")),
@@ -403,39 +423,52 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    keys = names.select("k", "name", F.explode(delkeys).alias("delkey"))
+    keys = names.select("name", "cnt", F.explode(delkeys).alias("delkey"))
     a = keys.alias("a")
     b = keys.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.delkey") == F.col("b.delkey"))
-            & (F.col("a.k") < F.col("b.k")),
+            & (F.col("a.name") < F.col("b.name")),
         )
         .select(
-            F.col("a.k").alias("ka"),
-            F.col("b.k").alias("kb"),
             F.col("a.name").alias("na"),
+            F.col("a.cnt").alias("ca"),
             F.col("b.name").alias("nb"),
+            F.col("b.cnt").alias("cb"),
         )
         .distinct()
     )
-    n_names = names.agg(F.count(F.lit(1)).cast("bigint").alias("n_names"))
-    return (
-        cand.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
-            # coalesce: SUM over ZERO candidate pairs is NULL in both
-            # engines, but "no candidates" means 0 duplicate pairs
-            # (caught by the hypothesis blocking-completeness property)
-            F.coalesce(
-                F.sum(F.when(F.levenshtein("na", "nb") <= 1, 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("n_dup_pairs"),
+    # coalesce: SUM over ZERO rows is NULL in both engines, but "no
+    # candidates" means 0 pairs (caught by the hypothesis
+    # blocking-completeness property)
+    cross_name = cand.agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .cast("bigint")
+        .alias("cand_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.levenshtein("na", "nb") <= 1, F.col("ca") * F.col("cb")
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
-        .crossJoin(F.broadcast(n_names))
-        .select("n_names", "n_candidate_pairs", "n_dup_pairs")
+        .cast("bigint")
+        .alias("dup_pairs"),
+    )
+    within_name = names.agg(
+        F.coalesce(
+            F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2).cast("bigint"),
+            F.lit(0),
+        ).alias("pairs"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_rows"),
+    )
+    return cross_name.crossJoin(F.broadcast(within_name)).select(
+        F.col("n_rows").alias("n_names"),
+        (F.col("cand_pairs") + F.col("pairs")).alias("n_candidate_pairs"),
+        (F.col("dup_pairs") + F.col("pairs")).alias("n_dup_pairs"),
     )
 
 

@@ -150,26 +150,23 @@ def test_pivot_unpivot_roundtrip(spark, sf_dir):
 
 
 def test_fuzzy_name_pairs_known(spark, tmp_path):
-    """Hand-computed SymSpell check: anna/ana (one deletion, lev 1) and
-    bob/bobb (one insertion, lev 1) are found; bob/rob would be a
-    substitution (also lev 1, shares deletion key 'ob'); carol pairs
-    with nothing; anna/bob never become candidates."""
+    """Hand-computed SymSpell check with an exact-duplicate name: the
+    two 'anna' customers form one within-name pair (C(2,2)=1, lev 0),
+    each pairs with 'ana' (2*1=2, one deletion), bob/bobb (insertion)
+    and bob/rob (substitution via shared key 'ob') are found; bobb/rob
+    is lev 2 and shares no deletion key; carol pairs with nothing."""
     rows = [
         (1, "anna"), (2, "ana"), (3, "bob"), (4, "bobb"),
-        (5, "rob"), (6, "carol"),
+        (5, "rob"), (6, "carol"), (7, "anna"),
     ]
     df = spark.createDataFrame(rows, "c_custkey bigint, c_name string")
     d = str(tmp_path / "fuzzy")
     df.write.parquet(f"{d}/customer.parquet")
     out = dedup_fuzzy_name_pairs(spark, d).collect()[0]
-    assert out.n_names == 6
-    # verified lev<=1 pairs: (anna,ana), (bob,bobb), (bob,rob), (bobb,rob)?
-    # bobb vs rob: lev 2 (substitute b->r, delete b) -> NOT a dup pair,
-    # though they may appear as candidates via shared key 'ob'+... no:
-    # deletion keys of bobb: {bobb,obb,bbb,bob,bob}; rob: {rob,ob,rb,ro}
-    # -> no shared key, not even a candidate.
-    assert out.n_dup_pairs == 3
-    assert out.n_candidate_pairs >= out.n_dup_pairs
+    assert out.n_names == 7
+    # 1 within-name (anna,anna) + 2 (anna,ana) + 1 (bob,bobb) + 1 (bob,rob)
+    assert out.n_dup_pairs == 5
+    assert out.n_candidate_pairs == 5  # no false candidates in this fixture
 
 
 def test_spark_duckdb_levenshtein_agree(spark):

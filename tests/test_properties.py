@@ -135,16 +135,17 @@ def _lev(a: str, b: str) -> int:
         st.text(alphabet="abc", min_size=1, max_size=5),
         min_size=2,
         max_size=8,
-        unique=True,
     )
 )
 def test_fuzzy_blocking_finds_every_lev1_pair(spark, tmp_path_factory, names):
     """SymSpell completeness law: the deletion-neighborhood join must
-    report EXACTLY the brute-force count of distinct-name pairs with
+    report EXACTLY the brute-force count of customer-row pairs with
     Levenshtein distance <= 1 — blocking can add candidates but must
-    never lose a true pair, and the verify must discard every false
-    candidate. Tiny alphabet forces dense neighborhoods (the adversarial
-    case for both over- and under-counting)."""
+    never lose a true pair, the verify must discard every false
+    candidate, and the distinct-name multiplicity algebra (ca*cb cross,
+    C(c,2) within) must equal row-level counting. Tiny alphabet forces
+    dense neighborhoods and NON-unique draws force duplicate names (the
+    adversarial cases for over-, under-, and mis-multiplied counts)."""
     from retail_sales_analysis_etl_bi_project_spark.plans.analysis_queries import (
         dedup_fuzzy_name_pairs,
     )
@@ -168,7 +169,7 @@ def test_fuzzy_blocking_finds_every_lev1_pair(spark, tmp_path_factory, names):
 @settings(**_SETTINGS)
 @given(
     words=st.lists(
-        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.text(alphabet="abcdefg", min_size=1, max_size=6),
         min_size=1,
         max_size=20,
     )
