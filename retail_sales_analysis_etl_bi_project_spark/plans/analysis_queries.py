@@ -406,7 +406,14 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify. Output is a single audit row over customer pairs (counts
     include same-name pairs, lev=0), so the hash check pins blocking
     recall, candidate dedup, multiplicity algebra, and the verify
-    threshold. Spark and DuckDB both implement classic Levenshtein."""
+    threshold. Spark and DuckDB both implement classic Levenshtein.
+
+    Known tradeoff (the tfidf/minhash precedent): the distinct-name
+    aggregate is re-derived by each of its three consumers (both join
+    sides and the within-name totals) rather than held in an unmanaged
+    cache — at sf0.1 that re-derivation costs ~2x the old row-level
+    plan's wall time, the price of removing the Theta(D^2) duplicate-
+    name blowup; an orchestrated pipeline persists `names` in scope."""
     customer = load_table(spark, sf_dir, "customer")
     names = (
         customer.filter(F.col("c_name").isNotNull())
