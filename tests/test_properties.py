@@ -204,3 +204,105 @@ def test_bpe_pair_counts_match_python_reference(spark, tmp_path_factory, words):
         kept_min = min(got.values())
         dropped = [c for p, c in ref.items() if p not in got]
         assert all(c <= kept_min for c in dropped)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee ff".split()), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_tfidf_matches_python_reference(spark, tmp_path_factory, docs):
+    """TF-IDF law: per-doc top-3 terms, scores, and tie-breaks equal a
+    Python reference computing the SAME IEEE double sequence
+    (tf * (N+1)) / (df+1) — exact float equality, not approx, because
+    +,*,/ are correctly rounded in both runtimes. Small vocabulary
+    forces score ties so the term-asc tie-break is actually exercised."""
+    from retail_sales_analysis_etl_bi_project_spark.plans.analysis_queries import (
+        text_tfidf_topterms,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words), "en", "s", 0) for i, words in enumerate(docs)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    d = str(tmp_path_factory.mktemp("tfprop") / "t")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = [
+        (r.doc_id, r.rnk, r.term, r.tf, r.df, r.tfidf)
+        for r in text_tfidf_topterms(spark, d).collect()
+    ]
+    n = len(docs)
+    dfreq = {}
+    tfs = []
+    for i, words in enumerate(docs):
+        tf = {}
+        for w in words:
+            tf[w] = tf.get(w, 0) + 1
+        tfs.append(tf)
+        for w in tf:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    want = []
+    for i, tf in enumerate(tfs):
+        scored = sorted(
+            (
+                (-(float(c) * float(n + 1)) / float(dfreq[w] + 1), w, c)
+                for w, c in tf.items()
+            ),
+        )[:3]
+        for rnk, (neg, w, c) in enumerate(scored, 1):
+            want.append((i, rnk, w, c, dfreq[w], -neg))
+    assert sorted(got) == sorted(want)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            st.lists(st.sampled_from("xx yy zz".split()), min_size=0, max_size=30),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_corpus_contrast_matches_python_reference(spark, tmp_path_factory, docs):
+    """Contrast law: the smoothed rate ratio, min-support gate, and
+    (ratio desc, term) ordering equal a Python reference running the
+    identical IEEE sequence ((a+.5)*(B+.5))/((b+.5)*(A+.5))."""
+    from retail_sales_analysis_etl_bi_project_spark.plans.analysis_queries import (
+        text_corpus_contrast,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, " ".join(words), lang, "s", 0)
+            for i, (lang, words) in enumerate(docs)
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    d = str(tmp_path_factory.mktemp("ctprop") / "t")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = [
+        (r.term, r.n_en, r.n_rest, r.en_ratio)
+        for r in text_corpus_contrast(spark, d).collect()
+    ]
+    counts = {}
+    for lang, words in docs:
+        for w in words:
+            a, b = counts.get(w, (0, 0))
+            counts[w] = (a + (lang == "en"), b + (lang != "en"))
+    tot_en = sum(a for a, _ in counts.values())
+    tot_rest = sum(b for _, b in counts.values())
+    want = []
+    for w, (a, b) in counts.items():
+        if a + b < 10:
+            continue
+        ratio = ((float(a) + 0.5) * (float(tot_rest) + 0.5)) / (
+            (float(b) + 0.5) * (float(tot_en) + 0.5)
+        )
+        want.append((w, a, b, ratio))
+    want.sort(key=lambda t: (-t[3], t[0]))
+    assert got == want[:15]
