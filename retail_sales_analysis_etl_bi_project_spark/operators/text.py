@@ -64,8 +64,6 @@ def lower_terms(docs, *extra_cols: str):
     Repartitions to cluster width first (corpora arrive as few files;
     tokenization should run at cluster parallelism, not input-file
     granularity — see operators/partitioning.to_cluster_width)."""
-    from pyspark.sql import functions as F
-
     from .partitioning import to_cluster_width
 
     wide = to_cluster_width(docs, "doc_id")

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import revenue_expr, sum_money
 from ..operators.text import lower_terms
 from ..sources.tables import load_table
 from .registry import query
@@ -321,8 +322,6 @@ def bi_revenue_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFram
     compiles to an Expand, no shuffle."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    from ..functions.money import revenue_expr
-
     joined = lineitem.join(
         orders, lineitem.l_orderkey == orders.o_orderkey
     ).select(
@@ -371,7 +370,7 @@ def bi_revenue_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFram
       FROM cand
     ),
     within_name AS (
-      SELECT CAST(COALESCE(SUM(cnt * (cnt - 1) / 2), 0) AS BIGINT) AS pairs,
+      SELECT CAST(COALESCE(SUM(cnt * (cnt - 1) // 2), 0) AS BIGINT) AS pairs,
              CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows
       FROM names
     )
@@ -465,9 +464,11 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_pairs"),
     )
+    # integer DIV keeps the pair count exact BIGINT end-to-end (a double
+    # /2 would break sum exactness past 2^53 pairs — money.py discipline)
     within_name = names.agg(
         F.coalesce(
-            F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2).cast("bigint"),
+            F.sum(F.expr("(cnt * (cnt - 1)) div 2")).cast("bigint"),
             F.lit(0),
         ).alias("pairs"),
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_rows"),
@@ -515,8 +516,6 @@ def bi_revenue_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 when grouped."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    from ..functions.money import revenue_expr
-
     yearly = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -531,7 +530,7 @@ def bi_revenue_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.grouping("status") * 2 + F.grouping("year"))
             .cast("bigint")
             .alias("gid"),
-            F.sum("_rev").cast("double").alias("revenue"),
+            sum_money(F.col("_rev"), "revenue"),
         )
         .select("status", "year", "gid", "revenue")
         .orderBy("gid", "status", "year")

@@ -115,6 +115,24 @@ def test_pivot_unpivot_roundtrip(spark, sf_dir):
     """The pivot cross-tab must melt back (unpivot/Expand, no shuffle)
     to exactly the long-form year/priority revenue aggregate, and its
     wide totals must equal the plain groupBy totals."""
+    # span guard: the declared pivot values must cover the data's actual
+    # year range — if the testdata generator ever drifts outside
+    # 1995-2001, the pivot AND its oracle would drop those years
+    # identically and the hash gate could not see it; this assertion can
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import (
+        load_table as _lt,
+    )
+
+    span = (
+        _lt(spark, sf_dir, "orders")
+        .agg(
+            F.min(F.year("o_orderdate")).alias("lo"),
+            F.max(F.year("o_orderdate")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert span.lo >= min(_PIVOT_YEARS) and span.hi <= max(_PIVOT_YEARS)
+
     wide = bi_revenue_pivot_priority_year(spark, sf_dir)
     assert wide.columns == ["priority"] + [f"y{y}" for y in _PIVOT_YEARS]
     long = wide.unpivot(
