@@ -219,6 +219,16 @@ def compact_parquet(
     # table at _prev and nothing at path — restore before compacting
     if not os.path.exists(path) and os.path.exists(prev):
         shutil.move(prev, path)
+    # crash recovery, part 2: a death AFTER writing the uuid tmp dir but
+    # BEFORE the swap strands `<path>_compact_<hex>` forever (a full
+    # copy of the table per crash). Stale tmp siblings are never the
+    # committed copy — the swap either completed (tmp was moved to
+    # `path`, so the glob misses it) or never started — so reaping them
+    # on entry is always safe.
+    parent, base = os.path.split(path.rstrip("/"))
+    for e in os.listdir(parent or "."):
+        if e.startswith(f"{base}_compact_"):
+            shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
     entries = os.listdir(path)
     subdirs = [e for e in entries if os.path.isdir(os.path.join(path, e))]
     if subdirs:

@@ -125,23 +125,53 @@ class RetailSynthReader(DataSourceReader):
         self.hi = self.n_rows
 
     def pushFilters(self, filters):
-        """Absorb sale_id range predicates into the planner; yield back
-        everything else (Spark re-applies those post-scan)."""
+        """Absorb sale_id range predicates into the planner; return
+        everything else (Spark re-applies those post-scan).
+
+        Two robustness contracts here:
+        - bounds are computed EAGERLY in a plain loop and the residual
+          filters returned as a list — a generator would only apply its
+          lo/hi mutations if the caller fully drained it before
+          partitions(), an undocumented ordering dependency that would
+          silently disable pruning if the worker ever changed;
+        - a comparand that isn't an int (``sale_id = 'abc'``, a NULL
+          literal) must not blow up the scan — pushdown is an
+          optimization, never a correctness gate — so any conversion
+          failure hands that filter back to Spark untouched.
+        """
+        def ival(v):
+            # exact ints only: int('abc') raises, but int(3.5) would
+            # TRUNCATE — and an absorbed filter is never re-applied by
+            # Spark, so a truncated bound would return wrong rows.
+            # bool is an int subclass; a boolean comparand on a bigint
+            # column is nonsense we also hand back.
+            if isinstance(v, bool) or not isinstance(v, int):
+                raise TypeError(f"non-integer comparand: {v!r}")
+            return v
+
+        residual = []
         for f in filters:
             col = f.attribute[0] if getattr(f, "attribute", None) else None
-            if col == "sale_id" and isinstance(f, EqualTo):
-                self.lo = max(self.lo, int(f.value))
-                self.hi = min(self.hi, int(f.value))
-            elif col == "sale_id" and isinstance(f, GreaterThan):
-                self.lo = max(self.lo, int(f.value) + 1)
-            elif col == "sale_id" and isinstance(f, GreaterThanOrEqual):
-                self.lo = max(self.lo, int(f.value))
-            elif col == "sale_id" and isinstance(f, LessThan):
-                self.hi = min(self.hi, int(f.value) - 1)
-            elif col == "sale_id" and isinstance(f, LessThanOrEqual):
-                self.hi = min(self.hi, int(f.value))
-            else:
-                yield f
+            try:
+                if col != "sale_id":
+                    raise TypeError("not a sale_id predicate")
+                if isinstance(f, EqualTo):
+                    v = ival(f.value)
+                    self.lo = max(self.lo, v)
+                    self.hi = min(self.hi, v)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, ival(f.value) + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, ival(f.value))
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, ival(f.value) - 1)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, ival(f.value))
+                else:
+                    residual.append(f)
+            except (TypeError, ValueError):
+                residual.append(f)
+        return residual
 
     def partitions(self):
         lo, hi = self.lo, self.hi + 1  # half-open
@@ -285,20 +315,45 @@ if HAS_PYDS:
 
         def commit(self, messages):
             """Driver-side: publish the manifest atomically (tmp +
-            rename), listing exactly the files of THIS job; stale part
-            files from earlier jobs or lost task attempts are removed
-            so the directory converges to the manifest."""
+            rename). Overwrite mode lists exactly THIS job's files;
+            append mode merges them into the existing manifest (files
+            union, row counts summed) so previously committed data
+            survives — mode('append') used to silently behave as
+            overwrite. In both modes, .jsonl files absent from the
+            published manifest (earlier jobs in overwrite mode, lost
+            task attempts in either) are reaped so the directory
+            converges to the manifest."""
             import json as _json
             import os as _os
 
-            files = sorted(
-                _os.path.basename(m.path) for m in messages if m is not None
-            )
-            rows = sum(m.n_rows for m in messages if m is not None)
+            # manifest carries per-file row counts so an append merge
+            # is a plain dict-union — idempotent under driver-side
+            # commit retries (same messages → same uuid names → same
+            # merged map), no double-counted n_rows.
+            file_rows = {
+                _os.path.basename(m.path): m.n_rows
+                for m in messages
+                if m is not None
+            }
             manifest = _os.path.join(self.path, "_manifest.json")
+            if not self.overwrite and _os.path.exists(manifest):
+                with open(manifest) as fh:
+                    prev = _json.load(fh)
+                prev_rows = prev.get("file_rows") or dict.fromkeys(
+                    prev.get("files", []), 0
+                )
+                file_rows = prev_rows | file_rows
+            files = sorted(file_rows)
             tmp = manifest + ".tmp"
             with open(tmp, "w") as fh:
-                _json.dump({"files": files, "n_rows": rows}, fh)
+                _json.dump(
+                    {
+                        "files": files,
+                        "n_rows": sum(file_rows.values()),
+                        "file_rows": file_rows,
+                    },
+                    fh,
+                )
             _os.replace(tmp, manifest)
             keep = set(files) | {"_manifest.json"}
             for f in _os.listdir(self.path):

@@ -196,3 +196,32 @@ def test_compact_parquet_recovers_interrupted_swap_and_refuses_partitions(
 
     with _pytest.raises(ValueError, match="partition subdirectories"):
         compact_parquet(spark, part)
+
+
+def test_compact_parquet_reaps_stale_tmp_dirs(spark, tmp_path):
+    """A crash after writing the uuid `<path>_compact_<hex>` tmp dir but
+    before the swap used to strand it forever (a full table copy leaked
+    per crash); compaction now reaps stale tmp siblings on entry."""
+    import os
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.catalog import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "t2")
+    spark.range(50).withColumnRenamed("id", "k").repartition(6).write.parquet(path)
+    # plant two stale tmp dirs from "earlier crashed compactions"
+    for hexpart in ("deadbeef", "cafef00d"):
+        stale = f"{path}_compact_{hexpart}"
+        os.makedirs(stale)
+        with open(os.path.join(stale, "part-0.parquet"), "w") as fh:
+            fh.write("junk")
+    # an unrelated sibling must survive the reap
+    other = str(tmp_path / "t2_other")
+    os.makedirs(other)
+
+    stats = compact_parquet(spark, path, target_mb=128)
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(path).count() == 50
+    leftovers = [e for e in os.listdir(tmp_path) if "_compact_" in e]
+    assert leftovers == [] and os.path.exists(other)

@@ -124,3 +124,62 @@ def test_manifest_writer_two_phase_commit(registered):
     assert pyds.read_manifest_json(spark, out).count() == 30
     df.write.format("retail_synth").mode("append").option("path", out).save()
     assert not os.path.exists(orphan)
+    # ...and append MERGED rather than clobbered: both jobs' 30 rows are
+    # in the manifest (append used to silently behave as overwrite)
+    assert pyds.read_manifest_json(spark, out).count() == 60
+
+
+def test_manifest_writer_overwrite_replaces_append_accumulates(registered):
+    """mode semantics: overwrite publishes exactly this job's files;
+    append merges into the existing manifest (files union, per-file row
+    counts summed) so previously committed data survives."""
+    import os
+
+    spark = registered
+    out = tempfile.mkdtemp(prefix="pyds_sink_modes_")
+    df = (
+        spark.read.format("retail_synth")
+        .option("rows", 20)
+        .option("parts", 2)
+        .load()
+    )
+    df.write.format("retail_synth").mode("overwrite").option("path", out).save()
+    assert pyds.read_manifest_json(spark, out).count() == 20
+    first_files = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+
+    df.write.format("retail_synth").mode("append").option("path", out).save()
+    back = pyds.read_manifest_json(spark, out)
+    assert back.count() == 40  # every sale_id now appears twice
+    assert back.filter("sale_id = 7").count() == 2
+    # the first job's part files are still on disk AND in the manifest
+    assert first_files <= {f for f in os.listdir(out) if f.endswith(".jsonl")}
+
+    # overwrite after append: back to exactly one job's data, the
+    # accumulated earlier files reaped
+    df.write.format("retail_synth").mode("overwrite").option("path", out).save()
+    assert pyds.read_manifest_json(spark, out).count() == 20
+    assert not first_files & {f for f in os.listdir(out) if f.endswith(".jsonl")}
+
+
+def test_push_filters_eager_and_nonint_comparand_handed_back(registered):
+    """pushFilters is a plain method (bounds land even if the result is
+    never iterated), and any non-integer comparand — 'abc', NULL, a
+    truncating float — is returned to Spark instead of crashing the
+    scan or absorbing a wrong bound."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    r = pyds.RetailSynthReader({"rows": "1000", "parts": "8"})
+    residual = r.pushFilters(
+        [
+            EqualTo(("sale_id",), "abc"),  # ValueError path
+            EqualTo(("sale_id",), None),  # TypeError path
+            EqualTo(("sale_id",), 3.5),  # would truncate to 3 — refuse
+            EqualTo(("sale_id",), True),  # bool-is-int trap — refuse
+            GreaterThan(("sale_id",), 990),  # the one we CAN absorb
+        ]
+    )
+    # eager contract: a list, not a generator, and bounds already set
+    assert isinstance(residual, list) and len(residual) == 4
+    assert r.lo == 991 and r.hi == 1000
+    parts = r.partitions()
+    assert sum(p.end - p.start for p in parts) == 10
