@@ -122,14 +122,37 @@ _PAST_WINDOW = (
                                    # mechanism recomputed by in-window
                                    # join_scd2_pit_attribution; green
                                    # r2-r5
-    "text_corpus_contrast",        # NEW r6f, registered past the window
-                                   # (r5-extras precedent): gate-replica
-                                   # verified this round, rotates in
-                                   # next round
-    "bi_revenue_pivot_priority_year",  # NEW r6f, same precedent as
-                                   # text_corpus_contrast above
-    "bi_revenue_cube_status_year",  # NEW r6f, same precedent
-    "dedup_fuzzy_name_pairs",      # NEW r6f, same precedent
+    # r7 rotation — the four r6f queries (text_corpus_contrast,
+    # bi_revenue_pivot_priority_year, bi_revenue_cube_status_year,
+    # dedup_fuzzy_name_pairs) rotate IN as planned (r6 VERDICT item 1),
+    # alongside the two new r7 queries (pipeline_term_stats_shared,
+    # sim_ann_recall_tuning). Six long-proven spills, each with an
+    # in-window mechanism sibling:
+    "tpch_q1_pricing_summary",     # multi-agg groupBy + decimal sums,
+                                   # the q02/q03/k_core_kpis family
+                                   # (all in-window); green r1-r6
+    "etl_json_roundtrip",          # staging-roundtrip mechanism
+                                   # identical to in-window
+                                   # etl_orc_roundtrip; green r5-r6
+    "text_profile",                # its signal expressions run inside
+                                   # in-window corpus_filter_pipeline
+                                   # (quality_score_expr) and
+                                   # text_quality_classifier; green
+                                   # r1-r6
+    "corpus_split_assignment",     # deterministic hash-bucket
+                                   # assignment, the mechanism of
+                                   # in-window corpus_stratified_sample
+                                   # (hash-ranked strata); green r5-r6
+    "events_sessionization",       # single user_id shuffle + window
+                                   # chain, as in-window
+                                   # events_funnel_conversion /
+                                   # events_retention_cohorts; green
+                                   # r2-r6
+    "etl_scd2_priority_history",   # SCD2 interval build (operators/
+                                   # dims.scd2_history) recomputed
+                                   # inside in-window
+                                   # join_scd2_pit_attribution; green
+                                   # r3-r6
 )
 
 

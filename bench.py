@@ -113,6 +113,8 @@ HEADLINE = [
     "bi_revenue_pivot_priority_year",
     "bi_revenue_cube_status_year",
     "dedup_fuzzy_name_pairs",
+    "pipeline_term_stats_shared",
+    "sim_ann_recall_tuning",
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

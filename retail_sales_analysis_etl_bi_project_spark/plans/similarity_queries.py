@@ -43,13 +43,15 @@ _CODEBOOK_CACHE: dict[tuple, list[list[float]]] = {}
 
 
 def _corpus_codebook(
-    spark: SparkSession, sf_dir: str, refine_iters: int = 0
+    spark: SparkSession, sf_dir: str, refine_iters: int = 0, train_mod: int = 4
 ) -> list[list[float]]:
-    key = (sf_dir, _N_CENTROIDS, refine_iters)
+    key = (sf_dir, _N_CENTROIDS, refine_iters, train_mod)
     if key not in _CODEBOOK_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         if refine_iters > 0:
-            cb = kmedians_codebook(emb, _N_CENTROIDS, refine_iters)
+            cb = kmedians_codebook(
+                emb, _N_CENTROIDS, refine_iters, train_mod=train_mod
+            )
         else:
             _, cb = ivf_assignments(emb, _N_CENTROIDS)
         _CODEBOOK_CACHE[key] = cb
