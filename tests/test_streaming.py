@@ -267,3 +267,59 @@ def test_foreachbatch_upsert_stale_batch_and_crash_recovery(spark, tmp_path):
     )
     rows = {r.user_id: r for r in spark.read.parquet(target).collect()}
     assert set(rows) == {1, 2, 3}, "crash recovery lost committed keys"
+
+
+def test_foreachbatch_upsert_reaps_only_stale_tmp_dirs(spark, tmp_path):
+    """The tmp-dir reaper (r6 addition, r6 VERDICT item 7): a stale
+    ``<target>_tmp_<hex>`` dir from a crashed earlier swap is removed
+    on the next run, while (1) a FRESH tmp dir (a concurrent writer
+    mid-swap — age-gated TTL) and (2) unrelated siblings survive, and
+    the run's own swap still commits."""
+    import datetime
+    import os
+    import shutil
+    import time
+
+    from retail_sales_analysis_etl_bi_project_spark.streaming.events import (
+        upsert_stream_to_parquet,
+    )
+
+    def mk_events(path, rows):
+        stage = path / "_stage"
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), str(path / "events.parquet"))
+        shutil.rmtree(str(stage))
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    src = tmp_path / "src"
+    src.mkdir()
+    mk_events(src, [(1, t, 1, "click", 5.0, "{}")])
+
+    target = str(tmp_path / "profiles")
+    stale = f"{target}_tmp_deadbeef"
+    fresh = f"{target}_tmp_cafef00d"
+    other = f"{target}_other"  # prefix-adjacent sibling, must survive
+    for d in (stale, fresh, other):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as fh:
+            fh.write("junk")
+    # backdate the stale dir past the 600 s TTL; leave `fresh` current
+    past = time.time() - 3600
+    os.utime(stale, (past, past))
+
+    upsert_stream_to_parquet(
+        read_events_stream(spark, str(src)),
+        target,
+        str(tmp_path / "ck"),
+        key_cols=("user_id",),
+    )
+    assert not os.path.exists(stale), "stale tmp dir not reaped"
+    assert os.path.exists(fresh), "fresh tmp dir must survive the TTL gate"
+    assert os.path.exists(other), "unrelated sibling must survive"
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1 and rows[0].user_id == 1  # swap still committed

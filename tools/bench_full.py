@@ -1,0 +1,115 @@
+"""One-off full-registry bench (r6 VERDICT item 8): wall-time EVERY
+registered query once at $SPARK_GRAFT_SF_DIR (default sf0.1), including
+the all-pairs baselines and sampled variants the headline bench.py
+excludes by design, so each of the 84 registered queries has at least
+one recorded measurement. Writes BENCH_FULL.json at the repo root.
+
+Single repeat, same warm-up + calibration discipline as bench.py; the
+artifact records per-query wall seconds, the action-overhead
+calibration, and any errors. Not driver-facing — bench.py remains the
+per-round headline contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from retail_sales_analysis_etl_bi_project_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# fact-sized results: count() instead of collect() (bench.py discipline)
+COUNT_ONLY_PREFIXES = (
+    "etl_fact",
+    "window_customer",
+    "etl_snapshot",
+    "corpus_chunk",
+    "text_tfidf",
+    "pipeline_term",
+)
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench-full")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    errors: dict[str, str] = {}
+    for warm in (
+        "q01_top5_products_by_revenue",
+        "events_hourly_agg",
+        "dedup_hash_groups",
+        "sim_bruteforce_topk",
+        "multimodal_feature_extract",
+    ):
+        try:
+            qs[warm](spark, SF_DIR).count()
+        except Exception as e:  # noqa: BLE001
+            errors[f"warmup:{warm}"] = f"{type(e).__name__}: {e}"[:300]
+
+    cal = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        spark.range(1000).count()
+        cal.append(time.perf_counter() - t0)
+    overhead_ms = round(statistics.median(cal) * 1000, 1)
+
+    timings: dict[str, float] = {}
+    out_path = os.path.join(ROOT, "BENCH_FULL.json")
+    for name, fn in qs.items():
+        try:
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = (
+                df.count()
+                if name.startswith(COUNT_ONLY_PREFIXES)
+                else len(df.collect())
+            )
+            timings[name] = round(time.perf_counter() - t0, 3)
+            assert n >= 0
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+        doc = {
+            "metric": "full_registry_wall_once",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "repeats": 1,
+            "action_overhead_ms": overhead_ms,
+            "n_queries": len(timings),
+            "n_errors": len(errors),
+            "queries": timings,
+            "errors": errors,
+        }
+        with open(out_path + ".tmp", "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(out_path + ".tmp", out_path)
+    print(
+        json.dumps(
+            {
+                "metric": "full_registry_wall_once",
+                "value": round(sum(timings.values()), 3),
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,7 @@ import __spark_entry__ as entrymod
 INTERESTING = re.compile(
     r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|Exchange|HashAggregate"
     r"|TakeOrderedAndProject|PushedFilters|PartitionFilters|WholeStageCodegen"
-    r"|Window|Scan parquet"
+    r"|Window|Scan parquet|InMemoryTableScan"
 )
 
 
