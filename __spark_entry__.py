@@ -153,6 +153,21 @@ _PAST_WINDOW = (
                                    # inside in-window
                                    # join_scd2_pit_attribution; green
                                    # r3-r6
+    # r7b rotation — two new scale-pattern queries enter
+    # (join_bloom_prefilter_revenue: runtime Bloom join pruning;
+    # agg_incremental_kpi_merge: algebraic partial-aggregate merge).
+    # Two long-proven spills, each with an in-window mechanism sibling:
+    "etl_surrogate_keys_customer", # row_number-over-ordered-partition
+                                   # surrogate keys — the mechanism of
+                                   # in-window corpus_stratified_sample
+                                   # (hash-ranked row_number per
+                                   # stratum); green r1-r6
+    "dedup_corpus_after_removal",  # anti-join removal endpoint — the
+                                   # left_anti mechanism of in-window
+                                   # etl_expectations_report's
+                                   # referential rules, over pair sets
+                                   # recomputed by in-window
+                                   # dedup_family_recall; green r3-r6
 )
 
 

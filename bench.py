@@ -114,7 +114,12 @@ HEADLINE = [
     "bi_revenue_cube_status_year",
     "dedup_fuzzy_name_pairs",
     "pipeline_term_stats_shared",
-    "sim_ann_recall_tuning",
+    "join_bloom_prefilter_revenue",
+    "agg_incremental_kpi_merge",
+    # sim_ann_recall_tuning is NOT headline, the sim_ann_recall /
+    # dedup_family_recall precedent: composed audits re-run several
+    # member pipelines and would dominate the total with redundant
+    # timings; BENCH_FULL.json records them.
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

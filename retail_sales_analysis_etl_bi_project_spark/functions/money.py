@@ -96,3 +96,24 @@ def fixed_point_sum_sql(col: str, scale: int = 6) -> str:
         f"CAST(SUM(CAST(ROUND(({col}) * {factor}) AS DECIMAL(28,0))) AS DOUBLE)"
         f" / {factor}"
     )
+
+
+def fixed_point_partial(col: Column | str, scale: int = 6) -> Column:
+    """Mergeable partial for fixed_point_sum: the exact decimal(28,0)
+    accumulator of scaled units, NOT yet divided. Integer addition is
+    associative, so partials summed with fixed_point_final over ANY
+    regrouping (per-partition, per-day, incremental-merge) equal the
+    one-pass fixed_point_sum bit-for-bit — the algebraic-aggregate
+    contract that makes incremental materialized-view maintenance
+    exact (see plans/agg_queries.py agg_incremental_kpi_merge)."""
+    c = F.col(col) if isinstance(col, str) else col
+    factor = float(10**scale)
+    return F.sum(F.round(c * F.lit(factor)).cast("decimal(28,0)"))
+
+
+def fixed_point_final(acc: Column | str, scale: int = 6) -> Column:
+    """Merge + finalize fixed_point_partial accumulators: sum the exact
+    integers, divide once at the end (same sequence as fixed_point_sum)."""
+    c = F.col(acc) if isinstance(acc, str) else acc
+    factor = float(10**scale)
+    return F.sum(c).cast("double") / F.lit(factor)

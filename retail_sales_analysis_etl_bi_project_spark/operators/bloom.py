@@ -1,0 +1,111 @@
+"""Expression-level Bloom filter for runtime join pruning.
+
+The 100 TB pattern this encodes: a shuffle (sort-merge) join between a
+huge fact and a mid-size dimension selection moves EVERY fact row
+through the exchange, even though most can never match. Spark's own
+runtime row-level filtering (`spark.sql.optimizer.runtime.bloomFilter.
+enabled`) injects exactly this prefilter when statistics allow; this
+module makes the pattern explicit, portable, and testable: build a
+Bloom bitmap from the dimension's join keys (driver-side, KB-scale —
+the same discipline as the IVF codebooks in operators/similarity.py),
+then prefilter the fact with a pure-expression membership test BEFORE
+the shuffle. False positives are eliminated by the exact join that
+follows, so the final result is bit-identical to the plain join — which
+is what lets a DuckDB oracle hash-check the whole pipeline.
+
+Layout: ``m_bits`` bits packed 60 per bigint word (60, not 64, so every
+mask ``1 << b`` stays a positive long and the bitmap survives any
+literal round-trip without sign games). ``k`` probe positions per key
+via ``xxhash64(key, seed_i) mod m`` — xxhash64 is a JVM-side codegen'd
+expression, so the probe is whole-stage-compiled with zero Python in
+the hot path.
+
+Sizing: FPR ≈ (1 - e^(-k*n/m))^k. The default m=61,440 bits holds ~6k
+keys at ~1% FPR in an 8 KB literal. For dimension selections in the
+millions of keys, scale m linearly (1.2 MB per ~1M keys at 1% — still
+a broadcast-trivial plan literal, but at that point prefer handing the
+keys to a broadcast semi-join and letting AQE decide; the Bloom wins
+when the exact key set is too big to broadcast but the BITMAP is not).
+
+No reference analog (the reference joins pandas frames in memory);
+extends SURVEY §2.3 for the warehouse-scale join surface.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS_PER_WORD = 60
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k probe positions in [0, m_bits) — xxhash64 of (key, seed)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def build_bloom(
+    df: DataFrame, key_col: str, m_bits: int = 61_440, k: int = 3
+) -> list[int]:
+    """Fit a Bloom bitmap over ``df[key_col]`` (the build/dimension
+    side). One distinct-positions aggregation, then a driver collect of
+    at most min(m_bits, k * n_keys) ints — KB-scale for any build side
+    a Bloom is appropriate for (the fitted-artifact discipline of the
+    IVF codebooks). Returns ``m_bits / 60`` packed bigint words.
+    """
+    if m_bits % BITS_PER_WORD:
+        raise ValueError(f"m_bits must be a multiple of {BITS_PER_WORD}")
+    pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k)))
+    rows = df.select(pos.alias("pos")).distinct().collect()
+    words = [0] * (m_bits // BITS_PER_WORD)
+    for r in rows:
+        words[r.pos // BITS_PER_WORD] |= 1 << (r.pos % BITS_PER_WORD)
+    return words
+
+
+def might_contain(
+    key: Column | str, words: list[int], m_bits: int = 61_440, k: int = 3
+) -> Column:
+    """Membership predicate: true iff all k probe bits are set. The
+    bitmap travels as ONE array<bigint> plan literal (m_bits/60 words);
+    each probe is element_at + bitwiseAND — O(k) per row, no Python.
+
+    Guaranteed no false negatives (every inserted key tests true), so
+    ``fact.filter(might_contain(...)).join(dim, key)`` ≡
+    ``fact.join(dim, key)`` row-for-row; false positives only cost
+    shuffle bytes the exact join then discards.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    bm = F.lit(words)
+    masks = F.lit([1 << b for b in range(BITS_PER_WORD)])
+    conds = []
+    for pos in _positions(key, m_bits, k):
+        word = F.element_at(bm, (pos / BITS_PER_WORD).cast("int") + 1)
+        mask = F.element_at(masks, F.pmod(pos, BITS_PER_WORD).cast("int") + 1)
+        conds.append(word.bitwiseAND(mask) != 0)
+    return reduce(lambda a, b: a & b, conds)
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 61_440,
+    k: int = 3,
+) -> DataFrame:
+    """Inner join with a Bloom prefilter on the fact side: fit the
+    bitmap on ``dim``'s keys, drop non-members of ``fact`` BEFORE the
+    join's exchange, then join exactly. Result is identical to
+    ``fact.join(dim, fact_key == dim_key)``; the prefilter only shrinks
+    what the shuffle moves. The join is hinted sort-merge — the shape
+    the pattern exists for (a broadcast-able dim wouldn't need a
+    Bloom; the runtime filter is what replaces the broadcast when the
+    dim outgrows it)."""
+    words = build_bloom(dim, dim_key, m_bits, k)
+    pre = fact.filter(might_contain(fact_key, words, m_bits, k))
+    return pre.join(dim.hint("merge"), pre[fact_key] == dim[dim_key])

@@ -147,6 +147,13 @@ def ngram_jaccard_pairs(
     ).select("doc_b", shingles_from_tokens(F.col("_t"), n).alias("sh_b"))
     if query_mod:
         a = a.filter(F.col("doc_a") % query_mod == 0)
+    # The nested-loop join streams `a` at the SCAN's partitioning — one
+    # parquet file means one task grinding every Jaccard on one core
+    # (AQE can't help: it coalesces by bytes, not per-row CPU). Widen
+    # the streamed side; see partitioning.to_cluster_width.
+    from .partitioning import to_cluster_width
+
+    a = to_cluster_width(a, "doc_a")
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
     return (
         pairs.select(
@@ -732,6 +739,12 @@ def embedding_near_dup_pairs(
     b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
     if query_mod:
         a = a.filter(F.col("vec_a") % query_mod == 0)
+    # Same parallelism guard as ngram_jaccard_pairs: widen the streamed
+    # side of the nested-loop instead of the scan's single parquet
+    # partition (see partitioning.to_cluster_width).
+    from .partitioning import to_cluster_width
+
+    a = to_cluster_width(a, "vec_a")
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(

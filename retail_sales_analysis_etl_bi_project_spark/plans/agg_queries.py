@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import revenue_expr
+from ..functions.money import (
+    fixed_point_final,
+    fixed_point_partial,
+    fixed_point_sum_sql,
+    revenue_expr,
+)
 from ..sources.tables import load_table
 from .bi import REVENUE_SQL
 from .registry import query
@@ -113,4 +118,63 @@ def agg_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_incremental_kpi_merge",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+           CAST(month(o_orderdate) AS INTEGER) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {fixed_point_sum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def agg_incremental_kpi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-KPI maintenance: the monthly revenue
+    KPI computed as merge(partial(history), partial(new arrivals))
+    instead of a full recompute — the shape a daily 100 TB pipeline
+    needs (re-aggregate ONLY the newly landed partition; the history's
+    partials are a stored table read back at delta size, not fact
+    size).
+
+    Exactness is the point being proven: counts and fixed-point revenue
+    accumulators are ALGEBRAIC aggregates (integer sums), so any
+    regrouping merges to bit-identical results — the DuckDB oracle does
+    the one-pass full recompute and must hash-match the merged path.
+    Non-algebraic KPIs (exact distinct customers) deliberately do NOT
+    appear here: they don't merge; at scale they go through sketch
+    merge (agg_sketch_profile's HLL) or a dedicated distinct pipeline.
+
+    The history/delta split is simulated by date (< 2001-01-01 vs the
+    rest); both branches prune on the same scan, and each partial
+    aggregate is map-side-combined before its shuffle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+        (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp")).alias(
+            "_is_hist"
+        ),
+        "o_totalprice",
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("year", "month").agg(
+            F.count(F.lit(1)).alias("_n"),
+            fixed_point_partial("o_totalprice").alias("_acc"),
+        )
+
+    hist = partial(orders.filter(F.col("_is_hist")))
+    delta = partial(orders.filter(~F.col("_is_hist")))
+    return (
+        hist.unionByName(delta)
+        .groupBy("year", "month")
+        .agg(
+            F.sum("_n").alias("n_orders"),
+            fixed_point_final("_acc").alias("revenue"),
+        )
+        .orderBy("year", "month")
     )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.money import fixed_point_sum, fixed_point_sum_sql
+from ..operators.bloom import bloom_prefilter_join
 from ..operators.joins import asof_join, range_join_log
 from ..sources.tables import load_table
 from .registry import query
@@ -103,4 +104,44 @@ def join_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             fixed_point_sum("value").alias("total_value"),
         )
         .orderBy("band")
+    )
+
+
+@query(
+    "join_bloom_prefilter_revenue",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {fixed_point_sum_sql('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def join_bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-prefiltered shuffle join (operators/bloom.py):
+    orders for BUILDING-segment customers, revenue per order priority.
+
+    The fact side is filtered by a 61,440-bit Bloom bitmap fitted on the
+    dimension selection's keys BEFORE the sort-merge join's exchange —
+    the explicit form of Spark's runtime row-level filtering, for the
+    regime where the dim selection outgrows a broadcast but its bitmap
+    does not. No false negatives by construction and the exact join
+    drops the false positives, so the result is bit-identical to the
+    plain join the DuckDB oracle runs."""
+    orders = load_table(spark, sf_dir, "orders")
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    joined = bloom_prefilter_join(orders, building, "o_custkey", "c_custkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fixed_point_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
     )

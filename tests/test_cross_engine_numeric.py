@@ -228,3 +228,36 @@ def test_pq_adc_scores_match_duckdb_on_random_vectors(spark):
                 for c in cbs[m]
             ]
             assert got[i][m] == want, f"vec {i} subspace {m}: ADC scores diverge"
+
+
+def test_fixed_point_partials_merge_to_one_pass_sum(spark):
+    """fixed_point_partial/final (the incremental-merge form) must equal
+    the one-pass fixed_point_sum bit-for-bit under ANY split of the
+    rows — integer accumulators are associative, doubles are not. Split
+    adversarial doubles into 3 arbitrary slices, aggregate each slice
+    independently, merge."""
+    from retail_sales_analysis_etl_bi_project_spark.functions.money import (
+        fixed_point_final,
+        fixed_point_partial,
+    )
+
+    rng = random.Random(99)
+    vals = [round(rng.uniform(-1e4, 1e4), rng.randint(0, 6)) for _ in range(3000)]
+    df = spark.createDataFrame(
+        [(i % 7, i % 3, v) for i, v in enumerate(vals)], "g int, slice int, v double"
+    )
+    one_pass = {
+        r.g: r.s
+        for r in df.groupBy("g").agg(fixed_point_sum("v").alias("s")).collect()
+    }
+    merged = {
+        r.g: r.s
+        for r in (
+            df.groupBy("g", "slice")
+            .agg(fixed_point_partial("v").alias("_acc"))
+            .groupBy("g")
+            .agg(fixed_point_final("_acc").alias("s"))
+            .collect()
+        )
+    }
+    assert merged == one_pass  # exact ==, not approx: bit-identical

@@ -8,6 +8,11 @@ Single repeat, same warm-up + calibration discipline as bench.py; the
 artifact records per-query wall seconds, the action-overhead
 calibration, and any errors. Not driver-facing — bench.py remains the
 per-round headline contract.
+
+Resumable: pass --resume to keep the timings already in BENCH_FULL.json
+and run only the registered queries it lacks (the artifact is written
+incrementally per query, so a killed run — e.g. session end during the
+~17-min dedup_family_recall all-pairs audit — leaves a valid prefix).
 """
 
 from __future__ import annotations
@@ -40,6 +45,19 @@ COUNT_ONLY_PREFIXES = (
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out_path = os.path.join(ROOT, "BENCH_FULL.json")
+    resume = "--resume" in sys.argv
+    prior_timings: dict[str, float] = {}
+    prior_errors: dict[str, str] = {}
+    if resume and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        prior_timings = dict(prior.get("queries", {}))
+        prior_errors = {
+            k: v
+            for k, v in prior.get("errors", {}).items()
+            if not k.startswith("warmup:")
+        }
     spark = get_spark("bench-full")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
@@ -64,9 +82,13 @@ def main() -> None:
         cal.append(time.perf_counter() - t0)
     overhead_ms = round(statistics.median(cal) * 1000, 1)
 
-    timings: dict[str, float] = {}
-    out_path = os.path.join(ROOT, "BENCH_FULL.json")
+    timings: dict[str, float] = dict(prior_timings)
+    errors.update(prior_errors)
     for name, fn in qs.items():
+        if name in timings:
+            continue
+        # a prior error is retried on --resume (it may have been the kill)
+        errors.pop(name, None)
         try:
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)

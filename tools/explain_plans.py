@@ -84,6 +84,10 @@ def main():
         "bi_revenue_pivot_priority_year",
         "bi_revenue_cube_status_year",
         "dedup_fuzzy_name_pairs",
+        "pipeline_term_stats_shared",
+        "sim_ann_recall_tuning",
+        "join_bloom_prefilter_revenue",
+        "agg_incremental_kpi_merge",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
