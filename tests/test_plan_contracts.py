@@ -85,3 +85,37 @@ def test_histograms_aggregate_before_window(spark, qs, sf_dir):
     # textually) the aggregates in the top-down tree
     tree = plan.split("\n\n")[0]
     assert tree.index("Window") < tree.index("HashAggregate")
+
+
+def test_bloom_prefilter_sits_below_the_join_exchange(spark, qs, sf_dir):
+    """join_bloom_prefilter_revenue: the Bloom membership test (k
+    xxhash64 probes) must run BEFORE the sort-merge join's shuffle —
+    pruning after the Exchange would move every fact row and defeat
+    the pattern — and the join must actually be sort-merge (a
+    broadcast would make the Bloom pointless)."""
+    plan = plan_of(spark, qs, "join_bloom_prefilter_revenue", sf_dir)
+    assert "SortMergeJoin" in plan
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    # tree shape: an Exchange directly feeding from a Filter (the
+    # Bloom predicate) which feeds from the parquet scan
+    tree = plan.split("\n\n")[0]
+    import re
+
+    assert re.search(
+        r"Exchange \(\d+\)\n\s*:?\s*\+- Filter \(\d+\)\n\s*:?\s*\+- Scan parquet",
+        tree,
+    ), tree
+
+
+def test_incremental_merge_pushes_split_and_combines_map_side(spark, qs, sf_dir):
+    """agg_incremental_kpi_merge: the history/delta date split must
+    reach the parquet scans (partition pruning at scale — each branch
+    reads only its slice) and both partial aggregates must map-side
+    combine before their shuffles."""
+    plan = plan_of(spark, qs, "agg_incremental_kpi_merge", sf_dir)
+    assert "Union" in plan
+    assert "partial_sum" in plan and "partial_count" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("LessThan(o_orderdate" in ln for ln in pushed), pushed
+    assert any("GreaterThanOrEqual(o_orderdate" in ln for ln in pushed), pushed
