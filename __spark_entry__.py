@@ -168,6 +168,16 @@ _PAST_WINDOW = (
                                    # referential rules, over pair sets
                                    # recomputed by in-window
                                    # dedup_family_recall; green r3-r6
+    # r7c rotation — join_interval_overlap_busy_windows (interval ×
+    # interval overlap via grid cells) enters; one spill:
+    "join_range_value_bands",      # point-in-interval grid-cell
+                                   # equi-join + residual — the same
+                                   # mechanism family as the in-window
+                                   # interval-overlap query (grid
+                                   # bucketing, exact residual filter),
+                                   # log-grid variant pytest-pinned vs
+                                   # the naive BETWEEN join; green
+                                   # r2-r6
 )
 
 

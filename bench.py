@@ -116,6 +116,7 @@ HEADLINE = [
     "pipeline_term_stats_shared",
     "join_bloom_prefilter_revenue",
     "agg_incremental_kpi_merge",
+    "join_interval_overlap_busy_windows",
     # sim_ann_recall_tuning is NOT headline, the sim_ann_recall /
     # dedup_family_recall precedent: composed audits re-run several
     # member pipelines and would dominate the total with redundant

@@ -202,3 +202,68 @@ def range_join_log(
         )
         .drop("_lvl", "_cell", "_lc")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    grid: float,
+    small: bool = False,
+) -> DataFrame:
+    """Interval × interval OVERLAP join, half-open [lo, hi) both sides:
+    a pair matches iff ``l_lo < r_hi AND r_lo < l_hi`` — the
+    sessions×outages / validity×campaign primitive that completes the
+    temporal-join trio (asof_join: point×history, range_join:
+    point×interval, this: interval×interval).
+
+    Scale path: BOTH sides explode into the grid cells they cover
+    (ceil(width/grid)+1 rows each), the join is an EQUI-join on cell +
+    the exact overlap residual — shuffles on cell like any equi-join,
+    where the naive theta form is a BroadcastNestedLoopJoin that can't
+    shuffle-partition at all once neither side broadcasts. Each
+    overlapping pair co-occupies every cell of the overlap region, so
+    it is reported ONCE at the agreed reference cell
+    ``max(first_cell(left), first_cell(right))`` instead of paying a
+    DISTINCT over the matched rows. That cell is always covered by both
+    sides: it is >= both first cells by construction, and overlap gives
+    ``r_lo < l_hi`` so ``floor(r_lo/grid) <= floor(l_hi/grid)`` (the
+    left side's last emitted cell; symmetric for the right) — the
+    boundary-aligned extra cell each side emits is exactly what makes
+    the bound inclusive, and false boundary matches die in the overlap
+    residual.
+
+    ``grid`` should be on the order of the median interval width (for
+    mixed-width workloads, bucket by width decade as range_join_log
+    does). Column names must be disjoint across the two inputs.
+    Zero-or-negative-width intervals match nothing and are dropped.
+    """
+    g = F.lit(float(grid))
+
+    def cells(df: DataFrame, lo: str, hi: str, c0: str) -> DataFrame:
+        return (
+            df.filter(F.col(hi) > F.col(lo))
+            .withColumn(c0, F.floor(F.col(lo) / g).cast("bigint"))
+            .withColumn(
+                "_cell",
+                F.explode(
+                    F.sequence(
+                        F.col(c0), F.floor(F.col(hi) / g).cast("bigint")
+                    )
+                ),
+            )
+        )
+
+    lc = cells(left, l_lo, l_hi, "_c0l")
+    rc = cells(right, r_lo, r_hi, "_c0r")
+    if small:
+        rc = F.broadcast(rc)
+    return (
+        lc.join(rc, on="_cell", how="inner")
+        .filter((F.col(l_lo) < F.col(r_hi)) & (F.col(r_lo) < F.col(l_hi)))
+        .filter(F.col("_cell") == F.greatest("_c0l", "_c0r"))
+        .drop("_cell", "_c0l", "_c0r")
+    )

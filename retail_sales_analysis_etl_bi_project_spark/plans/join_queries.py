@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import fixed_point_sum, fixed_point_sum_sql
 from ..operators.bloom import bloom_prefilter_join
-from ..operators.joins import asof_join, range_join_log
+from ..operators.joins import asof_join, interval_overlap_join, range_join_log
 from ..sources.tables import load_table
 from .registry import query
 
@@ -144,4 +144,98 @@ def join_bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             fixed_point_sum("o_totalprice").alias("revenue"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+_SESSIONS_SQL = """
+    deltas AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM deltas
+    ), sessions AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS s_lo,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) + 1 AS s_hi
+      FROM sess GROUP BY user_id, session_id
+    ), hourly AS (
+      SELECT date_trunc('hour', ts) AS w_start, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ), busy AS (
+      SELECT w_start, n_events,
+             CAST(epoch(w_start) AS BIGINT) AS w_lo,
+             CAST(epoch(w_start) AS BIGINT) + 3600 AS w_hi
+      FROM hourly WHERE n_events > (SELECT AVG(n_events) FROM hourly)
+    )
+"""
+
+
+@query(
+    "join_interval_overlap_busy_windows",
+    oracle=f"""
+    WITH {_SESSIONS_SQL}
+    SELECT b.w_start,
+           CAST(b.n_events AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM sessions s JOIN busy b ON s.s_lo < b.w_hi AND b.w_lo < s.s_hi
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def join_interval_overlap_busy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/joins.py
+    interval_overlap_join): user sessions overlapped against
+    above-average-traffic hours — per busy hour, how many sessions were
+    in flight and how many distinct users they cover.
+
+    Both interval sets are DERIVED at fact scale (sessions from the
+    30-min-gap sessionizer, busy windows from the hourly load profile
+    vs its mean), so neither side is a broadcastable literal dim — the
+    grid-cell equi-join is what keeps this off a nested loop. Sessions
+    are closed [start, end]; integer-epoch half-open [start, end+1)
+    encodes that exactly. The oracle replays the whole pipeline with
+    the naive BETWEEN overlap join."""
+    from .events_queries import events_sessionization
+
+    sessions = (
+        events_sessionization(spark, sf_dir)
+        .select(
+            "user_id",
+            F.unix_timestamp("session_start").alias("s_lo"),
+            (F.unix_timestamp("session_end") + 1).alias("s_hi"),
+        )
+    )
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("w_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    mean = hourly.agg(F.avg("n_events").alias("_mean"))
+    busy = (
+        hourly.join(F.broadcast(mean))
+        .filter(F.col("n_events") > F.col("_mean"))
+        .select(
+            "w_start",
+            "n_events",
+            F.unix_timestamp("w_start").alias("w_lo"),
+            (F.unix_timestamp("w_start") + 3600).alias("w_hi"),
+        )
+    )
+    overlaps = interval_overlap_join(
+        sessions, busy, "s_lo", "s_hi", "w_lo", "w_hi", grid=3600.0
+    )
+    return (
+        overlaps.groupBy("w_start", "n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("w_start")
     )

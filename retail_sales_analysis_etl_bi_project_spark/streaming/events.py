@@ -324,13 +324,12 @@ def upsert_stream_to_parquet(
     reconciliation lives in the target table, so nothing accumulates in
     the streaming engine regardless of stream length."""
     import os
-    import shutil
-    import uuid
 
     from pyspark.sql import Window
 
+    from .swap import atomic_swap_write, reap_stale_tmp_dirs, restore_prev
+
     keys = list(key_cols)
-    prev = f"{target}_prev"
 
     def latest_per_key(df: DataFrame) -> DataFrame:
         order = [F.col(order_col).desc()] + [
@@ -343,51 +342,17 @@ def upsert_stream_to_parquet(
             .drop("_rn")
         )
 
-    def reap_stale_tmp_dirs(ttl_sec: int = 600) -> None:
-        # a crash after writing <target>_tmp_<uuid> but before the swap
-        # would otherwise leak the tmp dir forever; age-gated like
-        # _gc_stale_staging_dirs so a concurrent writer's fresh tmp is
-        # never touched, and errors never fail the batch they ride on
-        import time
-
-        parent, base = os.path.dirname(target) or ".", os.path.basename(target)
-        try:
-            entries = os.listdir(parent)
-        except OSError:
-            return
-        cutoff = time.time() - ttl_sec
-        for d in entries:
-            if not d.startswith(f"{base}_tmp_"):
-                continue
-            path = os.path.join(parent, d)
-            try:
-                if os.path.getmtime(path) < cutoff:
-                    shutil.rmtree(path, ignore_errors=True)
-            except OSError:
-                continue
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        reap_stale_tmp_dirs()
-        # crash recovery: a death between the two swap moves leaves the
-        # committed table at _prev and no target — restore before merging
-        if not os.path.exists(target) and os.path.exists(prev):
-            shutil.move(prev, target)
+        reap_stale_tmp_dirs(target)
+        restore_prev(target)
         latest = latest_per_key(batch_df)
         if os.path.exists(target):
             existing = spark.read.parquet(target)
             merged = latest_per_key(existing.unionByName(latest))
         else:
             merged = latest
-        tmp = f"{target}_tmp_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)  # materialize BEFORE swap
-        if os.path.exists(prev):
-            shutil.rmtree(prev)
-        if os.path.exists(target):
-            shutil.move(target, prev)
-        shutil.move(tmp, target)
-        if os.path.exists(prev):
-            shutil.rmtree(prev)
+        atomic_swap_write(merged, target)
 
     q = (
         stream_df.writeStream.foreachBatch(merge_batch)

@@ -171,3 +171,66 @@ def test_range_join_log_matches_naive_between_nonuniform(spark):
         ).collect()
     }
     assert got == naive and (9999, "huge") in got
+
+
+def test_interval_overlap_matches_naive_and_reports_once(spark):
+    """interval_overlap_join == the naive theta overlap join as a
+    MULTISET: every overlapping pair present, no pair duplicated even
+    when it co-occupies many grid cells (long intervals, small grid)."""
+    import random
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(11)
+    left = spark.createDataFrame(
+        [
+            (i, lo, lo + rng.randint(1, 500))
+            for i, lo in ((i, rng.randint(0, 1000)) for i in range(200))
+        ],
+        "lid long, a_lo long, a_hi long",
+    )
+    right = spark.createDataFrame(
+        [
+            (j, lo, lo + rng.randint(1, 500))
+            for j, lo in ((j, rng.randint(0, 1000)) for j in range(150))
+        ],
+        "rid long, b_lo long, b_hi long",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "a_lo", "a_hi", "b_lo", "b_hi", grid=50.0
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.join(
+            right, (left.a_lo < right.b_hi) & (right.b_lo < left.a_hi)
+        ).collect()
+    )
+    assert got == naive  # sorted lists: equality catches dups AND misses
+
+
+def test_interval_overlap_half_open_and_degenerate(spark):
+    from retail_sales_analysis_etl_bi_project_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 10), (2, 10, 20), (3, 30, 30), (4, 50, 40)],
+        "lid long, a_lo long, a_hi long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 15), (2, 19, 25)], "rid long, b_lo long, b_hi long"
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "a_lo", "a_hi", "b_lo", "b_hi", grid=10.0
+        ).collect()
+    )
+    # [0,10) touches [10,15) only at the open boundary: NOT a match.
+    # [10,20) overlaps both. Zero-width (3) and negative (4) match nothing.
+    assert got == [(2, 1), (2, 2)]

@@ -88,6 +88,7 @@ def main():
         "sim_ann_recall_tuning",
         "join_bloom_prefilter_revenue",
         "agg_incremental_kpi_merge",
+        "join_interval_overlap_busy_windows",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
