@@ -125,7 +125,14 @@ HEADLINE = [
 
 # Queries whose result is fact-sized: count() instead of collect() so the
 # bench measures the plan, not driver materialization of 60k+ rows.
-COUNT_ONLY_PREFIXES = ("etl_fact", "window_customer", "etl_snapshot", "corpus_chunk")
+COUNT_ONLY_PREFIXES = (
+    "etl_fact",
+    "window_customer",
+    "etl_snapshot",
+    "corpus_chunk",
+    "text_tfidf",
+    "pipeline_term",
+)
 
 
 def main() -> None:
@@ -200,6 +207,22 @@ def main() -> None:
         # single-outlier sensitivity the docstring promises against)
         mad = statistics.median(abs(r - med) for r in runs)
         spreads[name] = round(mad / med, 2) if med > 0 else 0.0
+        # measurement hygiene: a memo_persist'd table (the composed
+        # pipeline's fact-scale tf table, the fuzzy distinct-names
+        # table) would otherwise stay pinned in executor storage for
+        # every SUBSEQUENT query's runs — System.gc() can't reclaim a
+        # live _CACHES reference. Released between queries (after the
+        # repeats, so intra-query sharing still measures); the dedup
+        # family's verified-pairs cache is a separate, deliberate
+        # cross-query scope and is not touched.
+        try:
+            from retail_sales_analysis_etl_bi_project_spark.plans import (
+                shared_cache,
+            )
+
+            shared_cache.release()
+        except Exception:
+            pass
         # measurement hygiene: nudge the JVM to free the previous
         # query's dead weight (localCheckpoint blocks, broadcast vars —
         # ContextCleaner only reclaims them after a GC notices the dead

@@ -40,12 +40,26 @@ from pyspark.sql import functions as F
 
 BITS_PER_WORD = 60
 
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """k probe positions in [0, m_bits) — xxhash64 of (key, seed)."""
+    """k probe positions in [0, m_bits) — xxhash64 of (key, seed).
+
+    xxhash64 hashes the VALUE AND ITS TYPE: xxhash64(5::int) !=
+    xxhash64(5::bigint). A build/probe type mismatch would therefore
+    be silent false negatives — dropped matching rows. Callers of the
+    raw build/probe pair must hash identical types;
+    ``bloom_prefilter_join`` normalizes integral keys to bigint and
+    refuses anything else mismatched."""
     return [
         F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)
     ]
+
+
+def _norm_key(key: Column | str, dtype: str) -> Column:
+    key = F.col(key) if isinstance(key, str) else key
+    return key.cast("bigint") if dtype in _INTEGRAL else key
 
 
 def build_bloom(
@@ -56,10 +70,13 @@ def build_bloom(
     at most min(m_bits, k * n_keys) ints — KB-scale for any build side
     a Bloom is appropriate for (the fitted-artifact discipline of the
     IVF codebooks). Returns ``m_bits / 60`` packed bigint words.
+    Integral keys hash as bigint so a probe side of a different
+    integral width still matches (see _positions).
     """
     if m_bits % BITS_PER_WORD:
         raise ValueError(f"m_bits must be a multiple of {BITS_PER_WORD}")
-    pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k)))
+    key = _norm_key(key_col, dict(df.dtypes)[key_col])
+    pos = F.explode(F.array(*_positions(key, m_bits, k)))
     rows = df.select(pos.alias("pos")).distinct().collect()
     words = [0] * (m_bits // BITS_PER_WORD)
     for r in rows:
@@ -77,7 +94,9 @@ def might_contain(
     Guaranteed no false negatives (every inserted key tests true), so
     ``fact.filter(might_contain(...)).join(dim, key)`` ≡
     ``fact.join(dim, key)`` row-for-row; false positives only cost
-    shuffle bytes the exact join then discards.
+    shuffle bytes the exact join then discards. The probe column's TYPE
+    must match what build_bloom hashed (integral builds hash as
+    bigint — cast an int probe column accordingly; see _positions).
     """
     key = F.col(key) if isinstance(key, str) else key
     bm = F.lit(words)
@@ -97,6 +116,7 @@ def bloom_prefilter_join(
     dim_key: str,
     m_bits: int = 61_440,
     k: int = 3,
+    words: list[int] | None = None,
 ) -> DataFrame:
     """Inner join with a Bloom prefilter on the fact side: fit the
     bitmap on ``dim``'s keys, drop non-members of ``fact`` BEFORE the
@@ -105,7 +125,26 @@ def bloom_prefilter_join(
     what the shuffle moves. The join is hinted sort-merge — the shape
     the pattern exists for (a broadcast-able dim wouldn't need a
     Bloom; the runtime filter is what replaces the broadcast when the
-    dim outgrows it)."""
-    words = build_bloom(dim, dim_key, m_bits, k)
-    pre = fact.filter(might_contain(fact_key, words, m_bits, k))
+    dim outgrows it).
+
+    Key types: integral keys of any width hash as bigint on both
+    sides (xxhash64 is type-sensitive — an int build probed by a
+    bigint fact would silently drop matches); any other cross-type
+    pairing is rejected rather than risked.
+
+    Fitting the bitmap is a real (small) Spark job at plan-build time;
+    callers building the same plan repeatedly should fit once with
+    ``build_bloom`` and pass ``words`` (the memoized-fitted-artifact
+    discipline of the IVF codebooks)."""
+    ft = dict(fact.dtypes)[fact_key]
+    dt = dict(dim.dtypes)[dim_key]
+    if ft != dt and not (ft in _INTEGRAL and dt in _INTEGRAL):
+        raise ValueError(
+            f"bloom_prefilter_join key type mismatch: {fact_key}:{ft} vs "
+            f"{dim_key}:{dt} — xxhash64 membership would silently drop rows"
+        )
+    if words is None:
+        words = build_bloom(dim, dim_key, m_bits, k)
+    probe = _norm_key(fact_key, ft)
+    pre = fact.filter(might_contain(probe, words, m_bits, k))
     return pre.join(dim.hint("merge"), pre[fact_key] == dim[dim_key])

@@ -222,13 +222,12 @@ def compact_parquet(
     # crash recovery, part 2: a death AFTER writing the uuid tmp dir but
     # BEFORE the swap strands `<path>_compact_<hex>` forever (a full
     # copy of the table per crash). Stale tmp siblings are never the
-    # committed copy — the swap either completed (tmp was moved to
-    # `path`, so the glob misses it) or never started — so reaping them
-    # on entry is always safe.
-    parent, base = os.path.split(path.rstrip("/"))
-    for e in os.listdir(parent or "."):
-        if e.startswith(f"{base}_compact_"):
-            shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
+    # committed copy — but a FRESH one may be a concurrent compaction's
+    # in-flight write, so the reap is age-gated (streaming/swap.py's
+    # shared reaper), not unconditional.
+    from ..streaming.swap import reap_stale_tmp_dirs
+
+    reap_stale_tmp_dirs(path.rstrip("/"), marker="_compact_")
     entries = os.listdir(path)
     subdirs = [e for e in entries if os.path.isdir(os.path.join(path, e))]
     if subdirs:

@@ -152,23 +152,29 @@ def agg_incremental_kpi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     The history/delta split is simulated by date (< 2001-01-01 vs the
     rest); both branches prune on the same scan, and each partial
     aggregate is map-side-combined before its shuffle."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.year("o_orderdate").alias("year"),
-        F.month("o_orderdate").alias("month"),
-        (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp")).alias(
-            "_is_hist"
-        ),
-        "o_totalprice",
-    )
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit("2001-01-01").cast("timestamp")
 
     def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy("year", "month").agg(
+        return df.groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        ).agg(
             F.count(F.lit(1)).alias("_n"),
             fixed_point_partial("o_totalprice").alias("_acc"),
         )
 
-    hist = partial(orders.filter(F.col("_is_hist")))
-    delta = partial(orders.filter(~F.col("_is_hist")))
+    # The split must be TOTAL: `< split` / `~(< split)` would both drop
+    # a NULL o_orderdate (three-valued logic), losing the (NULL, NULL)
+    # group the oracle's plain GROUP BY keeps. NULL dates ride the
+    # delta branch via an explicit isNull arm — an Or(IsNull, Gteq)
+    # parquet still pushes.
+    hist = partial(orders.filter(F.col("o_orderdate") < split))
+    delta = partial(
+        orders.filter(
+            F.col("o_orderdate").isNull() | (F.col("o_orderdate") >= split)
+        )
+    )
     return (
         hist.unionByName(delta)
         .groupBy("year", "month")

@@ -336,24 +336,33 @@ if HAS_PYDS:
                 if m is not None
             }
             manifest = _os.path.join(self.path, "_manifest.json")
+            legacy_rows = 0
             if not self.overwrite and _os.path.exists(manifest):
                 with open(manifest) as fh:
                     prev = _json.load(fh)
-                prev_rows = prev.get("file_rows") or dict.fromkeys(
-                    prev.get("files", []), 0
-                )
+                legacy_rows = int(prev.get("legacy_rows", 0))
+                prev_rows = prev.get("file_rows")
+                if prev_rows is None:
+                    # manifest written before per-file counts existed:
+                    # its files merge at 0 and the COMMITTED TOTAL is
+                    # carried as a remainder (and re-persisted as
+                    # legacy_rows so later appends keep carrying it) —
+                    # otherwise n_rows would silently undercount every
+                    # pre-format-change row.
+                    prev_rows = dict.fromkeys(prev.get("files", []), 0)
+                    legacy_rows += int(prev.get("n_rows", 0))
                 file_rows = prev_rows | file_rows
             files = sorted(file_rows)
             tmp = manifest + ".tmp"
+            doc = {
+                "files": files,
+                "n_rows": legacy_rows + sum(file_rows.values()),
+                "file_rows": file_rows,
+            }
+            if legacy_rows:
+                doc["legacy_rows"] = legacy_rows
             with open(tmp, "w") as fh:
-                _json.dump(
-                    {
-                        "files": files,
-                        "n_rows": sum(file_rows.values()),
-                        "file_rows": file_rows,
-                    },
-                    fh,
-                )
+                _json.dump(doc, fh)
             _os.replace(tmp, manifest)
             keep = set(files) | {"_manifest.json"}
             for f in _os.listdir(self.path):

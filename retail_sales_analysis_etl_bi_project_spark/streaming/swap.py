@@ -22,9 +22,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 
-def reap_stale_tmp_dirs(target: str, ttl_sec: int = 600) -> None:
-    """Remove aged ``<target>_tmp_*`` siblings (never the committed
-    copy); errors never propagate into the batch they ride on."""
+def reap_stale_tmp_dirs(
+    target: str, ttl_sec: int = 600, marker: str = "_tmp_"
+) -> None:
+    """Remove aged ``<target><marker>*`` siblings (never the committed
+    copy); errors never propagate into the batch they ride on. The age
+    gate is what makes this safe under CONCURRENT writers: a sibling
+    younger than ``ttl_sec`` may be another invocation's in-flight
+    copy — deleting it would fail that writer mid-swap — while one
+    older than any plausible write is a crash leftover."""
     parent, base = os.path.dirname(target) or ".", os.path.basename(target)
     try:
         entries = os.listdir(parent)
@@ -32,7 +38,7 @@ def reap_stale_tmp_dirs(target: str, ttl_sec: int = 600) -> None:
         return
     cutoff = time.time() - ttl_sec
     for d in entries:
-        if not d.startswith(f"{base}_tmp_"):
+        if not d.startswith(f"{base}{marker}"):
             continue
         path = os.path.join(parent, d)
         try:

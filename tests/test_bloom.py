@@ -72,3 +72,23 @@ def test_fpr_on_disjoint_probe_set(spark):
 def test_m_bits_must_pack_whole_words(spark):
     with pytest.raises(ValueError):
         build_bloom(spark.range(10), "id", m_bits=100)
+
+
+def test_mixed_integral_key_widths_still_exact(spark):
+    """xxhash64 hashes value AND type, so an int build probed by a
+    bigint fact would silently drop matches without normalization;
+    bloom_prefilter_join hashes all integral keys as bigint."""
+    dim = spark.createDataFrame([(i,) for i in range(0, 500, 3)], "dk int")
+    fact = spark.range(0, 500).withColumnRenamed("id", "fk")  # bigint
+    got = sorted(
+        r.fk
+        for r in bloom_prefilter_join(fact, dim, "fk", "dk").select("fk").collect()
+    )
+    assert got == list(range(0, 500, 3))
+
+
+def test_non_integral_key_type_mismatch_refused(spark):
+    dim = spark.createDataFrame([("1",)], "dk string")
+    fact = spark.range(5).withColumnRenamed("id", "fk")
+    with pytest.raises(ValueError, match="type mismatch"):
+        bloom_prefilter_join(fact, dim, "fk", "dk")

@@ -210,12 +210,18 @@ def test_compact_parquet_reaps_stale_tmp_dirs(spark, tmp_path):
 
     path = str(tmp_path / "t2")
     spark.range(50).withColumnRenamed("id", "k").repartition(6).write.parquet(path)
-    # plant two stale tmp dirs from "earlier crashed compactions"
+    # plant two AGED tmp dirs from "earlier crashed compactions" and one
+    # FRESH dir standing in for a concurrent compaction's in-flight
+    # write — the reap is TTL-gated so only the aged ones may go
+    old = 0
     for hexpart in ("deadbeef", "cafef00d"):
         stale = f"{path}_compact_{hexpart}"
         os.makedirs(stale)
         with open(os.path.join(stale, "part-0.parquet"), "w") as fh:
             fh.write("junk")
+        os.utime(stale, (old, old))  # epoch-aged: far past any TTL
+    fresh = f"{path}_compact_feedf00d"
+    os.makedirs(fresh)
     # an unrelated sibling must survive the reap
     other = str(tmp_path / "t2_other")
     os.makedirs(other)
@@ -223,5 +229,6 @@ def test_compact_parquet_reaps_stale_tmp_dirs(spark, tmp_path):
     stats = compact_parquet(spark, path, target_mb=128)
     assert stats["files_after"] == 1
     assert spark.read.parquet(path).count() == 50
-    leftovers = [e for e in os.listdir(tmp_path) if "_compact_" in e]
-    assert leftovers == [] and os.path.exists(other)
+    leftovers = {e for e in os.listdir(tmp_path) if "_compact_" in e}
+    assert leftovers == {os.path.basename(fresh)}
+    assert os.path.exists(other)

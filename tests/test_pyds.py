@@ -183,3 +183,40 @@ def test_push_filters_eager_and_nonint_comparand_handed_back(registered):
     assert r.lo == 991 and r.hi == 1000
     parts = r.partitions()
     assert sum(p.end - p.start for p in parts) == 10
+
+
+def test_append_onto_legacy_manifest_preserves_committed_total(registered):
+    """A manifest written before per-file row counts existed has only
+    files + n_rows; an append must carry that committed total forward
+    (as legacy_rows) instead of silently counting the old files as 0."""
+    import json
+    import os
+
+    spark = registered
+    out = tempfile.mkdtemp(prefix="pyds_sink_legacy_")
+    df = (
+        spark.read.format("retail_synth")
+        .option("rows", 20)
+        .option("parts", 2)
+        .load()
+    )
+    df.write.format("retail_synth").mode("overwrite").option("path", out).save()
+    man = os.path.join(out, "_manifest.json")
+    with open(man) as fh:
+        doc = json.load(fh)
+    # rewrite as a pre-file_rows manifest
+    with open(man, "w") as fh:
+        json.dump({"files": doc["files"], "n_rows": doc["n_rows"]}, fh)
+
+    df.write.format("retail_synth").mode("append").option("path", out).save()
+    with open(man) as fh:
+        merged = json.load(fh)
+    assert merged["n_rows"] == 40  # 20 legacy + 20 appended
+    assert merged["legacy_rows"] == 20
+    assert pyds.read_manifest_json(spark, out).count() == 40
+
+    # and a FURTHER append keeps carrying the remainder
+    df.write.format("retail_synth").mode("append").option("path", out).save()
+    with open(man) as fh:
+        again = json.load(fh)
+    assert again["n_rows"] == 60 and again["legacy_rows"] == 20

@@ -102,6 +102,14 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
         try:
+            from retail_sales_analysis_etl_bi_project_spark.plans import (
+                shared_cache,
+            )
+
+            shared_cache.release()  # bench.py's between-queries hygiene
+        except Exception:
+            pass
+        try:
             spark._jvm.System.gc()
         except Exception:
             pass
