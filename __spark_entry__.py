@@ -178,6 +178,16 @@ _PAST_WINDOW = (
                                    # log-grid variant pytest-pinned vs
                                    # the naive BETWEEN join; green
                                    # r2-r6
+    # r7d rotation — agg_incremental_distinct_hll (sketch-merge
+    # incremental distinct, rows-only like agg_sketch_profile) enters;
+    # one spill:
+    "text_winnow_fingerprints",    # rolling-hash positional
+                                   # fingerprints — the positional
+                                   # n-gram hashing family of in-window
+                                   # dedup_substring_spans, and its
+                                   # winnow selection is pytest-pinned
+                                   # against a pure-Python reference;
+                                   # green r3-r6
 )
 
 

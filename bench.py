@@ -117,6 +117,7 @@ HEADLINE = [
     "join_bloom_prefilter_revenue",
     "agg_incremental_kpi_merge",
     "join_interval_overlap_busy_windows",
+    "agg_incremental_distinct_hll",
     # sim_ann_recall_tuning is NOT headline, the sim_ann_recall /
     # dedup_family_recall precedent: composed audits re-run several
     # member pipelines and would dominate the total with redundant

@@ -184,3 +184,50 @@ def agg_incremental_kpi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "month")
     )
+
+
+@query("agg_incremental_distinct_hll")  # sketch family: no SQL twin —
+# DuckDB's HLL isn't parameter- or merge-compatible with DataSketches;
+# correctness is pinned by tests/test_agg_approx.py instead (merged
+# sketches == one-pass sketches EXACTLY, and within tolerance of exact)
+def agg_incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per month maintained INCREMENTALLY — the
+    non-algebraic companion to agg_incremental_kpi_merge: exact
+    COUNT(DISTINCT) does not merge across a history/delta split (the
+    same customer may appear in both), which is precisely why
+    agg_incremental_kpi_merge excludes it. HLL sketches restore the
+    algebra: per-register max commutes and is idempotent, so
+    union(sketch(history), sketch(delta)) is BIT-IDENTICAL to
+    sketch(all) — a replayed delta can't even double-count. At 100 TB
+    the stored partials are one ~KB sketch per (year, month) instead
+    of a distinct shuffle over the fact.
+
+    Spark-first: the built-in DataSketches HLL aggregates
+    (hll_sketch_agg / hll_union_agg / hll_sketch_estimate), all
+    JVM-side, partial-aggregated before the shuffle like any agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit("2001-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        ).agg(F.hll_sketch_agg("o_custkey").alias("_sk"))
+
+    hist = partial(orders.filter(F.col("o_orderdate") < split))
+    delta = partial(
+        orders.filter(
+            F.col("o_orderdate").isNull() | (F.col("o_orderdate") >= split)
+        )
+    )
+    return (
+        hist.unionByName(delta)
+        .groupBy("year", "month")
+        .agg(F.hll_union_agg("_sk").alias("_sk"))
+        .select(
+            "year",
+            "month",
+            F.hll_sketch_estimate("_sk").alias("n_customers_approx"),
+        )
+        .orderBy("year", "month")
+    )

@@ -81,3 +81,43 @@ def test_approx_top_k_agrees_with_exact_heavy_hitters(spark, sf_dir):
     got = {(r["item"], r["count"]) for r in sketch}
     want = {(r["token"], r["count"]) for r in exact}
     assert got == want
+
+
+def test_hll_incremental_merge_is_exactly_one_pass(spark, sf_dir):
+    """union(sketch(history), sketch(delta)) must estimate EXACTLY what
+    sketch(all) estimates — per-register max commutes — and land within
+    HLL tolerance of the exact distinct count."""
+    from retail_sales_analysis_etl_bi_project_spark.plans.agg_queries import (
+        agg_incremental_distinct_hll,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+
+    merged = {
+        (r.year, r.month): r.n_customers_approx
+        for r in agg_incremental_distinct_hll(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    one_pass = {
+        (r.year, r.month): r.est
+        for r in orders.groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(F.hll_sketch_agg("o_custkey").alias("_sk"))
+        .select("year", "month", F.hll_sketch_estimate("_sk").alias("est"))
+        .collect()
+    }
+    assert merged == one_pass  # exact ==: register-max merge algebra
+
+    exact = {
+        (r.year, r.month): r.n
+        for r in orders.groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert merged.keys() == exact.keys()
+    for k, est in merged.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])

@@ -89,6 +89,7 @@ def main():
         "join_bloom_prefilter_revenue",
         "agg_incremental_kpi_merge",
         "join_interval_overlap_busy_windows",
+        "agg_incremental_distinct_hll",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
