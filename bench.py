@@ -136,6 +136,33 @@ COUNT_ONLY_PREFIXES = (
 )
 
 
+def _post_query_hygiene(spark) -> None:
+    """Between-queries measurement hygiene, on success AND failure:
+
+    - release memo_persist'd tables (the composed pipeline's fact-scale
+      tf table, the fuzzy distinct-names table) — they would otherwise
+      stay pinned in executor storage for every SUBSEQUENT query's
+      runs, and System.gc() can't reclaim a live _CACHES reference.
+      Runs after a query's repeats, so intra-query sharing still
+      measures; the dedup family's verified-pairs cache is a separate,
+      deliberate cross-query scope and is not touched.
+    - nudge the JVM to free the previous query's dead weight
+      (localCheckpoint blocks, broadcast vars — ContextCleaner only
+      reclaims them after a GC notices the dead references) OUTSIDE any
+      timed window, so one query's garbage doesn't surface as GC pauses
+      billed to the next query's runs."""
+    try:
+        from retail_sales_analysis_etl_bi_project_spark.plans import shared_cache
+
+        shared_cache.release()
+    except Exception:
+        pass
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
@@ -199,6 +226,10 @@ def main() -> None:
             # persist the error NOW: if the next query hangs and the
             # runner hard-kills us, the failure must already be on disk
             _write_partial(timings, spreads, errors, action_overhead_ms, sf)
+            # hygiene runs on the FAILURE path too: a query that died
+            # AFTER building its memo_persist'd table would otherwise
+            # leave it pinned for every remaining query's runs
+            _post_query_hygiene(spark)
             continue
         med = statistics.median(runs)
         timings[name] = round(med, 3)
@@ -208,31 +239,7 @@ def main() -> None:
         # single-outlier sensitivity the docstring promises against)
         mad = statistics.median(abs(r - med) for r in runs)
         spreads[name] = round(mad / med, 2) if med > 0 else 0.0
-        # measurement hygiene: a memo_persist'd table (the composed
-        # pipeline's fact-scale tf table, the fuzzy distinct-names
-        # table) would otherwise stay pinned in executor storage for
-        # every SUBSEQUENT query's runs — System.gc() can't reclaim a
-        # live _CACHES reference. Released between queries (after the
-        # repeats, so intra-query sharing still measures); the dedup
-        # family's verified-pairs cache is a separate, deliberate
-        # cross-query scope and is not touched.
-        try:
-            from retail_sales_analysis_etl_bi_project_spark.plans import (
-                shared_cache,
-            )
-
-            shared_cache.release()
-        except Exception:
-            pass
-        # measurement hygiene: nudge the JVM to free the previous
-        # query's dead weight (localCheckpoint blocks, broadcast vars —
-        # ContextCleaner only reclaims them after a GC notices the dead
-        # references) OUTSIDE any timed window, so one query's garbage
-        # doesn't surface as GC pauses billed to the next query's runs.
-        try:
-            spark._jvm.System.gc()
-        except Exception:
-            pass
+        _post_query_hygiene(spark)
         # crash insurance: persist the partial medians after every
         # query, so a runner that hard-kills the process mid-bench
         # still leaves all completed measurements on disk.

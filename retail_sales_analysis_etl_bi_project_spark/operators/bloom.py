@@ -94,11 +94,23 @@ def might_contain(
     Guaranteed no false negatives (every inserted key tests true), so
     ``fact.filter(might_contain(...)).join(dim, key)`` ≡
     ``fact.join(dim, key)`` row-for-row; false positives only cost
-    shuffle bytes the exact join then discards. The probe column's TYPE
-    must match what build_bloom hashed (integral builds hash as
-    bigint — cast an int probe column accordingly; see _positions).
+    shuffle bytes the exact join then discards.
+
+    LOW-LEVEL primitive: the probe column's TYPE must match what
+    build_bloom hashed, and build_bloom normalizes integral keys to
+    BIGINT — so a raw ``might_contain("int_col", words)`` probe of an
+    int-built bitmap would silently drop rows. Probe through
+    ``bloom_probe`` (which reads the dtype and normalizes) or
+    ``bloom_prefilter_join`` unless you are constructing the column
+    expression yourself; then apply ``_norm_key`` first.
     """
     key = F.col(key) if isinstance(key, str) else key
+    if len(words) * BITS_PER_WORD != m_bits:
+        raise ValueError(
+            f"bitmap/m_bits mismatch: {len(words)} words hold "
+            f"{len(words) * BITS_PER_WORD} bits, m_bits={m_bits} — probes "
+            "would hash mod the wrong modulus and silently drop members"
+        )
     bm = F.lit(words)
     masks = F.lit([1 << b for b in range(BITS_PER_WORD)])
     conds = []
@@ -107,6 +119,21 @@ def might_contain(
         mask = F.element_at(masks, F.pmod(pos, BITS_PER_WORD).cast("int") + 1)
         conds.append(word.bitwiseAND(mask) != 0)
     return reduce(lambda a, b: a & b, conds)
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    words: list[int],
+    m_bits: int = 61_440,
+    k: int = 3,
+) -> DataFrame:
+    """``df`` filtered to probable members — might_contain with the
+    key normalized the same way build_bloom normalized it (integral →
+    bigint), read off the DataFrame's own dtype so a raw-typed probe
+    can't silently mismatch the build."""
+    key = _norm_key(key_col, dict(df.dtypes)[key_col])
+    return df.filter(might_contain(key, words, m_bits, k))
 
 
 def bloom_prefilter_join(
@@ -136,6 +163,12 @@ def bloom_prefilter_join(
     callers building the same plan repeatedly should fit once with
     ``build_bloom`` and pass ``words`` (the memoized-fitted-artifact
     discipline of the IVF codebooks)."""
+    if words is not None and len(words) * BITS_PER_WORD != m_bits:
+        raise ValueError(
+            f"prefit words ({len(words)} words = "
+            f"{len(words) * BITS_PER_WORD} bits) do not match m_bits="
+            f"{m_bits}; pass the m_bits the bitmap was built with"
+        )
     ft = dict(fact.dtypes)[fact_key]
     dt = dict(dim.dtypes)[dim_key]
     if ft != dt and not (ft in _INTEGRAL and dt in _INTEGRAL):

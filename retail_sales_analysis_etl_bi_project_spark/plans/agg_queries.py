@@ -149,11 +149,14 @@ def agg_incremental_kpi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear here: they don't merge; at scale they go through sketch
     merge (agg_sketch_profile's HLL) or a dedicated distinct pipeline.
 
-    The history/delta split is simulated by date (< 2001-01-01 vs the
-    rest); both branches prune on the same scan, and each partial
-    aggregate is map-side-combined before its shuffle."""
+    The history/delta split is simulated by date — deliberately
+    MID-month (< 2001-01-15 vs the rest), so the January-2001 group
+    genuinely receives partials from BOTH branches and the hash match
+    exercises a real merge, not a disjoint union of groups. Both
+    branches prune on the same scan, and each partial aggregate is
+    map-side-combined before its shuffle."""
     orders = load_table(spark, sf_dir, "orders")
-    split = F.lit("2001-01-01").cast("timestamp")
+    split = F.lit("2001-01-15").cast("timestamp")
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy(
@@ -206,7 +209,7 @@ def agg_incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hll_sketch_agg / hll_union_agg / hll_sketch_estimate), all
     JVM-side, partial-aggregated before the shuffle like any agg."""
     orders = load_table(spark, sf_dir, "orders")
-    split = F.lit("2001-01-01").cast("timestamp")
+    split = F.lit("2001-01-15").cast("timestamp")
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy(

@@ -53,6 +53,22 @@ def memo_persist(
     return df
 
 
+_ARTIFACTS: dict[str, dict[tuple, object]] = {}
+
+
+def memo_artifact(family: str, key: tuple, build: Callable[[], object]) -> object:
+    """memo_persist for DRIVER-SIDE fitted artifacts (Bloom bitmaps,
+    codebooks — plain Python values, nothing to unpersist): same
+    one-slot-per-family, evict-on-key-miss discipline, same release()
+    teardown, so every fitted-artifact cache in the repo shares one
+    keying/eviction implementation."""
+    cache = _ARTIFACTS.setdefault(family, {})
+    if key not in cache:
+        cache.clear()
+        cache[key] = build()
+    return cache[key]
+
+
 def release(family: str | None = None) -> None:
     """Explicit teardown: unpersist and forget one family (or all)."""
     fams = [family] if family is not None else list(_CACHES)
@@ -63,3 +79,5 @@ def release(family: str | None = None) -> None:
             except Exception:
                 pass
         _CACHES.pop(fam, None)
+    for fam in [family] if family is not None else list(_ARTIFACTS):
+        _ARTIFACTS.pop(fam, None)

@@ -22,15 +22,41 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 
+def _touched_since(path: str, cutoff: float) -> bool:
+    """True if anything under ``path`` has an mtime >= cutoff. The
+    top-level dir's mtime alone is NOT enough: during a long Spark
+    parquet write the task activity happens inside ``_temporary``
+    subtrees, so the tmp dir itself can look minutes old while a write
+    is very much alive. Walk with early exit — for a genuinely dead
+    dir the walk is the price of one directory scan; for a live one it
+    exits at the first fresh entry."""
+    try:
+        if os.path.getmtime(path) >= cutoff:
+            return True
+        for root, dirs, files in os.walk(path):
+            for name in dirs + files:
+                try:
+                    if os.path.getmtime(os.path.join(root, name)) >= cutoff:
+                        return True
+                except OSError:
+                    continue
+    except OSError:
+        return True  # unreadable: assume live, never reap blind
+    return False
+
+
 def reap_stale_tmp_dirs(
     target: str, ttl_sec: int = 600, marker: str = "_tmp_"
 ) -> None:
     """Remove aged ``<target><marker>*`` siblings (never the committed
     copy); errors never propagate into the batch they ride on. The age
     gate is what makes this safe under CONCURRENT writers: a sibling
-    younger than ``ttl_sec`` may be another invocation's in-flight
-    copy — deleting it would fail that writer mid-swap — while one
-    older than any plausible write is a crash leftover."""
+    with NO filesystem activity anywhere in its tree for ``ttl_sec``
+    (see _touched_since — in-flight Spark writes keep their
+    ``_temporary`` subtree hot, so a live write of any duration stays
+    fresh) is a crash leftover; anything fresher may be another
+    invocation's in-flight copy and deleting it would fail that writer
+    mid-swap."""
     parent, base = os.path.dirname(target) or ".", os.path.basename(target)
     try:
         entries = os.listdir(parent)
@@ -41,11 +67,8 @@ def reap_stale_tmp_dirs(
         if not d.startswith(f"{base}{marker}"):
             continue
         path = os.path.join(parent, d)
-        try:
-            if os.path.getmtime(path) < cutoff:
-                shutil.rmtree(path, ignore_errors=True)
-        except OSError:
-            continue
+        if not _touched_since(path, cutoff):
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def restore_prev(target: str) -> None:

@@ -107,7 +107,39 @@ def test_hll_incremental_merge_is_exactly_one_pass(spark, sf_dir):
         .select("year", "month", F.hll_sketch_estimate("_sk").alias("est"))
         .collect()
     }
+    # the mid-month split means (2001, 1) receives sketches from BOTH
+    # branches — guard that the merge is actually exercised, not a
+    # disjoint union of groups (a month-boundary split would make the
+    # equality below vacuous)
+    assert (2001, 1) in merged
     assert merged == one_pass  # exact ==: register-max merge algebra
+
+    # replay idempotence: unioning the DELTA's sketches in a second
+    # time must change nothing (per-register max is idempotent) — the
+    # property that makes sketch partials safe under at-least-once
+    # delivery, unlike additive counters
+    split = F.lit("2001-01-15").cast("timestamp")
+    delta_sk = (
+        orders.filter(F.col("o_orderdate") >= split)
+        .groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(F.hll_sketch_agg("o_custkey").alias("_sk"))
+    )
+    all_sk = orders.groupBy(
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+    ).agg(F.hll_sketch_agg("o_custkey").alias("_sk"))
+    replayed = {
+        (r.year, r.month): r.est
+        for r in all_sk.unionByName(delta_sk)
+        .groupBy("year", "month")
+        .agg(F.hll_union_agg("_sk").alias("_sk"))
+        .select("year", "month", F.hll_sketch_estimate("_sk").alias("est"))
+        .collect()
+    }
+    assert replayed == one_pass
 
     exact = {
         (r.year, r.month): r.n

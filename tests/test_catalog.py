@@ -219,9 +219,20 @@ def test_compact_parquet_reaps_stale_tmp_dirs(spark, tmp_path):
         os.makedirs(stale)
         with open(os.path.join(stale, "part-0.parquet"), "w") as fh:
             fh.write("junk")
+        # age dir AND contents: the gate walks the whole tree so an
+        # in-flight write's hot _temporary subtree protects it
+        os.utime(os.path.join(stale, "part-0.parquet"), (old, old))
         os.utime(stale, (old, old))  # epoch-aged: far past any TTL
     fresh = f"{path}_compact_feedf00d"
     os.makedirs(fresh)
+    # a LONG-RUNNING concurrent write: top-level dir looks old (Spark
+    # only touches it at commit) but task activity inside is fresh —
+    # must survive the reap
+    live = f"{path}_compact_11ee22dd"
+    os.makedirs(os.path.join(live, "_temporary"))
+    with open(os.path.join(live, "_temporary", "task-0"), "w") as fh:
+        fh.write("inflight")
+    os.utime(live, (old, old))
     # an unrelated sibling must survive the reap
     other = str(tmp_path / "t2_other")
     os.makedirs(other)
@@ -230,5 +241,5 @@ def test_compact_parquet_reaps_stale_tmp_dirs(spark, tmp_path):
     assert stats["files_after"] == 1
     assert spark.read.parquet(path).count() == 50
     leftovers = {e for e in os.listdir(tmp_path) if "_compact_" in e}
-    assert leftovers == {os.path.basename(fresh)}
+    assert leftovers == {os.path.basename(fresh), os.path.basename(live)}
     assert os.path.exists(other)

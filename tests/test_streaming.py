@@ -308,9 +308,12 @@ def test_foreachbatch_upsert_reaps_only_stale_tmp_dirs(spark, tmp_path):
         os.makedirs(d)
         with open(os.path.join(d, "part-0.parquet"), "w") as fh:
             fh.write("junk")
-    # backdate the stale dir past the 600 s TTL; leave `fresh` current
+    # backdate the stale dir AND its contents past the 600 s TTL; the
+    # gate checks the whole tree (a live Spark write keeps its
+    # _temporary subtree hot even when the top dir looks old)
     past = time.time() - 3600
     os.utime(stale, (past, past))
+    os.utime(os.path.join(stale, "part-0.parquet"), (past, past))
 
     upsert_stream_to_parquet(
         read_events_stream(spark, str(src)),
