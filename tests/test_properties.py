@@ -306,3 +306,60 @@ def test_corpus_contrast_matches_python_reference(spark, tmp_path_factory, docs)
         want.append((w, a, b, ratio))
     want.sort(key=lambda t: (-t[3], t[0]))
     assert got == want[:15]
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=120),
+            st.integers(min_value=-5, max_value=90),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=120),
+            st.integers(min_value=-5, max_value=90),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    grid=st.sampled_from([1.0, 3.0, 7.0, 50.0, 1000.0]),
+)
+def test_interval_overlap_equals_naive_multiset(spark, left, right, grid):
+    """interval_overlap_join == the naive theta overlap join as a
+    MULTISET for arbitrary (including degenerate, negative-width,
+    negative-coordinate, duplicate) intervals at any grid resolution:
+    no pair missed, no pair duplicated across co-occupied cells."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, lo, lo + w) for i, (lo, w) in enumerate(left)] or [(0, 1, 0)],
+        "lid long, a_lo long, a_hi long",
+    )
+    rdf = spark.createDataFrame(
+        [(j, lo, lo + w) for j, (lo, w) in enumerate(right)] or [(0, 1, 0)],
+        "rid long, b_lo long, b_hi long",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, "a_lo", "a_hi", "b_lo", "b_hi", grid=grid
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in ldf.join(
+            rdf, (ldf.a_lo < rdf.b_hi) & (rdf.b_lo < ldf.a_hi)
+        ).collect()
+    )
+    # drop naive matches involving degenerate intervals the operator
+    # specifies as matching nothing (hi <= lo)
+    lw = {i: hi > lo for i, (lo, w) in enumerate(left) for hi in [lo + w]}
+    rw = {j: hi > lo for j, (lo, w) in enumerate(right) for hi in [lo + w]}
+    naive = [(a, b) for a, b in naive if lw.get(a) and rw.get(b)]
+    assert got == naive

@@ -98,3 +98,25 @@ def test_replayed_batch_id_is_not_double_counted(spark, tmp_path):
     }
     base = {(r[0], r[1]): r[2] for r in once}
     assert doubled == {k: 2 * v for k, v in base.items()}
+
+
+def test_crash_between_swap_moves_recovers_committed_table(spark, tmp_path):
+    """A death between the two swap moves leaves the committed partials
+    at `<target>_prev` and nothing at target; the next batch must
+    restore it and keep folding — no committed batch lost."""
+    orders = load_table(spark, SF_DIR, "orders")
+    target = str(tmp_path / "kpi")
+    apply_kpi_batch(orders, 0, target)
+    once = sorted(map(tuple, read_kpi(spark, target).collect()))
+
+    # simulate the crash window: target moved aside, not yet replaced
+    shutil.move(target, f"{target}_prev")
+    assert not os.path.exists(target)
+
+    apply_kpi_batch(orders, 1, target)  # restores, then folds batch 1
+    got = {
+        (r.year, r.month): r.n_orders for r in read_kpi(spark, target).collect()
+    }
+    base = {(r[0], r[1]): r[2] for r in once}
+    assert got == {k: 2 * v for k, v in base.items()}
+    assert not os.path.exists(f"{target}_prev")
