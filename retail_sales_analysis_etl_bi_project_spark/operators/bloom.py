@@ -178,6 +178,5 @@ def bloom_prefilter_join(
         )
     if words is None:
         words = build_bloom(dim, dim_key, m_bits, k)
-    probe = _norm_key(fact_key, ft)
-    pre = fact.filter(might_contain(probe, words, m_bits, k))
+    pre = bloom_probe(fact, fact_key, words, m_bits, k)
     return pre.join(dim.hint("merge"), pre[fact_key] == dim[dim_key])

@@ -30,18 +30,26 @@ def _touched_since(path: str, cutoff: float) -> bool:
     is very much alive. Walk with early exit — for a genuinely dead
     dir the walk is the price of one directory scan; for a live one it
     exits at the first fresh entry."""
+    walk_errors: list[OSError] = []
     try:
         if os.path.getmtime(path) >= cutoff:
             return True
-        for root, dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path, onerror=walk_errors.append):
             for name in dirs + files:
                 try:
                     if os.path.getmtime(os.path.join(root, name)) >= cutoff:
                         return True
                 except OSError:
-                    continue
+                    # an entry that vanished mid-walk IS activity (a
+                    # writer renaming task files); treat as live
+                    return True
     except OSError:
         return True  # unreadable: assume live, never reap blind
+    if walk_errors:
+        # os.walk swallows unreadable SUBDIRS by default (onerror
+        # hook) — fresh activity could hide inside one, so an
+        # untraversable tree is never declared dead
+        return True
     return False
 
 

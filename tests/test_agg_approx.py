@@ -110,7 +110,14 @@ def test_hll_incremental_merge_is_exactly_one_pass(spark, sf_dir):
     # the mid-month split means (2001, 1) receives sketches from BOTH
     # branches — guard that the merge is actually exercised, not a
     # disjoint union of groups (a month-boundary split would make the
-    # equality below vacuous)
+    # equality below vacuous). Assert BOTH branches really contribute
+    # Jan-2001 rows, not merely that the group exists.
+    split_lit = F.lit("2001-01-15").cast("timestamp")
+    jan = orders.filter(
+        (F.year("o_orderdate") == 2001) & (F.month("o_orderdate") == 1)
+    )
+    assert jan.filter(F.col("o_orderdate") < split_lit).count() > 0
+    assert jan.filter(F.col("o_orderdate") >= split_lit).count() > 0
     assert (2001, 1) in merged
     assert merged == one_pass  # exact ==: register-max merge algebra
 

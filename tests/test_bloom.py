@@ -77,7 +77,10 @@ def test_m_bits_must_pack_whole_words(spark):
 def test_mixed_integral_key_widths_still_exact(spark):
     """xxhash64 hashes value AND type, so an int build probed by a
     bigint fact would silently drop matches without normalization;
-    bloom_prefilter_join hashes all integral keys as bigint."""
+    bloom_prefilter_join hashes all integral keys as bigint, and
+    bloom_probe normalizes from the probe DataFrame's own dtype."""
+    from pyspark.sql import functions as SF
+
     dim = spark.createDataFrame([(i,) for i in range(0, 500, 3)], "dk int")
     fact = spark.range(0, 500).withColumnRenamed("id", "fk")  # bigint
     got = sorted(
@@ -85,6 +88,18 @@ def test_mixed_integral_key_widths_still_exact(spark):
         for r in bloom_prefilter_join(fact, dim, "fk", "dk").select("fk").collect()
     )
     assert got == list(range(0, 500, 3))
+
+    # bloom_probe: an INT-typed probe df against the int-built (bigint-
+    # normalized) bitmap must keep every member — the raw might_contain
+    # path would drop them all
+    from retail_sales_analysis_etl_bi_project_spark.operators.bloom import (
+        bloom_probe,
+    )
+
+    words = build_bloom(dim, "dk")
+    int_probe = fact.select(SF.col("fk").cast("int").alias("pk"))
+    kept = {r.pk for r in bloom_probe(int_probe, "pk", words).collect()}
+    assert set(range(0, 500, 3)) <= kept
 
 
 def test_non_integral_key_type_mismatch_refused(spark):
