@@ -261,3 +261,35 @@ def test_fixed_point_partials_merge_to_one_pass_sum(spark):
         )
     }
     assert merged == one_pass  # exact ==, not approx: bit-identical
+
+
+def test_epoch_seconds_floor_matches_duckdb_floored_epoch(spark):
+    """Spark unix_timestamp() FLOORS sub-second timestamps; DuckDB
+    CAST(epoch(ts) AS BIGINT) ROUNDS (banker's cast on a double). An
+    oracle must use CAST(floor(epoch(ts)) AS BIGINT) — this pin exists
+    because the interval-overlap oracle shipped with the rounding form
+    and a session ending at xx:59:59.7 migrated into the wrong hour."""
+    micros = [
+        1_000_000_000_000_000 + off
+        for off in (0, 1, 499_999, 500_000, 500_001, 999_999)
+    ]
+    df = spark.createDataFrame([(m,) for m in micros], "us long").select(
+        F.timestamp_micros("us").alias("ts")
+    )
+    got = [r.s for r in df.select(F.unix_timestamp("ts").alias("s")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.sql(
+            "SELECT CAST(floor(epoch(make_timestamp(" + str(m) + "))) AS BIGINT)"
+        ).fetchone()[0]
+        for m in micros
+    ]
+    assert got == want == [m // 1_000_000 for m in micros]
+    # and the rounding form really does disagree — the trap is live
+    rounded = [
+        con.sql(
+            "SELECT CAST(epoch(make_timestamp(" + str(m) + ")) AS BIGINT)"
+        ).fetchone()[0]
+        for m in micros
+    ]
+    assert rounded != got
