@@ -119,3 +119,30 @@ def test_incremental_merge_pushes_split_and_combines_map_side(spark, qs, sf_dir)
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("LessThan(o_orderdate" in ln for ln in pushed), pushed
     assert any("GreaterThanOrEqual(o_orderdate" in ln for ln in pushed), pushed
+
+
+def test_interval_overlap_plans_as_equi_join_not_nested_loop(spark, qs, sf_dir):
+    """join_interval_overlap_busy_windows: the whole point of the
+    grid-cell composition is that the overlap join shuffles on cell
+    like any equi-join — a BroadcastNestedLoopJoin or cartesian in the
+    plan means the theta form leaked back in."""
+    plan = plan_of(spark, qs, "join_interval_overlap_busy_windows", sf_dir)
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join is expected: the single-row mean
+    # broadcast onto hourly (the documented 1×N totals pattern) — the
+    # INTERVAL join itself must not be a second one. Count physical
+    # nodes via their "(N) Operator" detail headers (the operator name
+    # also appears in the tree rendering).
+    import re
+
+    bnlj_nodes = re.findall(
+        r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.MULTILINE
+    )
+    assert len(bnlj_nodes) <= 1, bnlj_nodes
+    # and the interval join really keys on the grid cell
+    keyed = [
+        ln
+        for ln in plan.splitlines()
+        if ("Left keys" in ln or "Right keys" in ln) and "_cell" in ln
+    ]
+    assert keyed, plan[:1500]
