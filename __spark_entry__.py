@@ -188,6 +188,12 @@ _PAST_WINDOW = (
                                    # winnow selection is pytest-pinned
                                    # against a pure-Python reference;
                                    # green r3-r6
+    # r7e — NEW query registered past the window (the r6f precedent:
+    # gate-replica verified this round, rotate IN next round). Its
+    # mechanism siblings in-window: candidate banding + Jaccard verify
+    # recomputed by dedup_family_recall; incremental-merge semantics
+    # pinned by the in-window agg_incremental_kpi_merge family.
+    "dedup_incremental_minhash",
 )
 
 

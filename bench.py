@@ -118,6 +118,7 @@ HEADLINE = [
     "agg_incremental_kpi_merge",
     "join_interval_overlap_busy_windows",
     "agg_incremental_distinct_hll",
+    "dedup_incremental_minhash",
     # sim_ann_recall_tuning is NOT headline, the sim_ann_recall /
     # dedup_family_recall precedent: composed audits re-run several
     # member pipelines and would dominate the total with redundant

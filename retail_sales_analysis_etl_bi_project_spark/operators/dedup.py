@@ -495,6 +495,106 @@ def minhash_dedup_pairs(
     )
 
 
+def incremental_minhash_dedup_pairs(
+    docs: DataFrame,
+    is_new,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL MinHash-LSH dedup: near-dup pairs INVOLVING a newly
+    arrived document — new×new and new×old — with old×old pairs never
+    generated. ``is_new`` is a Column-predicate callable applied to the
+    id column (e.g. membership in the arriving batch).
+
+    This is the daily-ingest form of minhash_dedup_pairs: a corpus that
+    was already deduped must not re-pair itself against itself every
+    time a batch lands. Per bucket, members split into new/old member
+    ARRAYS via filtered collect_lists; pair generation is new-tail
+    pairing within the new array plus a new×old product — an old-only
+    bucket is dropped before any expansion, so incremental cost is
+    proportional to the batch's bucket footprint, not the corpus.
+
+    At 100 TB the old side's band rows and shingle sets are READ from
+    the signature store written at original ingest (minhash_signatures
+    output is deterministic, so recompute ≡ read); this function
+    re-derives them from ``docs`` only because the registered query has
+    a single input table. The verification join structure is unchanged:
+    only candidate pairs pay exact Jaccard."""
+    rows_per_band = num_hashes // bands
+    with_sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                band_hash_expr("sig", i, rows_per_band).alias("band_hash"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = (
+        with_sig.select("doc_id_", F.explode(band_cols).alias("band"))
+        .select("doc_id_", "band.band_idx", "band.band_hash")
+        .withColumn("_new", is_new(F.col("doc_id_")))
+    )
+    # collect_list skips the NULLs the when() leaves for the other side,
+    # giving per-bucket new/old member arrays in one aggregation
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("_new"), F.col("doc_id_")))
+            ).alias("new_m"),
+            F.sort_array(
+                F.collect_list(F.when(~F.col("_new"), F.col("doc_id_")))
+            ).alias("old_m"),
+        )
+        .filter(
+            (F.size("new_m") > 0)
+            & (F.size("new_m") + F.size("old_m") > 1)
+        )
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(
+            F.size("new_m") + F.size("old_m") <= max_bucket
+        )
+    nn = (
+        buckets.select("new_m", F.posexplode("new_m").alias("i", "a"))
+        .select(
+            F.col("a").alias("doc_a"),
+            F.explode(F.slice("new_m", F.col("i") + 2, F.size("new_m"))).alias(
+                "doc_b"
+            ),
+        )
+    )
+    no = buckets.select(
+        F.explode("new_m").alias("a"), F.col("old_m")
+    ).select(
+        "a", F.explode("old_m").alias("b")
+    ).select(
+        F.least("a", "b").alias("doc_a"), F.greatest("a", "b").alias("doc_b")
+    )
+    cand = nn.unionByName(no).dropDuplicates(["doc_a", "doc_b"])
+    from .partitioning import to_cluster_width
+
+    sh = (
+        to_cluster_width(docs, id_col)
+        .select(F.col(id_col).alias("did"), tokens_expr(F.col(text_col)).alias("_t"))
+        .select("did", shingles_from_tokens(F.col("_t"), n).alias("sh"))
+    )
+    return (
+        cand.join(sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select("doc_a", "doc_b", jaccard_expr(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ------------------------------------------------- winnowing fingerprints
 
 def winnow_fingerprints_arrays(

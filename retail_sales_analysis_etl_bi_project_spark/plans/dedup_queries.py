@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.graph import connected_components
 from ..operators.dedup import (
+    incremental_minhash_dedup_pairs,
     BAND_MASK,
     P31,
     embedding_lsh_near_dup_pairs,
@@ -57,7 +58,12 @@ def _hex60(x: str) -> str:
     )
 
 
-def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+def _minhash_lsh_oracle(
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    cand_extra: str = "",
+) -> str:
     """Full MinHash-LSH pipeline in DuckDB SQL: shingles -> base hash ->
     universal-family grouped MINs -> Horner band buckets -> candidate
     self-join -> exact-Jaccard verification. Mirrors
@@ -87,7 +93,7 @@ def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16, threshold: float 
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-           AND a.doc_id < b.doc_id
+           AND a.doc_id < b.doc_id {cand_extra}
     )
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT cand.doc_a, cand.doc_b,
@@ -477,4 +483,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_lsh_ann_topk."""
     return embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=_minhash_lsh_oracle(
+        cand_extra="AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)"
+    ),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup (operators/dedup.py
+    incremental_minhash_dedup_pairs): near-dup pairs involving a newly
+    arrived batch (doc_id % 5 == 0 simulates the day's ingest; the rest
+    is the already-deduped store) — new×new and new×old verified pairs,
+    with old×old pairs never generated: old-only LSH buckets are
+    dropped before any pair expansion, so each ingest costs its own
+    bucket footprint, not a corpus re-pairing. The companion of
+    agg_incremental_kpi_merge for the dedup family. The DuckDB oracle
+    runs the FULL candidate join restricted to pairs touching the
+    batch — same pairs, recompute plan — and hash-checks signatures,
+    buckets, and Jaccard end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_minhash_dedup_pairs(
+        docs, is_new=lambda c: c % 5 == 0, threshold=0.5
     )

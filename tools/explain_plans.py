@@ -90,6 +90,7 @@ def main():
         "agg_incremental_kpi_merge",
         "join_interval_overlap_busy_windows",
         "agg_incremental_distinct_hll",
+        "dedup_incremental_minhash",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
