@@ -376,6 +376,63 @@ def band_hash_expr(sig_col: Column | str, band_idx: int, rows_per_band: int) -> 
     return acc
 
 
+def _banded_rows(with_sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Signature relation -> (doc_id_, band_idx, band_hash) band rows.
+    Band rows carry only those 3 fixed-size values — never the 64-long
+    signature — so the exploded shuffle stays narrow. Single definition
+    shared by the full and incremental candidate paths (the band-hash
+    scheme must stay in lockstep with the DuckDB oracle)."""
+    rows_per_band = num_hashes // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                band_hash_expr("sig", i, rows_per_band).alias("band_hash"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return with_sig.select("doc_id_", F.explode(band_cols).alias("band")).select(
+        "doc_id_", "band.band_idx", "band.band_hash"
+    )
+
+
+def _verify_candidates(
+    cand: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    n: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact n-gram-Jaccard verification of a (doc_a, doc_b) candidate
+    set — the shared tail of the full and incremental dedup paths.
+
+    The shingle projection appears on both sides of the join, and Spark
+    computes duplicated join sides twice (no stage reuse — see
+    _bucket_pairs). That is accepted here: the projection is a
+    shuffle-free tokenize (no 64-hash aggregate), and the
+    alternative — an unmanaged .cache() — leaked storage memory across
+    round 1's bench session. Cost ∝ 2 corpus scans, not candidates².
+    Repartitioned first so the tokenize runs at cluster width, not
+    input-file granularity (single-file corpora would otherwise shingle
+    serially — the minhash_signatures discipline)."""
+    from .partitioning import to_cluster_width
+
+    sh = (
+        to_cluster_width(docs, id_col)
+        .select(F.col(id_col).alias("did"), tokens_expr(F.col(text_col)).alias("_t"))
+        .select("did", shingles_from_tokens(F.col("_t"), n).alias("sh"))
+    )
+    return (
+        cand.join(sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select("doc_a", "doc_b", jaccard_expr(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -405,26 +462,11 @@ def minhash_candidate_pairs(
 
     ``max_bucket`` drops degenerate hot buckets before pair expansion
     (see _bucket_pairs; audit the drops with oversize_buckets)."""
-    rows_per_band = num_hashes // bands
     # No .cache(): the builder contract returns lazy plans (nobody could
     # unpersist), and an unmanaged cache leaked storage memory across the
     # 28-query bench session in round 1.
     with_sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
-
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                band_hash_expr("sig", i, rows_per_band).alias("band_hash"),
-            )
-            for i in range(bands)
-        ]
-    )
-    # band rows carry only (id, band_idx, band_hash) — never the 64-long
-    # signature — so the exploded shuffle moves 3 fixed-size values/row
-    banded = with_sig.select("doc_id_", F.explode(band_cols).alias("band")).select(
-        "doc_id_", "band.band_idx", "band.band_hash"
-    )
+    banded = _banded_rows(with_sig, num_hashes, bands)
     cand = (
         _bucket_pairs(banded, ["band_idx", "band_hash"], ["doc_id_"], max_bucket)
         .select(
@@ -470,29 +512,7 @@ def minhash_dedup_pairs(
         docs, num_hashes, bands, n, text_col, id_col,
         include_estimate=False, max_bucket=max_bucket,
     )
-    # shingle arrays appear on both sides of the verification join, and
-    # Spark computes duplicated join sides twice (no stage reuse — see
-    # _bucket_pairs). That is accepted here: the projection is a
-    # shuffle-free tokenize (no 64-hash aggregate), and the
-    # alternative — an unmanaged .cache() — leaked storage memory
-    # across round 1's bench session. Cost ∝ 2 corpus scans, not
-    # candidates². Repartitioned first so the tokenize runs at cluster
-    # width, not input-file granularity (single-file corpora would
-    # otherwise shingle serially — the minhash_signatures discipline).
-    from .partitioning import to_cluster_width
-
-    sh = (
-        to_cluster_width(docs, id_col)
-        .select(F.col(id_col).alias("did"), tokens_expr(F.col(text_col)).alias("_t"))
-        .select("did", shingles_from_tokens(F.col("_t"), n).alias("sh"))
-    )
-    return (
-        cand.join(sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .select("doc_a", "doc_b", jaccard_expr(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verify_candidates(cand, docs, threshold, n, text_col, id_col)
 
 
 def incremental_minhash_dedup_pairs(
@@ -525,21 +545,9 @@ def incremental_minhash_dedup_pairs(
     re-derives them from ``docs`` only because the registered query has
     a single input table. The verification join structure is unchanged:
     only candidate pairs pay exact Jaccard."""
-    rows_per_band = num_hashes // bands
     with_sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                band_hash_expr("sig", i, rows_per_band).alias("band_hash"),
-            )
-            for i in range(bands)
-        ]
-    )
-    banded = (
-        with_sig.select("doc_id_", F.explode(band_cols).alias("band"))
-        .select("doc_id_", "band.band_idx", "band.band_hash")
-        .withColumn("_new", is_new(F.col("doc_id_")))
+    banded = _banded_rows(with_sig, num_hashes, bands).withColumn(
+        "_new", is_new(F.col("doc_id_"))
     )
     # collect_list skips the NULLs the when() leaves for the other side,
     # giving per-bucket new/old member arrays in one aggregation
@@ -562,37 +570,33 @@ def incremental_minhash_dedup_pairs(
         buckets = buckets.filter(
             F.size("new_m") + F.size("old_m") <= max_bucket
         )
-    nn = (
-        buckets.select("new_m", F.posexplode("new_m").alias("i", "a"))
-        .select(
-            F.col("a").alias("doc_a"),
-            F.explode(F.slice("new_m", F.col("i") + 2, F.size("new_m"))).alias(
-                "doc_b"
-            ),
+    # ONE generator pass per bucket: each new member pairs with the
+    # new-array tail after it (new×new, already id-ordered) AND every
+    # old member (new×old, canonicalized below) — a union of two
+    # branches would compute the whole signature+bucket subtree twice
+    # (Spark gets no reuse across union branches; measured in
+    # _bucket_pairs' docstring and seen live in this query's first
+    # PLANS.txt capture).
+    cand = (
+        buckets.select(
+            "new_m", "old_m", F.posexplode("new_m").alias("i", "a")
         )
+        .select(
+            "a",
+            F.explode(
+                F.concat(
+                    F.slice("new_m", F.col("i") + 2, F.size("new_m")),
+                    "old_m",
+                )
+            ).alias("b"),
+        )
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    no = buckets.select(
-        F.explode("new_m").alias("a"), F.col("old_m")
-    ).select(
-        "a", F.explode("old_m").alias("b")
-    ).select(
-        F.least("a", "b").alias("doc_a"), F.greatest("a", "b").alias("doc_b")
-    )
-    cand = nn.unionByName(no).dropDuplicates(["doc_a", "doc_b"])
-    from .partitioning import to_cluster_width
-
-    sh = (
-        to_cluster_width(docs, id_col)
-        .select(F.col(id_col).alias("did"), tokens_expr(F.col(text_col)).alias("_t"))
-        .select("did", shingles_from_tokens(F.col("_t"), n).alias("sh"))
-    )
-    return (
-        cand.join(sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .select("doc_a", "doc_b", jaccard_expr(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verify_candidates(cand, docs, threshold, n, text_col, id_col)
 
 
 # ------------------------------------------------- winnowing fingerprints
