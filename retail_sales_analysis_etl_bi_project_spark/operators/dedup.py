@@ -397,6 +397,42 @@ def _banded_rows(with_sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def shingle_relation(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(did, sh) distinct-shingle-array relation — the verification-side
+    input, and the relation a signature STORE persists alongside band
+    rows (deterministic, so recompute ≡ read). Repartitioned first so
+    the tokenize runs at cluster width, not input-file granularity."""
+    from .partitioning import to_cluster_width
+
+    return (
+        to_cluster_width(docs, id_col)
+        .select(F.col(id_col).alias("did"), tokens_expr(F.col(text_col)).alias("_t"))
+        .select("did", shingles_from_tokens(F.col("_t"), n).alias("sh"))
+    )
+
+
+def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram-Jaccard verification of a (doc_a, doc_b) candidate
+    set against a (did, sh) shingle relation — the shared tail of the
+    full, incremental, and streaming dedup paths.
+
+    The shingle relation appears on both sides of the join, and Spark
+    computes duplicated join sides twice (no stage reuse — see
+    _bucket_pairs). That is accepted here: the projection is a
+    shuffle-free tokenize (no 64-hash aggregate), and the
+    alternative — an unmanaged .cache() — leaked storage memory across
+    round 1's bench session. Cost ∝ 2 corpus scans, not candidates²."""
+    return (
+        cand.join(sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select("doc_a", "doc_b", jaccard_expr(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _verify_candidates(
     cand: DataFrame,
     docs: DataFrame,
@@ -405,31 +441,8 @@ def _verify_candidates(
     text_col: str,
     id_col: str,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard verification of a (doc_a, doc_b) candidate
-    set — the shared tail of the full and incremental dedup paths.
-
-    The shingle projection appears on both sides of the join, and Spark
-    computes duplicated join sides twice (no stage reuse — see
-    _bucket_pairs). That is accepted here: the projection is a
-    shuffle-free tokenize (no 64-hash aggregate), and the
-    alternative — an unmanaged .cache() — leaked storage memory across
-    round 1's bench session. Cost ∝ 2 corpus scans, not candidates².
-    Repartitioned first so the tokenize runs at cluster width, not
-    input-file granularity (single-file corpora would otherwise shingle
-    serially — the minhash_signatures discipline)."""
-    from .partitioning import to_cluster_width
-
-    sh = (
-        to_cluster_width(docs, id_col)
-        .select(F.col(id_col).alias("did"), tokens_expr(F.col(text_col)).alias("_t"))
-        .select("did", shingles_from_tokens(F.col("_t"), n).alias("sh"))
-    )
-    return (
-        cand.join(sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .select("doc_a", "doc_b", jaccard_expr(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
+    return _verify_pairs(
+        cand, shingle_relation(docs, n, text_col, id_col), threshold
     )
 
 
@@ -549,8 +562,24 @@ def incremental_minhash_dedup_pairs(
     banded = _banded_rows(with_sig, num_hashes, bands).withColumn(
         "_new", is_new(F.col("doc_id_"))
     )
-    # collect_list skips the NULLs the when() leaves for the other side,
-    # giving per-bucket new/old member arrays in one aggregation
+    cand = _incremental_candidates(banded, max_bucket)
+    return _verify_candidates(cand, docs, threshold, n, text_col, id_col)
+
+
+def _incremental_candidates(
+    banded: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Batch-touching candidate pairs from (doc_id_, band_idx,
+    band_hash, _new) band rows: old×old pairs are never generated.
+
+    collect_list skips the NULLs the when() leaves for the other side,
+    giving per-bucket new/old member arrays in ONE aggregation; then
+    ONE generator pass per bucket — each new member pairs with the
+    new-array tail after it (new×new, already id-ordered) AND every
+    old member (new×old, canonicalized below). A union of two branches
+    would compute the whole signature+bucket subtree twice (Spark gets
+    no reuse across union branches; measured in _bucket_pairs'
+    docstring and seen live in this query's first PLANS.txt capture)."""
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(
@@ -570,14 +599,7 @@ def incremental_minhash_dedup_pairs(
         buckets = buckets.filter(
             F.size("new_m") + F.size("old_m") <= max_bucket
         )
-    # ONE generator pass per bucket: each new member pairs with the
-    # new-array tail after it (new×new, already id-ordered) AND every
-    # old member (new×old, canonicalized below) — a union of two
-    # branches would compute the whole signature+bucket subtree twice
-    # (Spark gets no reuse across union branches; measured in
-    # _bucket_pairs' docstring and seen live in this query's first
-    # PLANS.txt capture).
-    cand = (
+    return (
         buckets.select(
             "new_m", "old_m", F.posexplode("new_m").alias("i", "a")
         )
@@ -596,7 +618,65 @@ def incremental_minhash_dedup_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _verify_candidates(cand, docs, threshold, n, text_col, id_col)
+
+
+def signature_store_relations(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The two relations a MinHash signature STORE persists per ingested
+    batch: band rows (doc_id, band_idx, band_hash) and shingle arrays
+    (did, sh). Deterministic given the hash family, so recompute ≡
+    read — which is what lets incremental paths and their oracles agree
+    while production reads these from parquet instead of re-hashing."""
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    b = _banded_rows(sig, num_hashes, bands).select(
+        F.col("doc_id_").alias("doc_id"), "band_idx", "band_hash"
+    )
+    return b, shingle_relation(docs, n, text_col, id_col)
+
+
+def incremental_pairs_vs_store(
+    new_docs: DataFrame,
+    old_bands: DataFrame | None,
+    old_shingles: DataFrame | None,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The STORE-BACKED form of incremental_minhash_dedup_pairs: the
+    old side arrives as its persisted relations — band rows
+    (doc_id_, band_idx, band_hash) and shingles (did, sh) written at
+    original ingest — so a batch costs its own signature computation
+    plus joins against the store; the old corpus is never re-hashed.
+    Pass None for both on the very first batch (empty store).
+
+    Returns (doc_a, doc_b, jaccard) pairs involving at least one new
+    document. Streaming wrapper: streaming/dedup.py."""
+    new_sig = minhash_signatures(new_docs, num_hashes, n, text_col, id_col)
+    new_bands = _banded_rows(new_sig, num_hashes, bands).withColumn(
+        "_new", F.lit(True)
+    )
+    new_sh = shingle_relation(new_docs, n, text_col, id_col)
+    if old_bands is None:
+        banded, sh = new_bands, new_sh
+    else:
+        banded = new_bands.unionByName(
+            old_bands.select(
+                F.col("doc_id").alias("doc_id_"), "band_idx", "band_hash"
+            ).withColumn("_new", F.lit(False))
+        )
+        sh = new_sh.unionByName(old_shingles.select("did", "sh"))
+    cand = _incremental_candidates(banded, max_bucket)
+    return _verify_pairs(cand, sh, threshold)
 
 
 # ------------------------------------------------- winnowing fingerprints
