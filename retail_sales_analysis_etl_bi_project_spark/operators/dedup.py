@@ -413,10 +413,14 @@ def shingle_relation(
     )
 
 
-def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+def _verify_pairs(
+    cand: DataFrame, sh: DataFrame, threshold: float, sort: bool = True
+) -> DataFrame:
     """Exact n-gram-Jaccard verification of a (doc_a, doc_b) candidate
     set against a (did, sh) shingle relation — the shared tail of the
-    full, incremental, and streaming dedup paths.
+    full, incremental, and streaming dedup paths. ``sort=False`` skips
+    the presentation orderBy (a global range-partition + sort): sinks
+    that write parquet get no cross-file ordering guarantee anyway.
 
     The shingle relation appears on both sides of the join, and Spark
     computes duplicated join sides twice (no stage reuse — see
@@ -424,13 +428,13 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame
     shuffle-free tokenize (no 64-hash aggregate), and the
     alternative — an unmanaged .cache() — leaked storage memory across
     round 1's bench session. Cost ∝ 2 corpus scans, not candidates²."""
-    return (
+    out = (
         cand.join(sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .select("doc_a", "doc_b", jaccard_expr(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
 def _verify_candidates(
@@ -660,23 +664,57 @@ def incremental_pairs_vs_store(
     Pass None for both on the very first batch (empty store).
 
     Returns (doc_a, doc_b, jaccard) pairs involving at least one new
-    document. Streaming wrapper: streaming/dedup.py."""
-    new_sig = minhash_signatures(new_docs, num_hashes, n, text_col, id_col)
-    new_bands = _banded_rows(new_sig, num_hashes, bands).withColumn(
-        "_new", F.lit(True)
+    document. Streaming wrapper: streaming/dedup.py (which computes the
+    new side's relations ONCE via signature_store_relations, persists
+    them, and calls pairs_from_relations on the read-back — this
+    convenience form recomputes them from ``new_docs``)."""
+    nb, ns = signature_store_relations(
+        new_docs, num_hashes, bands, n, text_col, id_col
     )
-    new_sh = shingle_relation(new_docs, n, text_col, id_col)
+    return pairs_from_relations(
+        nb, ns, old_bands, old_shingles, threshold, max_bucket
+    )
+
+
+def pairs_from_relations(
+    new_bands: DataFrame,
+    new_shingles: DataFrame,
+    old_bands: DataFrame | None,
+    old_shingles: DataFrame | None,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    sort: bool = True,
+) -> DataFrame:
+    """Core of the store-backed incremental dedup, operating purely on
+    signature-store relations (doc_id band rows + (did, sh) shingles)
+    for both sides.
+
+    The old band store is SEMI-JOIN PRUNED on the batch's distinct
+    (band_idx, band_hash) keys before the union: the batch's key set is
+    tiny and broadcasts, so untouched buckets die at the store scan —
+    without this, every micro-batch would shuffle the ENTIRE band store
+    into the bucket aggregation just to drop old-only buckets after,
+    making per-batch cost O(corpus) instead of O(batch footprint)."""
+    nb = new_bands.select(
+        F.col("doc_id").alias("doc_id_"), "band_idx", "band_hash"
+    ).withColumn("_new", F.lit(True))
     if old_bands is None:
-        banded, sh = new_bands, new_sh
+        banded, sh = nb, new_shingles.select("did", "sh")
     else:
-        banded = new_bands.unionByName(
-            old_bands.select(
+        new_keys = nb.select("band_idx", "band_hash").distinct()
+        pruned_old = old_bands.join(
+            F.broadcast(new_keys), ["band_idx", "band_hash"], "leftsemi"
+        )
+        banded = nb.unionByName(
+            pruned_old.select(
                 F.col("doc_id").alias("doc_id_"), "band_idx", "band_hash"
             ).withColumn("_new", F.lit(False))
         )
-        sh = new_sh.unionByName(old_shingles.select("did", "sh"))
+        sh = new_shingles.select("did", "sh").unionByName(
+            old_shingles.select("did", "sh")
+        )
     cand = _incremental_candidates(banded, max_bucket)
-    return _verify_pairs(cand, sh, threshold)
+    return _verify_pairs(cand, sh, threshold, sort=sort)
 
 
 # ------------------------------------------------- winnowing fingerprints
