@@ -41,6 +41,8 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.pipeline_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.lifecycle_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.analysis_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.stat_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.index_queries",
     ):
         try:
             __import__(mod)
@@ -188,12 +190,59 @@ _PAST_WINDOW = (
                                    # winnow selection is pytest-pinned
                                    # against a pure-Python reference;
                                    # green r3-r6
-    # r7e — NEW query registered past the window (the r6f precedent:
-    # gate-replica verified this round, rotate IN next round). Its
-    # mechanism siblings in-window: candidate banding + Jaccard verify
-    # recomputed by dedup_family_recall; incremental-merge semantics
-    # pinned by the in-window agg_incremental_kpi_merge family.
-    "dedup_incremental_minhash",
+    # r8 rotation — dedup_incremental_minhash rotates IN as planned
+    # (registered past-window in r7e, gate-replica verified there), and
+    # the five new r8 stat queries (text_bigram_pmi,
+    # graph_kcore_coreness, corpus_token_budget_mix,
+    # events_anomaly_daily, events_markov_transitions) enter. Six
+    # long-proven spills, each with an in-window mechanism sibling:
+    "text_top_tokens",             # explode -> groupBy(term) -> global
+                                   # top-k: exactly the tf stage +
+                                   # ranked cut of in-window
+                                   # text_tfidf_topterms and
+                                   # pipeline_term_stats_shared; green
+                                   # r2-r7
+    "events_json_and_moments",     # JSON extraction mechanism covered
+                                   # by in-window events_variant_stats
+                                   # (typed VARIANT path over the same
+                                   # props column); its fillna/moment
+                                   # aggregates are the k_core_kpis
+                                   # family; green r2-r7
+    "dedup_graph_stats",           # cluster-size histogram READOUT of
+                                   # dedup_cluster_components (stays
+                                   # in-window, same shared CC cache);
+                                   # the new in-window
+                                   # graph_kcore_coreness keeps a
+                                   # second graph query in the window;
+                                   # green r6-r7
+    "events_retention_cohorts",    # single user_id shuffle + cohort
+                                   # window/agg — the mechanism of
+                                   # in-window events_funnel_conversion
+                                   # and the new in-window
+                                   # events_markov_transitions (lag
+                                   # over the same user window); green
+                                   # r6-r7
+    "corpus_stratified_sample",    # hash60-ranked per-stratum cut —
+                                   # the new in-window
+                                   # corpus_token_budget_mix runs the
+                                   # same hash60-ordered per-source
+                                   # window with a strictly stronger
+                                   # cutoff (running token sum vs row
+                                   # count); green r6-r7
+    "bi_daily_revenue_gapfill",    # day-grain collapse + sequence-
+                                   # explode gap fill: the sequence-
+                                   # explode mechanism is in-window via
+                                   # corpus_chunk_documents, the
+                                   # day-grain collapse via the new
+                                   # in-window events_anomaly_daily;
+                                   # green r6-r7
+    # r8b — NEW queries registered past the window (r6f/r7e precedent:
+    # gate-replica verified this round, rotate IN next round). In-window
+    # mechanism siblings: ordered-term aggregation over the same tf
+    # stage as text_tfidf_topterms (inverted index); groupBy-rollup DQ
+    # counting as etl_expectations_report (column profile).
+    "text_inverted_index",
+    "etl_column_profile",
 )
 
 

@@ -119,6 +119,11 @@ HEADLINE = [
     "join_interval_overlap_busy_windows",
     "agg_incremental_distinct_hll",
     "dedup_incremental_minhash",
+    "text_bigram_pmi",
+    "graph_kcore_coreness",
+    "corpus_token_budget_mix",
+    "events_anomaly_daily",
+    "events_markov_transitions",
     # sim_ann_recall_tuning is NOT headline, the sim_ann_recall /
     # dedup_family_recall precedent: composed audits re-run several
     # member pipelines and would dominate the total with redundant

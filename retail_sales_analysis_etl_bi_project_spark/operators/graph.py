@@ -135,3 +135,81 @@ def connected_components(
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .orderBy("doc_id")
     )
+
+
+def _peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peel of a SYMMETRIZED edge list (s, d): each
+    round drops every node whose current degree is < k, plus all its
+    edges, by two left-semi joins against the surviving node set. The
+    round count is FIXED (no data-dependent action), so the operator is
+    a pure lazy plan and — crucially for the oracle contract — both
+    engines execute the identical round count whether or not the peel
+    has converged (extra rounds past the fixed point are no-ops).
+
+    Scale shape: degree is one groupBy on the node key, the two
+    endpoint filters are left-semi hash joins on the same key — every
+    round is shuffle-on-node-id with fixed-width rows, no broadcast of
+    anything graph-sized. localCheckpoint truncates the lineage each
+    round (same rationale as connected_components: Catalyst re-plans
+    referenced subtrees, and round r references round r-1 three times).
+    """
+    e = edges
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("s")
+        )
+        e = (
+            e.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return e
+
+
+def coreness(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    k_max: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """k-core decomposition of the near-dup pair graph: one row per
+    node with its coreness = max k such that the node survives the
+    k-core peel (capped at ``k_max``). Dup-graph reading: coreness 1 =
+    docs in simple pair/chain clusters, coreness >= 2 = docs inside
+    densely interconnected duplicate families (every member near-dups
+    >= 2 others) — the families worth auditing before bulk removal,
+    since a single false-positive pair can't create them.
+
+    Peels INCREMENTALLY (the (k+1)-core is a subgraph of the k-core,
+    so level k+1 starts from level k's surviving edges — standard
+    degeneracy-ordering property), which keeps total work proportional
+    to the shrinking core, not k_max rescans of the full graph.
+
+    ``rounds`` is a fixed per-level round count, not a convergence
+    loop: identical plans on both engines regardless of graph shape
+    (see _peel). rounds=4 fully dissolves any sub-critical chain of
+    <= ~8 nodes per level; the registered query's pytest pins fixpoint
+    equality against a pure-Python peel on adversarial graphs.
+    """
+    e = pairs.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    )
+    edges = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=False)
+    levels = edges.select("s").distinct().withColumn("k", F.lit(1))
+    cur = edges
+    for k in range(2, k_max + 1):
+        cur = _peel(cur, k, rounds)
+        levels = levels.unionByName(
+            cur.select("s").distinct().withColumn("k", F.lit(k))
+        )
+    return (
+        levels.groupBy(F.col("s").alias("doc_id"))
+        .agg(F.max("k").cast("int").alias("coreness"))
+        .orderBy("doc_id")
+    )

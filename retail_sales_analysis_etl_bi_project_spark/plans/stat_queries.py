@@ -1,0 +1,504 @@
+"""Round-8 corpus/event statistics queries (registered after
+analysis_queries — all five enter the driver's 50-query window, see
+__spark_entry__._PAST_WINDOW).
+
+Five pipeline stages the round-7 surface still lacked, each a distinct
+mechanism with an exact DuckDB twin:
+
+- text_bigram_pmi          : adjacent-pair collocation lift (PMI's
+                             rational core) — the phrase-mining /
+                             tokenizer-vocabulary signal
+- graph_kcore_coreness     : k-core decomposition of the near-dup pair
+                             graph — iterative fixed-round peel, the
+                             density audit that ranks dup families by
+                             interconnectedness
+- corpus_token_budget_mix  : deterministic data-mixing under a global
+                             TOKEN budget with per-source weights —
+                             running-sum cutoff, the stage that turns
+                             "sampling ratios" into an actual training
+                             mix
+- events_anomaly_daily     : per-type daily-volume outlier flags via an
+                             EXACT integer z^2 test (no float variance)
+- events_markov_transitions: per-user event-type transition matrix
+                             with exact rational probabilities
+
+Numeric discipline (REQUIREMENTS.md): lift/probability doubles use
+only *,/ in an identical association order in both engines (IEEE
+correctly-rounded, bit-identical); the outlier test never leaves
+integers (Spark decimal(38,0) vs DuckDB HUGEINT — both exact int
+arithmetic, both stringify without a fractional part).
+
+Reference scope: the reference's analytics stop at groupBy aggregates
+over the retail star (/root/reference/etl/etl.py:220-306); this module
+is part of the LLM-data-pipeline extension surface (corpus statistics,
+dup-graph analysis, mixture construction, volume monitoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.graph import coreness
+from ..operators.partitioning import to_cluster_width
+from ..operators.text import lower_terms, token_count_expr, tokens_expr
+from ..sources.tables import load_table
+from .dedup_queries import _hex60, _minhash_lsh_oracle, shared_minhash_pairs
+from .registry import query
+from .text_queries import _SQL_TOKS
+
+_PMI_MIN_PAIR = 5
+_SQL_LTOKS = f"list_transform({_SQL_TOKS}, x -> lower(x))"
+
+
+@query(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_LTOKS} AS t FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+    ),
+    cbg AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM bg GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n_term
+      FROM (SELECT lower(unnest({_SQL_TOKS})) AS term FROM documents)
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_term) AS BIGINT) AS t_tokens FROM uni),
+    btot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS t_pairs FROM cbg)
+    SELECT w1, w2, n_pair,
+           u1.n_term AS n_w1, u2.n_term AS n_w2,
+           ((CAST(n_pair AS DOUBLE) * CAST(t_tokens AS DOUBLE))
+              * CAST(t_tokens AS DOUBLE))
+             / ((CAST(t_pairs AS DOUBLE) * CAST(u1.n_term AS DOUBLE))
+                  * CAST(u2.n_term AS DOUBLE)) AS lift
+    FROM cbg
+    JOIN uni u1 ON cbg.w1 = u1.term
+    JOIN uni u2 ON cbg.w2 = u2.term
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE n_pair >= {_PMI_MIN_PAIR}
+    ORDER BY lift DESC, w1, w2
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token collocation lift — PMI's rational core
+    p(xy)/(p(x)p(y)) = (c_xy * T^2) / (B * c_x * c_y) — for every
+    bigram seen >= 5 times. The phrase-mining stage of tokenizer /
+    vocabulary construction (collocations are merge candidates) and
+    the boilerplate detector (templated corpora, like this one, show
+    extreme-lift bigrams).
+
+    The score is the log-free PMI argument (same monotone-ranking call
+    as text_tfidf_topterms' rational IDF): ln's last ulp is
+    libm-dependent, while this chain of IEEE *,/ in a pinned
+    association order is bit-identical in Spark and DuckDB.
+
+    Scale shape (the standard distributed collocation plan):
+    - bigrams come from an ARRAY-level zip (transform over the
+      materialized token array, guarded size>=2 — Spark sequence(1,0)
+      is the descending [1,0], not empty!), so pairing is map-side:
+      the corpus never shuffles until the groupBy;
+    - groupBy(w1,w2) and groupBy(term) both partial-aggregate
+      map-side; shuffles carry one row per DISTINCT bigram/term;
+    - the n_pair >= 5 filter lands BEFORE the unigram joins, pruning
+      the long singleton tail from both shuffle joins;
+    - bigram<->unigram joins are shuffle equi-joins on the term key
+      (web-scale vocabularies don't broadcast; AQE may still choose
+      to);
+    - the two 1-row totals ride broadcast crossJoins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = to_cluster_width(docs, "doc_id").select(
+        F.transform(tokens_expr("text"), lambda x: F.lower(x)).alias("t")
+    )
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)-1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    cbg = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= _PMI_MIN_PAIR)
+    )
+    uni = lower_terms(docs).groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_term")
+    )
+    tot = uni.agg(F.sum("n_term").alias("t_tokens"))
+    btot = bg.agg(F.count(F.lit(1)).cast("bigint").alias("t_pairs"))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("n_term").alias("n_w1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("n_term").alias("n_w2"))
+    d = F.col  # noqa: E731 — keep the lift expression readable
+    return (
+        cbg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(tot)
+        .crossJoin(btot)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            (
+                (
+                    (d("n_pair").cast("double") * d("t_tokens").cast("double"))
+                    * d("t_tokens").cast("double")
+                )
+                / (
+                    (d("t_pairs").cast("double") * d("n_w1").cast("double"))
+                    * d("n_w2").cast("double")
+                )
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+    )
+
+
+def _coreness_oracle(k_max: int = 3, rounds: int = 4) -> str:
+    """DuckDB replay of operators.graph.coreness: the same FIXED-round
+    incremental peel, unrolled level by level / round by round (a
+    recursive CTE can't re-aggregate degrees over a shrinking edge set,
+    so the loop is generated as chained CTEs — both engines execute the
+    identical round count, converged or not). Every CTE is
+    MATERIALIZED: DuckDB otherwise INLINES each reference, and round r
+    references round r-1 three times, so the unrolled peel would
+    expand to 3^(levels*rounds) copies of the whole MinHash pipeline
+    (observed as an fd-exhaustion error re-opening the parquet) — the
+    SQL mirror of exactly the lineage blow-up localCheckpoint prevents
+    on the Spark side."""
+    parts = [
+        f"WITH mh AS MATERIALIZED ({_minhash_lsh_oracle()}),",
+        "e_2_0 AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM mh"
+        " UNION ALL SELECT doc_b AS s, doc_a AS d FROM mh),",
+    ]
+    levels = ["SELECT DISTINCT s, 1 AS k FROM e_2_0"]
+    for k in range(2, k_max + 1):
+        if k > 2:
+            parts.append(
+                f"e_{k}_0 AS MATERIALIZED"
+                f" (SELECT * FROM e_{k - 1}_{rounds}),"
+            )
+        for r in range(rounds):
+            parts.append(
+                f"n_{k}_{r} AS MATERIALIZED (SELECT s FROM e_{k}_{r}"
+                f" GROUP BY s HAVING count(*) >= {k}),"
+            )
+            parts.append(
+                f"e_{k}_{r + 1} AS MATERIALIZED"
+                f" (SELECT e.s, e.d FROM e_{k}_{r} e"
+                f" JOIN n_{k}_{r} a ON e.s = a.s"
+                f" JOIN n_{k}_{r} b ON e.d = b.s),"
+            )
+        levels.append(f"SELECT DISTINCT s, {k} AS k FROM e_{k}_{rounds}")
+    union = " UNION ALL ".join(levels)
+    return (
+        "\n".join(parts)
+        + f"\nlevels AS ({union})\n"
+        + "SELECT CAST(s AS BIGINT) AS doc_id,"
+        " CAST(MAX(k) AS INT) AS coreness\n"
+        "FROM levels GROUP BY s ORDER BY doc_id"
+    )
+
+
+@query("graph_kcore_coreness", oracle=_coreness_oracle())
+def graph_kcore_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (coreness per node, capped at 3) of the
+    MinHash-LSH verified near-dup graph — the density companion to
+    dedup_cluster_components: components say WHICH docs cluster,
+    coreness says how tightly (coreness >= 2 requires every member to
+    near-dup >= 2 others, which no single false-positive pair can
+    fake). Consumes the same shared_minhash_pairs managed cache as the
+    CC/cluster queries, so in a run executing the whole dedup family
+    the pair pipeline still materializes exactly once.
+
+    Hash-verified end to end: the oracle unrolls the identical
+    fixed-round peel over the identical verified pairs (see
+    operators/graph.py coreness for the fixed-round-vs-convergence
+    contract; fixpoint semantics are pytest-pinned against a
+    pure-Python peel on adversarial chain/clique graphs)."""
+    return coreness(
+        shared_minhash_pairs(spark, sf_dir), src="doc_a", dst="doc_b",
+        k_max=3, rounds=4,
+    )
+
+
+@query(
+    "corpus_token_budget_mix",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             {_hex60("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    w AS (
+      SELECT source,
+             CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT)
+                       % 2 = 0
+                  THEN 2 ELSE 1 END AS wt
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tokens FROM d),
+    den AS (SELECT CAST(SUM(wt) AS BIGINT) AS sum_wt FROM w)
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(budget AS BIGINT) AS budget_tokens
+    FROM (
+      SELECT d.doc_id, d.source, d.n_tokens,
+             SUM(d.n_tokens) OVER (
+               PARTITION BY d.source ORDER BY d.h, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens,
+             (t_tokens * wt) // (2 * sum_wt) AS budget
+      FROM d JOIN w USING (source) CROSS JOIN tot CROSS JOIN den
+    )
+    WHERE cum_tokens <= budget
+    ORDER BY source, cum_tokens, doc_id
+    """,
+)
+def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix construction under a global TOKEN
+    budget: the corpus gets a budget of half its total tokens, split
+    across sources proportionally to a per-source weight (even-indexed
+    sources upweighted 2:1 — the stand-in for a curated domain-weights
+    table), and each source contributes documents in hash60 order
+    until its token budget is exhausted. This is the stage that turns
+    per-domain sampling RATIOS into an actual mix: unlike
+    corpus_stratified_sample (a per-stratum ROW-count cut), the cutoff
+    here is a running-sum over token counts, so long documents consume
+    budget faster — the semantics LLM data recipes actually specify.
+
+    Exactness: budgets are integer arithmetic ((T * w) div (2 * sum_w)
+    — Spark `div` and DuckDB `//` agree on non-negative operands), the
+    running sum is a bigint window, and the hash order is the shared
+    md5-derived hash60 with doc_id tiebreak — no RNG streams, no
+    floats.
+
+    Scale shape: one row per document (token counts are a map-side
+    expression over the text column — the corpus body never shuffles);
+    the running-sum window shuffles on source; the three scalar
+    aggregates (corpus tokens, weight sum) ride broadcast crossJoins.
+    Per-source windows serialize within a source — at 100 TB with few
+    huge sources, the same plan runs per (source, shard) with
+    shard-level sub-budgets, exactly like corpus_pack_sharded's
+    two-phase form."""
+    from ..operators.dedup import hash60_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        token_count_expr("text").alias("n_tokens"),
+        hash60_expr(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = d.select("source").distinct().select(
+        "source",
+        F.when(
+            F.regexp_extract("source", r"(\d+)", 1).cast("bigint") % 2 == 0,
+            F.lit(2),
+        )
+        .otherwise(F.lit(1))
+        .alias("wt"),
+    )
+    tot = d.agg(F.sum("n_tokens").alias("t_tokens"))
+    den = w.agg(F.sum("wt").cast("bigint").alias("sum_wt"))
+    win = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(w, "source")
+        .crossJoin(tot)
+        .crossJoin(den)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.sum("n_tokens").over(win).alias("cum_tokens"),
+            F.expr("(t_tokens * wt) div (2 * sum_wt)").alias("budget_tokens"),
+        )
+        .where(F.col("cum_tokens") <= F.col("budget_tokens"))
+        .orderBy("source", "cum_tokens", "doc_id")
+    )
+
+
+@query(
+    "events_anomaly_daily",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(SUM(n_events) AS BIGINT) AS sum_events,
+             SUM(CAST(n_events AS HUGEINT) * n_events) AS sumsq_events
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, day, n_events, n_days, sum_events,
+           CAST(sumsq_events AS DECIMAL(38,0)) AS sumsq_events,
+           CAST(CASE WHEN
+                  (CAST(n_days AS HUGEINT) * n_events - sum_events)
+                    * (CAST(n_days AS HUGEINT) * n_events - sum_events)
+                  > 4 * (CAST(n_days AS HUGEINT) * sumsq_events
+                           - CAST(sum_events AS HUGEINT) * sum_events)
+                THEN 1 ELSE 0 END AS INT) AS is_outlier,
+           CAST(CASE
+                  WHEN CAST(n_days AS HUGEINT) * n_events
+                         > CAST(sum_events AS HUGEINT) THEN 1
+                  WHEN CAST(n_days AS HUGEINT) * n_events
+                         < CAST(sum_events AS HUGEINT) THEN -1
+                  ELSE 0 END AS INT) AS direction
+    FROM d JOIN s USING (event_type)
+    ORDER BY event_type, day
+    """,
+)
+def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly flags per event type — the pipeline
+    health monitor (ingest spikes / outages) every production event
+    stream runs. A day is an outlier when |count - mean| > 2 sigma
+    over that type's daily counts, evaluated EXACTLY in integers:
+
+        (n*x - S)^2  >  4 * (n*SS - S^2)
+
+    (multiply |x - S/n| > 2*sqrt(SS/n - (S/n)^2) through by n^2; both
+    sides are integers, so the flag needs no float variance, no sqrt,
+    and no cross-engine epsilon — Spark evaluates in decimal(38,0),
+    DuckDB in HUGEINT, both exact through |n*x| < 1e38, i.e. ~1e11
+    events/day at 1e4 days of history).
+
+    Scale shape: the daily collapse is one groupBy (map-side partial),
+    per-type moments are a groupBy over the DAY-grain table
+    (type-cardinality rows), and the day<->moments join is a broadcast
+    of the tiny per-type stats. Nothing after the first aggregate
+    touches raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return anomaly_flags(d)
+
+
+def anomaly_flags(daily: DataFrame) -> DataFrame:
+    """Outlier flags over a (event_type, day, n_events) day-grain table
+    — shared by the batch query above and the streaming monitor
+    (streaming/anomaly.py), whose maintained count store is this exact
+    table: one definition so the integer z^2 test can never drift
+    between the two paths."""
+    d = daily
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("sum_events"),
+        F.sum(dec(F.col("n_events")) * dec(F.col("n_events"))).alias(
+            "sumsq_events"
+        ),
+    )
+    dev = dec(F.col("n_days")) * dec(F.col("n_events")) - dec(
+        F.col("sum_events")
+    )
+    spread = F.lit(4).cast("decimal(19,0)") * (
+        dec(F.col("n_days")) * F.col("sumsq_events").cast("decimal(27,0)")
+        - dec(F.col("sum_events")) * dec(F.col("sum_events"))
+    )
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "n_days",
+            "sum_events",
+            F.col("sumsq_events").cast("decimal(38,0)").alias("sumsq_events"),
+            F.when(dev * dev > spread, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_outlier"),
+            F.when(dev > 0, F.lit(1))
+            .when(dev < 0, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("direction"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS from_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n_trans
+      FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_trans,
+           CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+             AS n_from,
+           CAST(n_trans AS DOUBLE)
+             / CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE)
+             AS p_trans
+    FROM c
+    ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous event type), with exact
+    counts and a single-division probability (one IEEE divide of two
+    exact bigints — bit-identical across engines). The behavioral-model
+    stage behind funnel diagnostics and session simulation; on corpora,
+    the same plan shapes n-gram language-model counts.
+
+    Scale shape: ONE shuffle on user_id feeds the lag window (the same
+    single-shuffle discipline as events_funnel_conversion's window
+    chain); transition pairs then collapse via groupBy(from, to) —
+    type-vocabulary^2 rows, trivially small — and the per-from totals
+    are a window over that collapsed table (no second pass over raw
+    events)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        ev.select(
+            F.lag("event_type").over(seq).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.sum("n_trans").over(tot).alias("n_from"),
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(tot).cast("double")
+        ).alias("p_trans"),
+    ).orderBy("from_type", "to_type")

@@ -91,6 +91,11 @@ def main():
         "join_interval_overlap_busy_windows",
         "agg_incremental_distinct_hll",
         "dedup_incremental_minhash",
+        "text_bigram_pmi",
+        "graph_kcore_coreness",
+        "corpus_token_budget_mix",
+        "events_anomaly_daily",
+        "events_markov_transitions",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
