@@ -43,6 +43,7 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.analysis_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.stat_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.index_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.basket_queries",
     ):
         try:
             __import__(mod)
@@ -243,6 +244,12 @@ _PAST_WINDOW = (
     # counting as etl_expectations_report (column profile).
     "text_inverted_index",
     "etl_column_profile",
+    # r8c — same precedent. In-window mechanism siblings: order-keyed
+    # self-join + rational lift over exact counts as text_bigram_pmi
+    # (basket pairs); brand-partitioned rank/cumsum windows as
+    # bi_rfm_segmentation, decimal-exact money as k4 (Pareto).
+    "bi_market_basket_pairs",
+    "bi_pareto_brand_products",
 )
 
 

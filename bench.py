@@ -124,6 +124,10 @@ HEADLINE = [
     "corpus_token_budget_mix",
     "events_anomaly_daily",
     "events_markov_transitions",
+    "text_inverted_index",
+    "etl_column_profile",
+    "bi_market_basket_pairs",
+    "bi_pareto_brand_products",
     # sim_ann_recall_tuning is NOT headline, the sim_ann_recall /
     # dedup_family_recall precedent: composed audits re-run several
     # member pipelines and would dominate the total with redundant

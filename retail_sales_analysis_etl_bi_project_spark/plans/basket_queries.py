@@ -1,0 +1,211 @@
+"""Round-8c retail-BI queries (registered after index_queries, PAST
+the driver window per the r6f/r7e precedent — gate-replica verified
+this round, rotate IN next round):
+
+- bi_market_basket_pairs : co-purchase affinity — support and lift for
+                           every part pair bought together in >= 2
+                           orders (the association-rule mining stage
+                           behind "frequently bought together")
+- bi_pareto_brand_products : per-brand Pareto cut — the products that
+                           cumulatively cover the first 80% of brand
+                           revenue, with the 80% test evaluated in
+                           EXACT decimal (no float share)
+
+Both extend the reference's retail analytics (its docx Q1-Q4/K1-K4 stop
+at one-dimensional revenue rollups, /root/reference/etl/etl.py:220-306)
+with the two classic merchandising reports, re-expressed Spark-first.
+
+Numeric discipline: lift uses the same pinned *,/ double association
+as text_bigram_pmi; the Pareto threshold compares 5*(cum-rev) <
+4*total entirely in decimal, so the 80% cut can never flip on a float
+ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import revenue_expr
+from ..sources.tables import load_table
+from .bi import REVENUE_SQL
+from .registry import query
+
+_MIN_SUPPORT = 2
+
+
+@query(
+    "bi_market_basket_pairs",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    cp AS (
+      SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_both
+      FROM pairs GROUP BY 1, 2
+    ),
+    item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM li GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+    )
+    SELECT part_a, part_b, n_both,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           (CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE))
+             / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
+             AS lift
+    FROM cp
+    JOIN item ia ON cp.part_a = ia.l_partkey
+    JOIN item ib ON cp.part_b = ib.l_partkey
+    CROSS JOIN tot
+    WHERE n_both >= {_MIN_SUPPORT}
+    ORDER BY lift DESC, part_a, part_b
+    """,
+)
+def bi_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: for every pair of parts co-purchased
+    in >= 2 orders, the co-occurrence support and the lift
+    P(a,b)/(P(a)P(b)) = n_both * n_orders / (n_a * n_b) — the
+    association signal behind cross-sell recommendations. Lift is one
+    pinned chain of IEEE *,/ over exact bigint counts (the
+    text_bigram_pmi convention), so it hash-matches the oracle.
+
+    Scale shape (the standard distributed co-occurrence plan):
+    - baskets first collapse to DISTINCT (order, part) — re-ordered
+      lines of the same part cost one row each before the pair join;
+    - pair generation is a SELF-EQUI-JOIN on l_orderkey (a < b halves
+      the output): work is sum of squared basket sizes, bounded by the
+      basket-size cap (13 here; real carts are O(10-100)), NEVER a
+      cross join over parts — the join key is the order, so AQE
+      handles popular-part skew and nothing part-quadratic exists;
+    - pair counts partial-aggregate map-side; the n_both >= 2 filter
+      lands BEFORE the per-item-support joins, pruning the singleton
+      tail (~97% of pairs here) from both shuffles;
+    - per-item supports join on the part key (shuffle; item counts can
+      be vocabulary-huge at web scale), the 1-row order total rides a
+      broadcast crossJoin."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    cp = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= _MIN_SUPPORT)
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        cp.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(tot)
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_both").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+    )
+
+
+@query(
+    "bi_pareto_brand_products",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_brand AS brand, l.l_partkey AS part_key,
+             SUM({REVENUE_SQL}) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT brand, part_key, rev,
+             row_number() OVER (
+               PARTITION BY brand ORDER BY rev DESC, part_key) AS rnk,
+             SUM(rev) OVER (
+               PARTITION BY brand ORDER BY rev DESC, part_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_rev,
+             SUM(rev) OVER (PARTITION BY brand) AS total_rev
+      FROM rev
+    )
+    SELECT brand, CAST(rnk AS BIGINT) AS rnk, part_key,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(cum_rev AS DOUBLE) AS cum_revenue,
+           CAST(total_rev AS DOUBLE) AS brand_revenue
+    FROM ranked
+    WHERE 5 * (cum_rev - rev) < 4 * total_rev
+    ORDER BY brand, rnk
+    """,
+)
+def bi_pareto_brand_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto (80/20) report: products ranked by revenue
+    within their brand, kept while the revenue ACCUMULATED BEFORE them
+    is under 80% of the brand total — i.e. the head set that covers
+    the first 80% of brand revenue, including the product that crosses
+    the line. The assortment-rationalization readout every retail BI
+    stack ships next to K4's share-by-category.
+
+    The 80% test is 5*(cum - rev) < 4*total over EXACT decimal sums
+    (functions/money.py): integer-scaled decimal compare, so the cut
+    is bit-identical across engines and parallelism — a float share
+    would flip rows whose cumulative share sits on the 0.8 boundary.
+
+    Scale shape: revenue collapses per (brand, part) first (one
+    groupBy over the fact, map-side partial); the rank/cumsum windows
+    both use the same (brand)-partitioned sort, so Catalyst evaluates
+    them in ONE Window node over one shuffle; per-brand windows
+    parallelize across brands (the global-Pareto variant would need a
+    single total order — that form belongs behind a top-k prefilter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand").alias("brand")
+    )
+    rev = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("brand", F.col("l_partkey").alias("part_key"))
+        .agg(F.sum(revenue_expr()).alias("rev"))
+    )
+    order = [F.desc("rev"), F.asc("part_key")]
+    w = Window.partitionBy("brand").orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy("brand")
+    ranked = rev.select(
+        "brand",
+        "part_key",
+        "rev",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum("rev").over(wcum).alias("cum_rev"),
+        F.sum("rev").over(wtot).alias("total_rev"),
+    )
+    return (
+        ranked.where(
+            F.lit(5) * (F.col("cum_rev") - F.col("rev"))
+            < F.lit(4) * F.col("total_rev")
+        )
+        .select(
+            "brand",
+            "rnk",
+            "part_key",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            F.col("total_rev").cast("double").alias("brand_revenue"),
+        )
+        .orderBy("brand", "rnk")
+    )

@@ -96,6 +96,10 @@ def main():
         "corpus_token_budget_mix",
         "events_anomaly_daily",
         "events_markov_transitions",
+        "text_inverted_index",
+        "etl_column_profile",
+        "bi_market_basket_pairs",
+        "bi_pareto_brand_products",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
