@@ -30,6 +30,7 @@ from ..functions.money import revenue_expr
 from ..sources.tables import load_table
 from .bi import REVENUE_SQL
 from .registry import query
+from .shared_cache import memo_persist
 
 _MIN_SUPPORT = 2
 
@@ -87,11 +88,18 @@ def bi_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       tail (~97% of pairs here) from both shuffles;
     - per-item supports join on the part key (shuffle; item counts can
       be vocabulary-huge at web scale), the 1-row order total rides a
-      broadcast crossJoin."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
+      broadcast crossJoin;
+    - the DISTINCT basket table feeds FOUR consumers (both pair-join
+      sides, item supports, the order total), so it goes through the
+      managed memo_persist scope — one fact scan + one distinct
+      shuffle per run instead of the ~3 AQE's exchange reuse still
+      left executing (code-review finding, this round)."""
+    li = memo_persist(
+        "basket_li",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .distinct(),
     )
     a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
