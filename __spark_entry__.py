@@ -250,6 +250,13 @@ _PAST_WINDOW = (
     # bi_rfm_segmentation, decimal-exact money as k4 (Pareto).
     "bi_market_basket_pairs",
     "bi_pareto_brand_products",
+    # r8d — same precedent. In-window mechanism siblings: degree/wedge
+    # equi-joins over the same shared verified pairs as
+    # dedup_cluster_components and graph_kcore_coreness (triangles);
+    # day-grain collapse + fixed-point window algebra as
+    # events_anomaly_daily / agg_incremental_kpi_merge (trailing 7d).
+    "graph_triangle_counts",
+    "events_trailing_7d_value",
 )
 
 

@@ -128,6 +128,8 @@ HEADLINE = [
     "etl_column_profile",
     "bi_market_basket_pairs",
     "bi_pareto_brand_products",
+    "graph_triangle_counts",
+    "events_trailing_7d_value",
     # sim_ann_recall_tuning is NOT headline, the sim_ann_recall /
     # dedup_family_recall precedent: composed audits re-run several
     # member pipelines and would dominate the total with redundant

@@ -213,3 +213,68 @@ def coreness(
         .agg(F.max("k").cast("int").alias("coreness"))
         .orderBy("doc_id")
     )
+
+
+def triangle_counts(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (one row
+    per edge, endpoints distinct) — the third graph primitive next to
+    connected_components (membership) and coreness (density): a
+    triangle is the smallest unfakeable clique, so triangle-heavy dup
+    clusters are mutually-confirming duplicate families while
+    triangle-free ones hang on single pair edges.
+
+    Algorithm: DEGREE-ORIENTED wedge counting (the standard
+    distributed formulation): each edge is directed from its lower
+    (degree, id) endpoint to its higher one, wedges are pairs of
+    out-neighbors of a common center, and a wedge counts iff its
+    closing edge exists. Orientation makes every out-degree
+    O(sqrt(m)) regardless of how skewed the raw degree distribution
+    is — the popular-node wedge explosion (deg^2 pairs at a hub) can't
+    happen, which is the difference between this plan surviving a
+    web-scale dup graph and not. Each triangle {x<y<z by key} is
+    produced exactly once (at its lowest-key vertex).
+
+    Everything is equi-joins/groupBys on node keys: degrees (one
+    groupBy), orientation (two degree joins), wedges (self-join on the
+    center), closure (join against the oriented edge list). Output:
+    (doc_id, n_triangles) for every node in >= 1 triangle."""
+    e = pairs.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        e.join(deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = F.struct("da", "a") < F.struct("db", "b")
+    o = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    w1 = o.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    w2 = o.select("u", F.col("v").alias("z"), F.col("dv").alias("dz"))
+    wedges = w1.join(w2, "u").where(
+        F.struct("dy", "y") < F.struct("dz", "z")
+    )
+    closed = wedges.join(
+        o.select(F.col("u").alias("y"), F.col("v").alias("z")), ["y", "z"],
+        "left_semi",
+    )
+    nodes = (
+        closed.select(F.col("u").alias("doc_id"))
+        .unionByName(closed.select(F.col("y").alias("doc_id")))
+        .unionByName(closed.select(F.col("z").alias("doc_id")))
+    )
+    return (
+        nodes.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .orderBy("doc_id")
+    )

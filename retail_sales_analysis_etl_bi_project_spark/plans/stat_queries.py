@@ -39,7 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.graph import coreness
+from ..functions.money import fixed_point_partial
+from ..operators.graph import coreness, triangle_counts
 from ..operators.partitioning import to_cluster_width
 from ..operators.text import lower_terms, token_count_expr, tokens_expr
 from ..sources.tables import load_table
@@ -502,3 +503,115 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_trans").over(tot).cast("double")
         ).alias("p_trans"),
     ).orderBy("from_type", "to_type")
+
+
+def _triangle_oracle() -> str:
+    """DuckDB replay of operators.graph.triangle_counts: identical
+    degree computation, (degree, id) row-value orientation, wedge
+    self-join, and closure check — MATERIALIZED CTEs for the same
+    inline-expansion reason as _coreness_oracle."""
+    return f"""
+    WITH mh AS MATERIALIZED ({_minhash_lsh_oracle()}),
+    e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM mh),
+    deg AS MATERIALIZED (
+      SELECT id, count(*) AS d FROM (
+        SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+      GROUP BY 1
+    ),
+    o AS MATERIALIZED (
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
+      FROM e JOIN deg da ON e.a = da.id JOIN deg db ON e.b = db.id
+    ),
+    tri AS MATERIALIZED (
+      SELECT w1.u AS x, w1.v AS y, w2.v AS z
+      FROM o w1 JOIN o w2
+        ON w1.u = w2.u AND (w1.dv, w1.v) < (w2.dv, w2.v)
+      WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = w1.v AND c.v = w2.v)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT x AS doc_id FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("graph_triangle_counts", oracle=_triangle_oracle())
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the MinHash-LSH verified near-dup
+    graph (operators/graph.py triangle_counts, degree-oriented wedge
+    counting) — the mutual-confirmation signal: a doc in a triangle
+    near-dups two docs that also near-dup EACH OTHER, so its cluster
+    membership never hangs on one possibly-spurious pair. Consumes the
+    same shared_minhash_pairs managed cache as the CC/coreness
+    queries; hash-verified end to end against the identical
+    orientation + wedge + closure replay in DuckDB."""
+    return triangle_counts(
+        shared_minhash_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
+    )
+
+
+@query(
+    "events_trailing_7d_value",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             SUM(CAST(ROUND(value * 1000000.0) AS DECIMAL(28,0))) AS acc
+      FROM events GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT *, date_diff('day', DATE '1970-01-01', day) AS day_ord FROM d
+    )
+    SELECT event_type, day, n_events,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS trailing_7d_events,
+           CAST(SUM(acc) OVER w AS DOUBLE) / 1000000.0 AS trailing_7d_value
+    FROM o
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_ord
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, day
+    """,
+)
+def events_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day event volume and value per event type — the
+    rolling KPI every ops dashboard charts. The window is a RANGE
+    frame over a DAY ORDINAL (epoch-day integer), not a ROWS frame:
+    calendar gaps contribute nothing instead of silently stretching
+    the window across missing days — the correctness difference
+    between "last 7 rows" and "last 7 days", and the first RANGE-frame
+    window in the registry.
+
+    Exactness: daily values accumulate through the fixed-point scaled
+    integers (functions/money.py fixed_point_partial) and the trailing
+    sum divides ONCE at the end — the mergeable-accumulator algebra,
+    here re-merged by the window frame instead of a groupBy, so the
+    double is bit-identical across engines.
+
+    Scale shape: events collapse to day grain first (one groupBy,
+    map-side partial — the window never sees raw events); the RANGE
+    window partitions by event_type and reuses the day-grain table's
+    size (|types x days| rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fixed_point_partial("value").alias("acc"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).alias("trailing_7d_events"),
+        (F.sum("acc").over(w).cast("double") / F.lit(1000000.0)).alias(
+            "trailing_7d_value"
+        ),
+    ).orderBy("event_type", "day")

@@ -348,3 +348,89 @@ def test_column_profile_nulls_and_distinct(spark, tmp_path):
     assert got["o_orderdate"].min_val == "2024-05-01"
     assert got["o_orderpriority"].n_nulls == 1
 
+
+
+# ------------------------------------------------ r8d: triangles / trailing
+
+
+def _py_triangles(edges):
+    import collections
+    import itertools
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    cnt = collections.Counter()
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            cnt[x] += 1
+            cnt[y] += 1
+            cnt[z] += 1
+    return dict(cnt)
+
+
+def _spark_triangles(spark, edges):
+    from retail_sales_analysis_etl_bi_project_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    return {
+        r.doc_id: r.n_triangles for r in triangle_counts(df).collect()
+    }
+
+
+def test_triangles_k4_and_shared_edge(spark):
+    # K4: each node in 3 triangles; two triangles sharing edge (0,1):
+    # 0,1 -> 2 each, 2,3 -> 1 each
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _spark_triangles(spark, k4) == {i: 3 for i in range(4)}
+    shared = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)]
+    assert _spark_triangles(spark, shared) == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_triangles_star_is_empty_and_hub_graph_matches_python(spark):
+    # star: no triangles at all -> empty result
+    star = [(0, i) for i in range(1, 8)]
+    assert _spark_triangles(spark, star) == {}
+    # skewed hub: node 0 connected to everyone, ring among leaves —
+    # exercises the degree orientation (hub must not be a wedge center
+    # for every leaf pair)
+    hub = [(0, i) for i in range(1, 9)] + [(i, i + 1) for i in range(1, 8)]
+    assert _spark_triangles(spark, hub) == _py_triangles(hub)
+
+
+def test_trailing_7d_range_frame_skips_calendar_gaps(spark, tmp_path):
+    import datetime as dt
+
+    from retail_sales_analysis_etl_bi_project_spark.plans.stat_queries import (
+        events_trailing_7d_value,
+    )
+
+    # days 1..3 then a jump to day 20: the trailing window at day 20
+    # must contain ONLY day 20 (a ROWS frame would wrongly pull in the
+    # stale days); days 1-3 accumulate normally
+    rows = []
+    eid = 0
+    for day, n in [(1, 2), (2, 3), (3, 4), (20, 5)]:
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, day, 8, 0, 0), eid % 3, "click",
+                 1.25, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    ev.write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.day.day: r for r in events_trailing_7d_value(spark, sf).collect()
+    }
+    assert got[1].trailing_7d_events == 2
+    assert got[2].trailing_7d_events == 5
+    assert got[3].trailing_7d_events == 9
+    assert got[20].trailing_7d_events == 5  # gap: only day 20 in range
+    assert got[3].trailing_7d_value == 9 * 1.25
+    assert got[20].trailing_7d_value == 5 * 1.25

@@ -100,6 +100,8 @@ def main():
         "etl_column_profile",
         "bi_market_basket_pairs",
         "bi_pareto_brand_products",
+        "graph_triangle_counts",
+        "events_trailing_7d_value",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
