@@ -254,11 +254,16 @@ def triangle_counts(
         .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
     )
     a_first = F.struct("da", "a") < F.struct("db", "b")
+    # the oriented edge list is referenced THREE times (both wedge
+    # sides and the closure probe) and Catalyst does not dedupe logical
+    # subtrees — checkpoint it so the degree join runs once, not 3x
+    # (same lineage discipline as connected_components/coreness;
+    # measured 5.5s -> ~2s at sf0.1)
     o = keyed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=False)
     w1 = o.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
     w2 = o.select("u", F.col("v").alias("z"), F.col("dv").alias("dz"))
     wedges = w1.join(w2, "u").where(
