@@ -193,7 +193,13 @@ def bi_pareto_brand_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = [F.desc("rev"), F.asc("part_key")]
     w = Window.partitionBy("brand").orderBy(*order)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wtot = Window.partitionBy("brand")
+    # brand total over the SAME ordered spec (unbounded frame), not a
+    # bare partitionBy: identical partitioning+ordering lets Catalyst
+    # fold all three aggregates into ONE Window node over one
+    # exchange+sort (a plain partitionBy window planned a second
+    # hashpartitioning(brand) exchange — pinned in
+    # tests/test_plan_contracts.py)
+    wtot = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = rev.select(
         "brand",
         "part_key",

@@ -146,3 +146,84 @@ def test_interval_overlap_plans_as_equi_join_not_nested_loop(spark, qs, sf_dir):
         if ("Left keys" in ln or "Right keys" in ln) and "_cell" in ln
     ]
     assert keyed, plan[:1500]
+
+
+def test_bigram_support_filter_sits_below_unigram_joins(spark, qs, sf_dir):
+    """text_bigram_pmi: the n_pair >= 5 support filter must prune the
+    singleton bigram tail BEFORE the two unigram shuffle joins — a
+    filter above the joins would shuffle the whole bigram table twice
+    for nothing. In the top-down tree the joins therefore appear
+    before the filter, and the filter feeds from the bigram
+    aggregate."""
+    plan = plan_of(spark, qs, "text_bigram_pmi", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    join_at = min(
+        i
+        for i in (
+            tree.find("SortMergeJoin"),
+            tree.find("ShuffledHashJoin"),
+            tree.find("BroadcastHashJoin"),
+        )
+        if i >= 0
+    )
+    filt = tree.find("Filter")
+    assert filt > join_at, "support filter evaluated above the joins"
+    # details section: the filter is on the aggregated pair count
+    assert "n_pair" in plan
+
+
+def test_anomaly_moments_join_is_broadcast_over_day_grain(spark, qs, sf_dir):
+    """events_anomaly_daily: per-type moments (type-cardinality rows)
+    must broadcast against the day-grain table — and nothing after the
+    first aggregate may rescan raw events (exactly two parquet scans:
+    one per side of the self-derived join)."""
+    plan = plan_of(spark, qs, "events_anomaly_daily", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_lag_and_collapse_share_one_user_shuffle(spark, qs, sf_dir):
+    """events_markov_transitions: raw events shuffle ONCE (on user_id,
+    for the lag window); everything downstream runs over the collapsed
+    type-pair table."""
+    plan = plan_of(spark, qs, "events_markov_transitions", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Scan parquet" in tree and tree.count("Scan parquet") == 1
+
+
+def test_trailing_window_uses_range_frame(spark, qs, sf_dir):
+    """events_trailing_7d_value: the rolling frame must be RANGE over
+    the day ordinal (calendar-gap correctness), not ROWS."""
+    plan = plan_of(spark, qs, "events_trailing_7d_value", sf_dir)
+    assert "RangeFrame, -6" in plan, "trailing frame is not a RANGE frame"
+    assert "RowFrame" not in plan
+
+
+def test_basket_distinct_scan_is_shared_via_persist(spark, qs, sf_dir):
+    """bi_market_basket_pairs: the DISTINCT (order, part) table feeds
+    four consumers through the managed persist — the plan must read it
+    as InMemoryTableScan (one fact scan per run), with the support
+    filter below the item-support joins."""
+    plan = plan_of(spark, qs, "bi_market_basket_pairs", sf_dir)
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_windows_share_one_brand_exchange(spark, qs, sf_dir):
+    """bi_pareto_brand_products: rank, running sum, and brand total all
+    share one brand-partitioned ordered spec — Catalyst must fold them
+    into ONE Window node over one exchange+sort (a bare partitionBy
+    total-window planned a second brand exchange and a second Window
+    before the unbounded-frame rewrite)."""
+    plan = plan_of(spark, qs, "bi_pareto_brand_products", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window (") == 1, tree
+    # exactly one exchange keyed on brand ALONE (the window's); the
+    # (brand, part_key) aggregate exchange is a different key set
+    import re
+
+    brand_only = re.findall(r"hashpartitioning\(brand#\d+, \d+\)", plan)
+    assert len(brand_only) == 1, plan
