@@ -273,10 +273,11 @@ def triangle_counts(
         o.select(F.col("u").alias("y"), F.col("v").alias("z")), ["y", "z"],
         "left_semi",
     )
-    nodes = (
-        closed.select(F.col("u").alias("doc_id"))
-        .unionByName(closed.select(F.col("y").alias("doc_id")))
-        .unionByName(closed.select(F.col("z").alias("doc_id")))
+    # one explode, not a 3-way union of selects: a union would make
+    # Catalyst execute the wedge join (the expensive step) once per
+    # branch
+    nodes = closed.select(
+        F.explode(F.array("u", "y", "z")).alias("doc_id")
     )
     return (
         nodes.groupBy("doc_id")
