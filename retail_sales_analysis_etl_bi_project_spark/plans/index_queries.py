@@ -99,23 +99,31 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-text_inverted_index.__doc__ = text_inverted_index.__doc__.replace(
-    "{cap}", str(_POSTINGS_CAP)
-)
+if text_inverted_index.__doc__:  # absent under PYTHONOPTIMIZE=2
+    text_inverted_index.__doc__ = text_inverted_index.__doc__.replace(
+        "{cap}", str(_POSTINGS_CAP)
+    )
 
+# (column, DuckDB canonical form, Spark canonical form) — the two
+# engine expressions live side by side so a new column can never pick
+# up mismatched canonicalizations (review finding: the Spark side was
+# originally re-derived from a name-pattern ladder)
 _PROFILE_COLS = (
-    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
-    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
-    ("o_orderstatus", "o_orderstatus"),
-    ("o_orderpriority", "o_orderpriority"),
-    ("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"),
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)",
+     "cast(o_orderkey as string)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)",
+     "cast(o_custkey as string)"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+    ("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+     "cast(cast(o_orderdate as date) as string)"),
 )
 
 
 def _profile_oracle() -> str:
     melt = " UNION ALL ".join(
-        f"SELECT '{name}' AS col_name, {expr} AS val FROM orders"
-        for name, expr in _PROFILE_COLS
+        f"SELECT '{name}' AS col_name, {duck} AS val FROM orders"
+        for name, duck, _ in _PROFILE_COLS
     )
     return f"""
     WITH melted AS ({melt})
@@ -154,14 +162,9 @@ def etl_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap in approx_count_distinct per the agg_sketch_profile
     precedent; the exact form is what the oracle can replay."""
     stack_args = []
-    for name, _ in _PROFILE_COLS:
+    for name, _, spark_expr in _PROFILE_COLS:
         stack_args.append(f"'{name}'")
-        if name == "o_orderdate":
-            stack_args.append("cast(cast(o_orderdate as date) as string)")
-        elif name.startswith("o_order") and name.endswith(("status", "priority")):
-            stack_args.append(name)
-        else:
-            stack_args.append(f"cast({name} as string)")
+        stack_args.append(spark_expr)
     melted = load_table(spark, sf_dir, "orders").select(
         F.expr(
             f"stack({len(_PROFILE_COLS)}, "

@@ -46,6 +46,7 @@ from ..operators.text import lower_terms, token_count_expr, tokens_expr
 from ..sources.tables import load_table
 from .dedup_queries import _hex60, _minhash_lsh_oracle, shared_minhash_pairs
 from .registry import query
+from .shared_cache import memo_persist
 from .text_queries import _SQL_TOKS
 
 _PMI_MIN_PAIR = 5
@@ -112,34 +113,47 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     - bigram<->unigram joins are shuffle equi-joins on the term key
       (web-scale vocabularies don't broadcast; AQE may still choose
       to);
-    - the two 1-row totals ride broadcast crossJoins.
+    - the two 1-row totals ride broadcast crossJoins;
+    - the AGGREGATED tables (distinct bigram counts, unigram counts —
+      vocabulary-sized, never corpus-sized) each feed multiple
+      consumers (counts->filtered set + pair total; unigrams->both
+      join sides + token total), so both go through the managed
+      memo_persist scope: the corpus is tokenized ONCE per side
+      instead of once per consumer (review finding, r8 — same shape
+      as bi_market_basket_pairs' shared distinct scan).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = to_cluster_width(docs, "doc_id").select(
-        F.transform(tokens_expr("text"), lambda x: F.lower(x)).alias("t")
-    )
-    bg = (
-        toks.where(F.size("t") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t)-1),"
-                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
-                )
-            ).alias("p")
+
+    def build_cbg_all() -> DataFrame:
+        toks = to_cluster_width(docs, "doc_id").select(
+            F.transform(tokens_expr("text"), lambda x: F.lower(x)).alias("t")
         )
-        .select("p.w1", "p.w2")
+        bg = (
+            toks.where(F.size("t") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t)-1),"
+                        " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                    )
+                ).alias("p")
+            )
+            .select("p.w1", "p.w2")
+        )
+        return bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cbg_all = memo_persist("bigram_counts", key, build_cbg_all)
+    uni = memo_persist(
+        "bigram_uni",
+        key,
+        lambda: lower_terms(docs)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_term")),
     )
-    cbg = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .where(F.col("n_pair") >= _PMI_MIN_PAIR)
-    )
-    uni = lower_terms(docs).groupBy("term").agg(
-        F.count(F.lit(1)).alias("n_term")
-    )
+    cbg = cbg_all.where(F.col("n_pair") >= _PMI_MIN_PAIR)
     tot = uni.agg(F.sum("n_term").alias("t_tokens"))
-    btot = bg.agg(F.count(F.lit(1)).cast("bigint").alias("t_pairs"))
+    btot = cbg_all.agg(F.sum("n_pair").cast("bigint").alias("t_pairs"))
     u1 = uni.select(F.col("term").alias("w1"), F.col("n_term").alias("n_w1"))
     u2 = uni.select(F.col("term").alias("w2"), F.col("n_term").alias("n_w2"))
     d = F.col  # noqa: E731 — keep the lift expression readable
@@ -248,8 +262,11 @@ def graph_kcore_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT source,
-             CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT)
-                       % 2 = 0
+             -- TRY_CAST, not CAST: a digit-free source name must fall
+             -- through to the ELSE weight like Spark's null-yielding
+             -- cast does, not hard-error the oracle (review finding)
+             CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1)
+                                AS BIGINT) % 2 = 0
                   THEN 2 ELSE 1 END AS wt
       FROM (SELECT DISTINCT source FROM documents)
     ),
@@ -300,11 +317,19 @@ def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hash60_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        "source",
-        token_count_expr("text").alias("n_tokens"),
-        hash60_expr(F.col("doc_id").cast("string")).alias("h"),
+    # one doc-level row per document (the text column is dropped at
+    # the scan) feeding three consumers (weight join, corpus total,
+    # window input) — managed persist, same rationale as the bigram
+    # aggregates above
+    d = memo_persist(
+        "budget_docs",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: docs.select(
+            "doc_id",
+            "source",
+            token_count_expr("text").alias("n_tokens"),
+            hash60_expr(F.col("doc_id").cast("string")).alias("h"),
+        ),
     )
     w = d.select("source").distinct().select(
         "source",
@@ -382,19 +407,31 @@ def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multiply |x - S/n| > 2*sqrt(SS/n - (S/n)^2) through by n^2; both
     sides are integers, so the flag needs no float variance, no sqrt,
     and no cross-engine epsilon — Spark evaluates in decimal(38,0),
-    DuckDB in HUGEINT, both exact through |n*x| < 1e38, i.e. ~1e11
-    events/day at 1e4 days of history).
+    DuckDB in HUGEINT. Exactness envelope: the binding operands are
+    (n*x - S)^2 and n*SS, both < 1e38, so n*x < ~1e19 — ~1e15
+    events/day at 1e4 days of history. Beyond it Spark's decimal
+    overflow yields NULL comparisons (flags silently 0) while DuckDB's
+    int128 wraps later, so past-envelope inputs would FAIL the oracle
+    hash rather than agree on garbage — see anomaly_flags).
 
     Scale shape: the daily collapse is one groupBy (map-side partial),
     per-type moments are a groupBy over the DAY-grain table
     (type-cardinality rows), and the day<->moments join is a broadcast
     of the tiny per-type stats. Nothing after the first aggregate
     touches raw events."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
+    return anomaly_flags(daily_counts(load_table(spark, sf_dir, "events")))
+
+
+def daily_counts(df: DataFrame) -> DataFrame:
+    """Per-(event_type, day) count collapse — THE day-grain definition
+    shared by the batch query above and the streaming monitor's
+    per-batch partials (streaming/anomaly.py): counts are additive, so
+    the streamed store merged over any batch split equals this
+    one-pass form exactly, but only while both paths collapse days
+    identically — hence one definition, not two."""
+    return df.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    return anomaly_flags(d)
 
 
 def anomaly_flags(daily: DataFrame) -> DataFrame:
@@ -402,21 +439,29 @@ def anomaly_flags(daily: DataFrame) -> DataFrame:
     — shared by the batch query above and the streaming monitor
     (streaming/anomaly.py), whose maintained count store is this exact
     table: one definition so the integer z^2 test can never drift
-    between the two paths."""
+    between the two paths.
+
+    Decimal discipline: every operand stays at the width Spark's
+    multiply rules can cap without losing integer digits BELOW 1e38 —
+    in particular sumsq (already decimal(38,0) from the summed
+    products) multiplies n_days directly; an earlier draft downcast it
+    to decimal(27,0), which would have NULLed (and silently unflagged)
+    event types whose sumsq exceeded 1e27, an order of magnitude
+    inside the documented envelope (code-review finding, r8)."""
     d = daily
     dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     s = d.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("n_events").alias("sum_events"),
-        F.sum(dec(F.col("n_events")) * dec(F.col("n_events"))).alias(
-            "sumsq_events"
-        ),
+        F.sum(dec(F.col("n_events")) * dec(F.col("n_events")))
+        .cast("decimal(38,0)")
+        .alias("sumsq_events"),
     )
     dev = dec(F.col("n_days")) * dec(F.col("n_events")) - dec(
         F.col("sum_events")
     )
     spread = F.lit(4).cast("decimal(19,0)") * (
-        dec(F.col("n_days")) * F.col("sumsq_events").cast("decimal(27,0)")
+        dec(F.col("n_days")) * F.col("sumsq_events")
         - dec(F.col("sum_events")) * dec(F.col("sum_events"))
     )
     return (

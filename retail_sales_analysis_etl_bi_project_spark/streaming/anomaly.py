@@ -28,17 +28,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.stat_queries import anomaly_flags, daily_counts
 from .events import _await_or_raise
 from .swap import atomic_swap_write, reap_stale_tmp_dirs, restore_prev
 
 _SIDECAR = "_last_batch.json"
-
-
-def daily_counts(df: DataFrame) -> DataFrame:
-    """Per-(event_type, day) additive partials for one batch."""
-    return df.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n_events"))
 
 
 def _last_applied(target: str) -> int:
@@ -95,7 +89,7 @@ def maintain_volume_stream(
 def anomaly_readout(spark: SparkSession, target: str) -> DataFrame:
     """Flags over the maintained store — the SAME expressions as the
     batch query (plans/stat_queries.anomaly_flags), so streaming-
-    maintained flags can never drift from the one-shot form."""
-    from ..plans.stat_queries import anomaly_flags
-
+    maintained flags can never drift from the one-shot form. The
+    per-batch partials likewise reuse plans/stat_queries.daily_counts:
+    both halves of the streamed==batch guarantee live in ONE place."""
     return anomaly_flags(spark.read.parquet(target))

@@ -434,3 +434,43 @@ def test_trailing_7d_range_frame_skips_calendar_gaps(spark, tmp_path):
     assert got[20].trailing_7d_events == 5  # gap: only day 20 in range
     assert got[3].trailing_7d_value == 9 * 1.25
     assert got[20].trailing_7d_value == 5 * 1.25
+
+
+def test_token_budget_digitfree_source_weight_matches_oracle(spark, tmp_path):
+    # sources without digits must take the ELSE weight (1) on BOTH
+    # engines — the oracle uses TRY_CAST so it falls through like
+    # Spark's null-yielding cast instead of hard-erroring (r8 review)
+    import duckdb
+
+    from retail_sales_analysis_etl_bi_project_spark.plans import registry
+    from retail_sales_analysis_etl_bi_project_spark.plans.stat_queries import (
+        corpus_token_budget_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t t t t", "web") for i in range(4)]
+        + [(10 + i, "t t t t", "src2") for i in range(4)],
+        ["doc_id", "text", "source"],
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    got = corpus_token_budget_mix(spark, sf).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    # T=32, weights: web=1 (no digits), src2=2 -> budgets 5 and 10
+    assert {r.budget_tokens for r in by_src["web"]} == {5}
+    assert {r.budget_tokens for r in by_src["src2"]} == {10}
+
+    con = duckdb.connect()
+    # Spark wrote a parquet DIRECTORY; DuckDB needs the part-file glob
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    oracle_rows = con.execute(
+        registry.ORACLES["corpus_token_budget_mix"]
+    ).fetchall()
+    assert sorted((r[0], r[4]) for r in oracle_rows) == sorted(
+        (r.doc_id, r.budget_tokens) for r in got
+    )
