@@ -257,6 +257,13 @@ _PAST_WINDOW = (
     # events_anomaly_daily / agg_incremental_kpi_merge (trailing 7d).
     "graph_triangle_counts",
     "events_trailing_7d_value",
+    # r8e — same precedent. In-window mechanism siblings: fixed-point
+    # share sums as k4_category_revenue_share + agg_incremental_kpi_merge
+    # (HHI); hash-ordered running-sum window + integer budget math as
+    # corpus_token_budget_mix, replication via sequence explode as
+    # corpus_chunk_documents (epoch upsampling).
+    "bi_revenue_hhi_by_type",
+    "corpus_upsample_epochs",
 )
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import revenue_expr
+from ..functions.money import fixed_point_sum, fixed_point_sum_sql, revenue_expr
 from ..sources.tables import load_table
 from .bi import REVENUE_SQL
 from .registry import query
@@ -222,4 +222,73 @@ def bi_pareto_brand_products(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_rev").cast("double").alias("brand_revenue"),
         )
         .orderBy("brand", "rnk")
+    )
+
+
+@query(
+    "bi_revenue_hhi_by_type",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_type AS part_type, p.p_brand AS brand,
+             SUM({REVENUE_SQL}) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT part_type, SUM(rev) AS total_rev FROM rev GROUP BY 1
+    ),
+    shares AS (
+      SELECT rev.part_type, brand,
+             (CAST(rev AS DOUBLE) / CAST(total_rev AS DOUBLE))
+               * (CAST(rev AS DOUBLE) / CAST(total_rev AS DOUBLE)) AS sh2
+      FROM rev JOIN tot ON rev.part_type = tot.part_type
+    )
+    SELECT part_type,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           {{hhi_sql}} AS hhi
+    FROM shares GROUP BY part_type ORDER BY part_type
+    """.replace(
+        "{hhi_sql}",
+        # fixed_point_sum_sql inlined at module end (import below)
+        fixed_point_sum_sql("sh2", scale=12) + " ",
+    ),
+)
+def bi_revenue_hhi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration per part type: HHI =
+    sum over brands of (brand share of type revenue)^2 — the
+    assortment-concentration KPI next to the Pareto cut (HHI -> 1
+    means one brand owns the type; -> 1/n means even split).
+
+    Exactness: brand revenues and type totals are exact decimals; each
+    share is ONE double division and one multiply (IEEE, same
+    association both engines); the cross-ROW sum of squared shares —
+    the only order-dependent step — goes through fixed_point_sum at
+    scale 12 (shares^2 <= 1, so the quantization is 5 orders inside
+    the 2^53 envelope), making the HHI bit-identical at any
+    parallelism.
+
+    Scale shape: one broadcast dim join + groupBy(type, brand) over
+    the fact (map-side partial); totals and shares live on the
+    brand-grain table; the final groupBy(type) is type-cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_type").alias("part_type"),
+        F.col("p_brand").alias("brand"),
+    )
+    rev = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("part_type", "brand")
+        .agg(F.sum(revenue_expr()).alias("rev"))
+    )
+    wt = Window.partitionBy("part_type")
+    share = F.col("rev").cast("double") / F.sum("rev").over(wt).cast("double")
+    return (
+        rev.select("part_type", (share * share).alias("sh2"))
+        .groupBy("part_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_brands"),
+            fixed_point_sum("sh2", scale=12).alias("hhi"),
+        )
+        .orderBy("part_type")
     )

@@ -1,8 +1,10 @@
 """Round-8 corpus/event statistics queries (registered after
-analysis_queries — all five enter the driver's 50-query window, see
-__spark_entry__._PAST_WINDOW).
+analysis_queries; the first five enter the driver's 50-query window,
+the two r8d additions — graph_triangle_counts,
+events_trailing_7d_value — register past it for next round's rotation,
+see __spark_entry__._PAST_WINDOW).
 
-Five pipeline stages the round-7 surface still lacked, each a distinct
+Pipeline stages the round-7 surface still lacked, each a distinct
 mechanism with an exact DuckDB twin:
 
 - text_bigram_pmi          : adjacent-pair collocation lift (PMI's
@@ -660,3 +662,138 @@ def events_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_7d_value"
         ),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "corpus_upsample_epochs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             {_hex60("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    w AS (
+      SELECT source,
+             CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1)
+                                AS BIGINT) % 2 = 0
+                  THEN 2 ELSE 1 END AS wt
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tokens FROM d),
+    den AS (SELECT CAST(SUM(wt) AS BIGINT) AS sum_wt FROM w),
+    st AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+           FROM d GROUP BY 1),
+    sized AS (
+      SELECT d.doc_id, d.source, d.n_tokens, d.h,
+             (t_tokens * 2 * wt) // sum_wt AS budget,
+             ((t_tokens * 2 * wt) // sum_wt + src_tokens - 1)
+               // src_tokens AS epochs
+      FROM d JOIN w USING (source) JOIN st USING (source)
+      CROSS JOIN tot CROSS JOIN den
+    ),
+    rep AS (
+      SELECT doc_id, source, n_tokens, h, budget,
+             CAST(e AS BIGINT) AS epoch
+      FROM sized, unnest(generate_series(1, epochs)) AS u(e)
+    )
+    SELECT source, doc_id, epoch, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(budget AS BIGINT) AS budget_tokens
+    FROM (
+      SELECT *, SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY epoch, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM rep
+    )
+    WHERE cum_tokens <= budget
+    ORDER BY source, cum_tokens, doc_id
+    """,
+)
+def corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch upsampling mix — the companion to
+    corpus_token_budget_mix for the OTHER regime: when a source's
+    token budget EXCEEDS its size (small high-quality domains in
+    public LLM data recipes), the source is repeated for
+    ceil(budget/size) epochs and the final partial epoch is cut by the
+    same hash-ordered running token sum. Full epochs stream first
+    (ORDER BY epoch, hash, doc_id), so every document appears
+    floor(budget/size) times and the remainder epoch is a
+    deterministic hash-prefix — the exact replication semantics a
+    weighted training sampler materializes. Here the corpus-wide
+    target is 2x total tokens, split 2:1 across even/odd sources, so
+    every source genuinely replicates (epochs 2-3) at any SF.
+
+    All arithmetic is integer (ceil as (b + s - 1) div s; the same
+    div/// agreement as the budget query); replication is an
+    array-sequence explode — map-side, no join against a numbers
+    table; the doc-level table is the SAME memo_persist entry the
+    budget query uses, so running both costs one corpus scan."""
+    from ..operators.dedup import hash60_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = memo_persist(
+        "budget_docs",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: docs.select(
+            "doc_id",
+            "source",
+            token_count_expr("text").alias("n_tokens"),
+            hash60_expr(F.col("doc_id").cast("string")).alias("h"),
+        ),
+    )
+    w = d.select("source").distinct().select(
+        "source",
+        F.when(
+            F.regexp_extract("source", r"(\d+)", 1).cast("bigint") % 2 == 0,
+            F.lit(2),
+        )
+        .otherwise(F.lit(1))
+        .alias("wt"),
+    )
+    tot = d.agg(F.sum("n_tokens").alias("t_tokens"))
+    den = w.agg(F.sum("wt").cast("bigint").alias("sum_wt"))
+    st = d.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    sized = (
+        d.join(w, "source")
+        .join(st, "source")
+        .crossJoin(tot)
+        .crossJoin(den)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "h",
+            F.expr("(t_tokens * 2 * wt) div sum_wt").alias("budget"),
+            F.expr(
+                "((t_tokens * 2 * wt) div sum_wt + src_tokens - 1)"
+                " div src_tokens"
+            ).alias("epochs"),
+        )
+    )
+    rep = sized.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "h",
+        "budget",
+        F.explode(F.expr("sequence(1L, epochs)")).alias("epoch"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("epoch", "h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rep.select(
+            "source",
+            "doc_id",
+            "epoch",
+            "n_tokens",
+            F.sum("n_tokens").over(win).alias("cum_tokens"),
+            F.col("budget").alias("budget_tokens"),
+        )
+        .where(F.col("cum_tokens") <= F.col("budget_tokens"))
+        .orderBy("source", "cum_tokens", "doc_id")
+    )

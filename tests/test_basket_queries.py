@@ -113,3 +113,108 @@ def test_pareto_cut_includes_crossing_row_excludes_exact_boundary(
     assert set(got) == {("A", 1), ("A", 2), ("B", 11), ("B", 12)}
     assert got[("B", 12)].cum_revenue == 90.0
     assert got[("A", 2)].brand_revenue == 100.0
+
+
+def test_hhi_exact_on_known_shares(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.basket_queries import (
+        bi_revenue_hhi_by_type,
+    )
+
+    # type T1: brands 3:1 revenue -> HHI = 0.75^2 + 0.25^2 = 0.625
+    # type T2: single brand -> HHI = 1.0
+    li_rows, pt_rows = [], []
+    lid = 0
+
+    def add(part, brand, ptype, rev):
+        nonlocal lid
+        lid += 1
+        li_rows.append(
+            (lid, part, 1, lid, 1.0, float(rev), 0.0, 0.0, "N", "O", _SHIP_TS)
+        )
+        pt_rows.append((part, f"p{part}", brand, ptype, 1, 1.0))
+
+    add(1, "A", "T1", 75)
+    add(2, "B", "T1", 25)
+    add(3, "C", "T2", 40)
+    li = spark.createDataFrame(
+        li_rows,
+        [
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ],
+    )
+    pt = spark.createDataFrame(
+        set(pt_rows),
+        ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    )
+    sf = str(tmp_path)
+    li.write.parquet(f"{sf}/lineitem.parquet")
+    pt.write.parquet(f"{sf}/part.parquet")
+    got = {r.part_type: r for r in bi_revenue_hhi_by_type(spark, sf).collect()}
+    assert got["T1"].n_brands == 2 and got["T1"].hhi == 0.625
+    assert got["T2"].n_brands == 1 and got["T2"].hhi == 1.0
+
+
+def test_upsample_epochs_replicates_and_cuts(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.stat_queries import (
+        corpus_upsample_epochs,
+    )
+
+    # one source 'src1' (odd -> wt 1): 4 docs x 5 tokens = 20 tokens;
+    # budget = T*2*1 div 1 = 40 = exactly 2 epochs, no partial cut
+    docs = spark.createDataFrame(
+        [(i, "t t t t t", "src1") for i in range(4)],
+        ["doc_id", "text", "source"],
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    rows = corpus_upsample_epochs(spark, sf).collect()
+    assert len(rows) == 8  # every doc exactly twice
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert all(sorted(v) == [1, 2] for v in by_doc.values())
+    assert {r.budget_tokens for r in rows} == {40}
+    # full epoch 1 streams before any epoch-2 row
+    ordered = sorted(rows, key=lambda r: r.cum_tokens)
+    assert [r.epoch for r in ordered] == [1] * 4 + [2] * 4
+
+
+def test_upsample_partial_epoch_is_hash_prefix_cut(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.stat_queries import (
+        corpus_upsample_epochs,
+    )
+
+    # 3 docs x 4 tokens = 12; budget = 24... use uneven: 5 docs x 4 = 20,
+    # budget = 40 -> exactly 2 epochs again; force a partial with 3 docs
+    # x 7 tokens = 21, budget = 42 -> 2 full epochs (42 tokens) exactly;
+    # use 3 docs x 8 = 24, budget 48 -> exact again (T*2 always = 2
+    # epochs for single-source). Two sources make budgets uneven:
+    # src0 (wt 2) gets 4/3 of T, src1 (wt 1) gets 2/3 of T.
+    docs = spark.createDataFrame(
+        [(i, "t t t t", "src0") for i in range(3)]
+        + [(10 + i, "t t t t", "src1") for i in range(3)],
+        ["doc_id", "text", "source"],
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    rows = corpus_upsample_epochs(spark, sf).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # T=24, sum_wt=3: src0 budget = 24*2*2//3 = 32 -> 2 epochs (24) + 2
+    # docs of the 3rd (32//4=8 docs); src1 budget = 16 -> 1 epoch (12)
+    # + 1 doc of the 2nd
+    assert sum(r.n_tokens for r in by_src["src0"]) == 32
+    assert sum(r.n_tokens for r in by_src["src1"]) == 16
+    assert max(r.epoch for r in by_src["src0"]) == 3
+    assert max(r.epoch for r in by_src["src1"]) == 2

@@ -102,6 +102,8 @@ def main():
         "bi_pareto_brand_products",
         "graph_triangle_counts",
         "events_trailing_7d_value",
+        "bi_revenue_hhi_by_type",
+        "corpus_upsample_epochs",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
