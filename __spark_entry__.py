@@ -264,6 +264,10 @@ _PAST_WINDOW = (
     # corpus_chunk_documents (epoch upsampling).
     "bi_revenue_hhi_by_type",
     "corpus_upsample_epochs",
+    # r8f — same precedent. In-window mechanism siblings: day-grain
+    # collapse + integer sigma test as events_anomaly_daily; stacked
+    # same-spec windows as bi_rfm_segmentation's rank chain.
+    "events_cusum_drift",
 )
 
 

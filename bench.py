@@ -132,6 +132,7 @@ HEADLINE = [
     "events_trailing_7d_value",
     "bi_revenue_hhi_by_type",
     "corpus_upsample_epochs",
+    "events_cusum_drift",
     # sim_ann_recall_tuning is NOT headline, the sim_ann_recall /
     # dedup_family_recall precedent: composed audits re-run several
     # member pipelines and would dominate the total with redundant

@@ -797,3 +797,136 @@ def corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= F.col("budget_tokens"))
         .orderBy("source", "cum_tokens", "doc_id")
     )
+
+
+@query(
+    "events_cusum_drift",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(SUM(n_events) AS BIGINT) AS sum_events,
+             SUM(CAST(n_events AS HUGEINT) * n_events) AS sumsq
+      FROM d GROUP BY 1
+    ),
+    j AS (
+      SELECT d.event_type, d.day, d.n_events,
+             CAST(n_days AS HUGEINT) * d.n_events - sum_events AS dev,
+             CAST(n_days AS HUGEINT) * sumsq
+               - CAST(sum_events AS HUGEINT) * sum_events AS var_num
+      FROM d JOIN s USING (event_type)
+    ),
+    p AS (
+      SELECT *, SUM(dev) OVER w AS pref
+      FROM j
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+      SELECT *,
+             pref - least(CAST(0 AS HUGEINT), MIN(pref) OVER w) AS cusum_pos,
+             greatest(CAST(0 AS HUGEINT), MAX(pref) OVER w) - pref
+               AS cusum_neg
+      FROM p
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, n_events,
+           CAST(cusum_pos AS DECIMAL(38,0)) AS cusum_pos,
+           CAST(cusum_neg AS DECIMAL(38,0)) AS cusum_neg,
+           CAST(CASE WHEN cusum_pos * cusum_pos > 25 * var_num
+                THEN 1 ELSE 0 END AS INT) AS drift_up,
+           CAST(CASE WHEN cusum_neg * cusum_neg > 25 * var_num
+                THEN 1 ELSE 0 END AS INT) AS drift_down
+    FROM c
+    ORDER BY event_type, day
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM sequential drift detection (Page 1954) on daily event
+    volumes — the complement to events_anomaly_daily's point test: a
+    single-day z-spike and a sustained small shift are different
+    failures, and CUSUM accumulates deviations so a persistent
+    half-sigma drift alarms within days while isolated noise decays.
+
+    CUSUM's textbook form is a RECURSION (S_t = max(0, S_{t-1} +
+    dev_t)) that no window frame expresses directly; it rewrites
+    exactly as prefix arithmetic:
+
+        S+_t = P_t - min(0, min_{j<=t} P_j)        (positive side)
+        S-_t = max(0, max_{j<=t} P_j) - P_t        (negative side)
+
+    with P the running deviation sum — two stacked windows over the
+    SAME (type, day) partition+order, so the plan is one exchange and
+    two Window nodes (property-verified against the recursive form in
+    tests). Everything stays integer: dev_t = n*x_t - S (deviations
+    scaled by n), and the 5-sigma alarm multiplies through to
+    S_t^2 > 25*(n*SS - S^2) — the events_anomaly_daily discipline, so
+    alarms are bit-identical across engines with no float variance.
+
+    Scale shape: events collapse to day grain first; the windows and
+    moment joins all run over |types x days| rows. The whole-history
+    baseline (n, S, SS) mirrors the anomaly query; a production
+    monitor would freeze the baseline on a reference period — one
+    filter on the moments branch, same plan."""
+    d = daily_counts(load_table(spark, sf_dir, "events"))
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("sum_events"),
+        F.sum(dec(F.col("n_events")) * dec(F.col("n_events")))
+        .cast("decimal(38,0)")
+        .alias("sumsq"),
+    )
+    j = d.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        (dec(F.col("n_days")) * dec(F.col("n_events")) - dec(F.col("sum_events")))
+        .alias("dev"),
+        (
+            dec(F.col("n_days")) * F.col("sumsq")
+            - dec(F.col("sum_events")) * dec(F.col("sum_events"))
+        ).alias("var_num"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    p = j.withColumn("pref", F.sum(big(F.col("dev"))).over(w))
+    c = p.select(
+        "event_type",
+        "day",
+        "n_events",
+        "var_num",
+        (F.col("pref") - F.least(zero, F.min("pref").over(w))).alias(
+            "cusum_pos"
+        ),
+        (F.greatest(zero, F.max("pref").over(w)) - F.col("pref")).alias(
+            "cusum_neg"
+        ),
+    )
+    lim = F.lit(25).cast("decimal(19,0)") * F.col("var_num")
+    return c.select(
+        "event_type",
+        "day",
+        "n_events",
+        big(F.col("cusum_pos")).alias("cusum_pos"),
+        big(F.col("cusum_neg")).alias("cusum_neg"),
+        F.when(F.col("cusum_pos") * F.col("cusum_pos") > lim, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("drift_up"),
+        F.when(F.col("cusum_neg") * F.col("cusum_neg") > lim, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("drift_down"),
+    ).orderBy("event_type", "day")

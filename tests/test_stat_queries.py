@@ -474,3 +474,52 @@ def test_token_budget_digitfree_source_weight_matches_oracle(spark, tmp_path):
     assert sorted((r[0], r[4]) for r in oracle_rows) == sorted(
         (r.doc_id, r.budget_tokens) for r in got
     )
+
+
+def test_cusum_prefix_form_matches_recursion(spark, tmp_path):
+    # engineered step change: 10 quiet days then a sustained +8 shift;
+    # the prefix-form CUSUM must equal the textbook recursion exactly
+    # and alarm during the shifted regime
+    import datetime as dt
+
+    from retail_sales_analysis_etl_bi_project_spark.plans.stat_queries import (
+        events_cusum_drift,
+    )
+
+    counts = [10] * 10 + [18] * 6
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, dt.datetime(2024, 2, 1 + day, 10, 0, 0), eid % 5,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    ev.write.parquet(f"{sf}/events.parquet")
+    got = sorted(
+        events_cusum_drift(spark, sf).collect(), key=lambda r: r.day
+    )
+
+    n = len(counts)
+    S = sum(counts)
+    SS = sum(c * c for c in counts)
+    var_num = n * SS - S * S
+    sp = sn = 0
+    expect = []
+    for c in counts:
+        dev = n * c - S
+        sp = max(0, sp + dev)
+        sn = max(0, sn - dev)
+        expect.append((sp, sn, int(sp * sp > 25 * var_num),
+                       int(sn * sn > 25 * var_num)))
+    assert [
+        (int(r.cusum_pos), int(r.cusum_neg), r.drift_up, r.drift_down)
+        for r in got
+    ] == expect
+    # the sustained shift must actually alarm upward at least once
+    assert any(e[2] for e in expect)

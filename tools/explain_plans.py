@@ -104,6 +104,7 @@ def main():
         "events_trailing_7d_value",
         "bi_revenue_hhi_by_type",
         "corpus_upsample_epochs",
+        "events_cusum_drift",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
