@@ -874,7 +874,16 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline (n, S, SS) mirrors the anomaly query; a production
     monitor would freeze the baseline on a reference period — one
     filter on the moments branch, same plan."""
-    d = daily_counts(load_table(spark, sf_dir, "events"))
+    return cusum_flags(daily_counts(load_table(spark, sf_dir, "events")))
+
+
+def cusum_flags(daily: DataFrame) -> DataFrame:
+    """CUSUM statistics + alarms over a (event_type, day, n_events)
+    day-grain table — shared by the batch query above and the
+    streaming monitor's store readout (streaming/anomaly.py
+    cusum_readout), the same one-definition contract as
+    anomaly_flags/daily_counts."""
+    d = daily
     dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = d.groupBy("event_type").agg(

@@ -28,7 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.stat_queries import anomaly_flags, daily_counts
+from ..plans.stat_queries import anomaly_flags, cusum_flags, daily_counts
 from .events import _await_or_raise
 from .swap import atomic_swap_write, reap_stale_tmp_dirs, restore_prev
 
@@ -93,3 +93,12 @@ def anomaly_readout(spark: SparkSession, target: str) -> DataFrame:
     per-batch partials likewise reuse plans/stat_queries.daily_counts:
     both halves of the streamed==batch guarantee live in ONE place."""
     return anomaly_flags(spark.read.parquet(target))
+
+
+def cusum_readout(spark: SparkSession, target: str) -> DataFrame:
+    """CUSUM drift statistics over the SAME maintained count store —
+    the sequential-test companion to anomaly_readout, again sharing
+    the batch query's expressions (plans/stat_queries.cusum_flags), so
+    one maintained day-grain table serves both monitors and neither
+    can drift from its one-shot form."""
+    return cusum_flags(spark.read.parquet(target))

@@ -71,3 +71,22 @@ def test_replayed_batch_is_not_double_counted(spark, tmp_path):
     }
     base = {(r[0], r[1]): r[2] for r in once}
     assert doubled == {k: 2 * v for k, v in base.items()}
+
+
+def test_streamed_cusum_equals_batch_query(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.stat_queries import (
+        events_cusum_drift,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.streaming.anomaly import (
+        cusum_readout,
+    )
+
+    src, events = _events_stream_source(spark, tmp_path)
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    target, ckpt = str(tmp_path / "volume"), str(tmp_path / "ckpt")
+    maintain_volume_stream(stream, target, ckpt)
+    got = sorted(map(tuple, cusum_readout(spark, target).collect()))
+    want = sorted(map(tuple, events_cusum_drift(spark, SF_DIR).collect()))
+    assert got == want  # exact ==: counts additive, statistics integer
