@@ -268,6 +268,11 @@ _PAST_WINDOW = (
     # collapse + integer sigma test as events_anomaly_daily; stacked
     # same-spec windows as bi_rfm_segmentation's rank chain.
     "events_cusum_drift",
+    # r8g — same precedent. In-window mechanism siblings: bucket-pair
+    # candidate generation + exact set verification as the minhash
+    # family recomputed by dedup_family_recall; shingle relations as
+    # dedup_substring_spans.
+    "dedup_containment_pairs",
 )
 
 

@@ -1111,3 +1111,82 @@ def duplicated_span_stats(
         )
         .orderBy(id_col)
     )
+
+
+def containment_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    df_min: int = 2,
+    df_max: int = 10,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle CONTAINMENT (Broder):
+    containment = |A∩B| / min(|A|,|B|) — the measure that catches a
+    small document embedded inside a much larger one, where Jaccard
+    (|A∩B|/|A∪B|) is diluted by the big doc's size and the symmetric
+    MinHash bands rarely collide. The quote/boilerplate/subset-dup
+    detector every corpus pipeline wants next to its Jaccard dedup.
+
+    Candidates come from RARE-SHINGLE blocking (the prefix-filtering
+    discipline of the AllPairs/PPJoin similarity-join family): two docs
+    are candidates iff they share a shingle whose corpus document
+    frequency is in [df_min, df_max]. A true subset pair shares ALL of
+    the contained doc's shingles, so it is found whenever the contained
+    doc has at least one globally-rare shingle — the natural-text case;
+    degenerate all-common-shingle docs are exactly the ones the
+    exact-hash and MinHash families already catch.
+
+    Scale shape: shingle document frequencies are one groupBy; the df
+    cap bounds every blocking bucket (pairs per shingle <= C(df_max,2)
+    — the cap IS the scale knob, same posture as _bucket_pairs'
+    max_bucket), pair generation is the shared one-pass bucket
+    machinery (no self-join), and exact containment verification
+    touches only candidates. Stopword-shingles (df > df_max) never
+    block anything — the skew guard.
+    """
+    sh = shingle_relation(docs, n, text_col, id_col)
+    shd = sh.select("did", F.array_distinct("sh").alias("sh"))
+    tall = shd.select("did", F.explode("sh").alias("shingle"))
+    df = (
+        tall.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= df_min) & (F.col("df") <= df_max))
+        .select("shingle")
+    )
+    rare = tall.join(df, "shingle", "left_semi")
+    cand = (
+        _bucket_pairs(
+            rare.select("shingle", F.col("did").alias("doc_id_")),
+            ["shingle"],
+            ["doc_id_"],
+        )
+        .select(
+            F.col("doc_id__a").alias("doc_a"),
+            F.col("doc_id__b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    va = shd.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
+    vb = shd.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    mn = F.least(na, nb)
+    cont = F.when(
+        mn > 0, inter.cast("double") / mn.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_shared"),
+            na.cast("bigint").alias("n_a"),
+            nb.cast("bigint").alias("n_b"),
+            cont.alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

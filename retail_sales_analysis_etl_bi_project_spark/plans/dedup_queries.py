@@ -28,6 +28,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     winnow_fingerprints,
+    containment_dedup_pairs,
 )
 from ..sources.tables import load_table
 from .registry import query
@@ -507,4 +508,56 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return incremental_minhash_dedup_pairs(
         docs, is_new=lambda c: c % 5 == 0, threshold=0.5
+    )
+
+
+def _containment_oracle(
+    threshold: float = 0.6, df_min: int = 2, df_max: int = 10
+) -> str:
+    """DuckDB replay of operators.dedup.containment_dedup_pairs:
+    distinct shingle sets -> document frequencies -> rare-shingle
+    blocking (candidate iff a shared shingle has df in the band) ->
+    exact containment verification of candidates only."""
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+    tall AS (SELECT doc_id, unnest(sh) AS shingle FROM shd),
+    df AS (
+      SELECT shingle FROM (
+        SELECT shingle, count(*) AS df FROM tall GROUP BY 1)
+      WHERE df BETWEEN {df_min} AND {df_max}
+    ),
+    rare AS (SELECT t.doc_id, t.shingle FROM tall t JOIN df USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared, n_a, n_b, containment FROM (
+      SELECT cand.doc_a, cand.doc_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_shared,
+             CAST(len(sa.sh) AS BIGINT) AS n_a,
+             CAST(len(sb.sh) AS BIGINT) AS n_b,
+             CASE WHEN least(len(sa.sh), len(sb.sh)) > 0
+                  THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                       / CAST(least(len(sa.sh), len(sb.sh)) AS DOUBLE)
+                  ELSE 0.0 END AS containment
+      FROM cand JOIN shd sa ON sa.doc_id = cand.doc_a
+                JOIN shd sb ON sb.doc_id = cand.doc_b
+    )
+    WHERE containment >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_containment_pairs", oracle=_containment_oracle())
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py
+    containment_dedup_pairs): |A∩B|/min(|A|,|B|) >= 0.6 pairs found by
+    rare-shingle blocking (AllPairs/PPJoin prefix-filter discipline) —
+    the subset/quote detector Jaccard misses at size skew, with the df
+    cap as the skew guard. Fully hash-verified: the oracle replays
+    blocking and verification over the same distinct shingle sets."""
+    return containment_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.6
     )

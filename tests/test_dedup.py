@@ -267,3 +267,50 @@ def test_incremental_minhash_equals_batch_filtered_full_dedup(spark, sf_dir):
     # and the incremental output truly contains no old×old pair
     assert all(a % 5 == 0 or b % 5 == 0 for a, b, _ in inc)
     assert inc  # non-vacuous: the batch has near-dups at this sf
+
+
+# ------------------------------------------------- containment (r8g)
+
+
+def test_containment_finds_subset_doc_jaccard_misses(spark):
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        containment_dedup_pairs,
+        minhash_dedup_pairs,
+    )
+
+    # doc 1: long document; doc 2: a verbatim excerpt (tokens 10..19) —
+    # every excerpt shingle is contained, so containment == 1.0 while
+    # jaccard ~ 8/58 and the symmetric minhash path must NOT pair them
+    big_words = " ".join(f"w{i}uncommon" for i in range(60))
+    small_words = " ".join(f"w{i}uncommon" for i in range(10, 20))
+    docs = spark.createDataFrame(
+        [(1, big_words), (2, small_words), (3, "totally different text here now")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in containment_dedup_pairs(docs, threshold=0.6).collect()
+    }
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r.containment == 1.0 and r.n_shared == r.n_b == 8
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) not in mh  # jaccard path misses the subset pair
+
+
+def test_containment_common_shingles_never_block(spark):
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        containment_dedup_pairs,
+    )
+
+    # a shingle shared by MORE than df_max docs is a stopword shingle:
+    # 12 docs all share "a b c" (df=12 > 10) and nothing else — no
+    # candidate may be generated from it
+    docs = spark.createDataFrame(
+        [(i, f"a b c tail{i}x tail{i}y tail{i}z") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    assert containment_dedup_pairs(docs, threshold=0.3).collect() == []

@@ -105,6 +105,7 @@ def main():
         "bi_revenue_hhi_by_type",
         "corpus_upsample_epochs",
         "events_cusum_drift",
+        "dedup_containment_pairs",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
