@@ -1146,8 +1146,14 @@ def containment_dedup_pairs(
     touches only candidates. Stopword-shingles (df > df_max) never
     block anything — the skew guard.
     """
-    sh = shingle_relation(docs, n, text_col, id_col)
-    shd = sh.select("did", F.array_distinct("sh").alias("sh"))
+    # shingle_relation's arrays are already distinct (it ends in
+    # array_distinct), and the relation feeds FOUR consumers (the df
+    # groupBy, the rare semi-join, both verification sides) — checkpoint
+    # it so the tokenize/shingle pipeline runs once, not 4x (the
+    # triangle-counts lesson; review finding, r8)
+    shd = shingle_relation(docs, n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     tall = shd.select("did", F.explode("sh").alias("shingle"))
     df = (
         tall.groupBy("shingle")

@@ -520,7 +520,7 @@ def _containment_oracle(
     exact containment verification of candidates only."""
     return f"""
     WITH sh AS ({_SQL_SHINGLES}),
-    shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+    shd AS (SELECT doc_id, sh FROM sh),  -- sh arrays already distinct
     tall AS (SELECT doc_id, unnest(sh) AS shingle FROM shd),
     df AS (
       SELECT shingle FROM (

@@ -1,8 +1,9 @@
 """Round-8 corpus/event statistics queries (registered after
 analysis_queries; the first five enter the driver's 50-query window,
-the two r8d additions — graph_triangle_counts,
-events_trailing_7d_value — register past it for next round's rotation,
-see __spark_entry__._PAST_WINDOW).
+the r8d/r8e/r8f additions — graph_triangle_counts,
+events_trailing_7d_value, corpus_upsample_epochs, events_cusum_drift —
+register past it for next round's rotation, see
+__spark_entry__._PAST_WINDOW).
 
 Pipeline stages the round-7 surface still lacked, each a distinct
 mechanism with an exact DuckDB twin:
@@ -253,6 +254,42 @@ def graph_kcore_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mix_inputs(spark, sf_dir):
+    """Shared inputs of the two mix-construction queries — the
+    persisted doc-level table (token counts + hash order), the
+    per-source weight table (even-indexed sources upweighted 2:1, a
+    digit-free source falling through to weight 1 on BOTH engines),
+    the corpus token total, and the weight denominator. One definition
+    so the budget and upsample queries can never implement different
+    weighted mixes (review finding, r8); the oracle twins keep the
+    same rule in their shared SQL fragments."""
+    from ..operators.dedup import hash60_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = memo_persist(
+        "budget_docs",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: docs.select(
+            "doc_id",
+            "source",
+            token_count_expr("text").alias("n_tokens"),
+            hash60_expr(F.col("doc_id").cast("string")).alias("h"),
+        ),
+    )
+    w = d.select("source").distinct().select(
+        "source",
+        F.when(
+            F.regexp_extract("source", r"(\d+)", 1).cast("bigint") % 2 == 0,
+            F.lit(2),
+        )
+        .otherwise(F.lit(1))
+        .alias("wt"),
+    )
+    tot = d.agg(F.sum("n_tokens").alias("t_tokens"))
+    den = w.agg(F.sum("wt").cast("bigint").alias("sum_wt"))
+    return d, w, tot, den
+
+
 @query(
     "corpus_token_budget_mix",
     oracle=f"""
@@ -316,34 +353,7 @@ def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     huge sources, the same plan runs per (source, shard) with
     shard-level sub-budgets, exactly like corpus_pack_sharded's
     two-phase form."""
-    from ..operators.dedup import hash60_expr
-
-    docs = load_table(spark, sf_dir, "documents")
-    # one doc-level row per document (the text column is dropped at
-    # the scan) feeding three consumers (weight join, corpus total,
-    # window input) — managed persist, same rationale as the bigram
-    # aggregates above
-    d = memo_persist(
-        "budget_docs",
-        (spark.sparkContext.applicationId, sf_dir),
-        lambda: docs.select(
-            "doc_id",
-            "source",
-            token_count_expr("text").alias("n_tokens"),
-            hash60_expr(F.col("doc_id").cast("string")).alias("h"),
-        ),
-    )
-    w = d.select("source").distinct().select(
-        "source",
-        F.when(
-            F.regexp_extract("source", r"(\d+)", 1).cast("bigint") % 2 == 0,
-            F.lit(2),
-        )
-        .otherwise(F.lit(1))
-        .alias("wt"),
-    )
-    tot = d.agg(F.sum("n_tokens").alias("t_tokens"))
-    den = w.agg(F.sum("wt").cast("bigint").alias("sum_wt"))
+    d, w, tot, den = _mix_inputs(spark, sf_dir)
     win = (
         Window.partitionBy("source")
         .orderBy("h", "doc_id")
@@ -436,20 +446,19 @@ def daily_counts(df: DataFrame) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_events"))
 
 
-def anomaly_flags(daily: DataFrame) -> DataFrame:
-    """Outlier flags over a (event_type, day, n_events) day-grain table
-    — shared by the batch query above and the streaming monitor
-    (streaming/anomaly.py), whose maintained count store is this exact
-    table: one definition so the integer z^2 test can never drift
-    between the two paths.
+def _with_daily_moments(daily: DataFrame) -> DataFrame:
+    """(event_type, day, n_events) day-grain table joined with its
+    per-type moments plus the two shared integer statistics — dev =
+    n*x - S (per-day deviation scaled by n) and var_num = n*SS - S^2
+    (n^2 times the population variance). THE single definition of the
+    monitoring family's baseline (z^2 point test + CUSUM): the r8
+    decimal(27,0)-downcast bug showed why the decimal-width discipline
+    must live in exactly one place (review finding, r8).
 
     Decimal discipline: every operand stays at the width Spark's
     multiply rules can cap without losing integer digits BELOW 1e38 —
     in particular sumsq (already decimal(38,0) from the summed
-    products) multiplies n_days directly; an earlier draft downcast it
-    to decimal(27,0), which would have NULLed (and silently unflagged)
-    event types whose sumsq exceeded 1e27, an order of magnitude
-    inside the documented envelope (code-review finding, r8)."""
+    products) multiplies n_days directly."""
     d = daily
     dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     s = d.groupBy("event_type").agg(
@@ -459,15 +468,36 @@ def anomaly_flags(daily: DataFrame) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("sumsq_events"),
     )
-    dev = dec(F.col("n_days")) * dec(F.col("n_events")) - dec(
-        F.col("sum_events")
+    return d.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        "n_days",
+        "sum_events",
+        "sumsq_events",
+        (
+            dec(F.col("n_days")) * dec(F.col("n_events"))
+            - dec(F.col("sum_events"))
+        ).alias("dev"),
+        (
+            dec(F.col("n_days")) * F.col("sumsq_events")
+            - dec(F.col("sum_events")) * dec(F.col("sum_events"))
+        ).alias("var_num"),
     )
-    spread = F.lit(4).cast("decimal(19,0)") * (
-        dec(F.col("n_days")) * F.col("sumsq_events")
-        - dec(F.col("sum_events")) * dec(F.col("sum_events"))
-    )
+
+
+def anomaly_flags(daily: DataFrame) -> DataFrame:
+    """Outlier flags over a (event_type, day, n_events) day-grain table
+    — shared by the batch query above and the streaming monitor
+    (streaming/anomaly.py), whose maintained count store is this exact
+    table: one definition so the integer z^2 test can never drift
+    between the two paths; the moments/deviation arithmetic itself is
+    the shared _with_daily_moments (one decimal-width discipline for
+    the whole monitoring family)."""
+    dev = F.col("dev")
+    spread = F.lit(4).cast("decimal(19,0)") * F.col("var_num")
     return (
-        d.join(F.broadcast(s), "event_type")
+        _with_daily_moments(daily)
         .select(
             "event_type",
             "day",
@@ -687,8 +717,13 @@ def events_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized AS (
       SELECT d.doc_id, d.source, d.n_tokens, d.h,
              (t_tokens * 2 * wt) // sum_wt AS budget,
-             ((t_tokens * 2 * wt) // sum_wt + src_tokens - 1)
-               // src_tokens AS epochs
+             -- guarded: src_tokens = 0 (all-empty source) must yield
+             -- 0 epochs, not a division error (Spark's div returns
+             -- NULL there; both now agree on the empty result)
+             CASE WHEN src_tokens > 0
+                  THEN ((t_tokens * 2 * wt) // sum_wt + src_tokens - 1)
+                         // src_tokens
+                  ELSE 0 END AS epochs
       FROM d JOIN w USING (source) JOIN st USING (source)
       CROSS JOIN tot CROSS JOIN den
     ),
@@ -730,30 +765,7 @@ def corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     array-sequence explode — map-side, no join against a numbers
     table; the doc-level table is the SAME memo_persist entry the
     budget query uses, so running both costs one corpus scan."""
-    from ..operators.dedup import hash60_expr
-
-    docs = load_table(spark, sf_dir, "documents")
-    d = memo_persist(
-        "budget_docs",
-        (spark.sparkContext.applicationId, sf_dir),
-        lambda: docs.select(
-            "doc_id",
-            "source",
-            token_count_expr("text").alias("n_tokens"),
-            hash60_expr(F.col("doc_id").cast("string")).alias("h"),
-        ),
-    )
-    w = d.select("source").distinct().select(
-        "source",
-        F.when(
-            F.regexp_extract("source", r"(\d+)", 1).cast("bigint") % 2 == 0,
-            F.lit(2),
-        )
-        .otherwise(F.lit(1))
-        .alias("wt"),
-    )
-    tot = d.agg(F.sum("n_tokens").alias("t_tokens"))
-    den = w.agg(F.sum("wt").cast("bigint").alias("sum_wt"))
+    d, w, tot, den = _mix_inputs(spark, sf_dir)
     st = d.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
     sized = (
         d.join(w, "source")
@@ -767,12 +779,18 @@ def corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h",
             F.expr("(t_tokens * 2 * wt) div sum_wt").alias("budget"),
             F.expr(
-                "((t_tokens * 2 * wt) div sum_wt + src_tokens - 1)"
-                " div src_tokens"
+                "CASE WHEN src_tokens > 0 THEN"
+                " ((t_tokens * 2 * wt) div sum_wt + src_tokens - 1)"
+                " div src_tokens ELSE 0 END"
             ).alias("epochs"),
         )
     )
-    rep = sized.select(
+    # epochs can be 0 (a source whose budget rounds to zero):
+    # Spark sequence(1,0) is the DESCENDING [1,0] — the same trap the
+    # bigram query guards — so filter before exploding; DuckDB's
+    # generate_series(1,0) is empty, and the guard keeps both engines
+    # emitting nothing for zero-budget sources (review finding, r8).
+    rep = sized.where(F.col("epochs") >= 1).select(
         "doc_id",
         "source",
         "n_tokens",
@@ -882,27 +900,12 @@ def cusum_flags(daily: DataFrame) -> DataFrame:
     day-grain table — shared by the batch query above and the
     streaming monitor's store readout (streaming/anomaly.py
     cusum_readout), the same one-definition contract as
-    anomaly_flags/daily_counts."""
-    d = daily
-    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    anomaly_flags/daily_counts — and the baseline moments/deviations
+    come from the same _with_daily_moments helper as the point test,
+    so the two monitors cannot drift apart (review finding, r8)."""
     big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    s = d.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("n_events").alias("sum_events"),
-        F.sum(dec(F.col("n_events")) * dec(F.col("n_events")))
-        .cast("decimal(38,0)")
-        .alias("sumsq"),
-    )
-    j = d.join(F.broadcast(s), "event_type").select(
-        "event_type",
-        "day",
-        "n_events",
-        (dec(F.col("n_days")) * dec(F.col("n_events")) - dec(F.col("sum_events")))
-        .alias("dev"),
-        (
-            dec(F.col("n_days")) * F.col("sumsq")
-            - dec(F.col("sum_events")) * dec(F.col("sum_events"))
-        ).alias("var_num"),
+    j = _with_daily_moments(daily).select(
+        "event_type", "day", "n_events", "dev", "var_num"
     )
     w = (
         Window.partitionBy("event_type")

@@ -227,3 +227,50 @@ def test_pareto_windows_share_one_brand_exchange(spark, qs, sf_dir):
 
     brand_only = re.findall(r"hashpartitioning\(brand#\d+, \d+\)", plan)
     assert len(brand_only) == 1, plan
+
+
+def test_hhi_broadcasts_dim_and_stays_off_cartesian(spark, qs, sf_dir):
+    """bi_revenue_hhi_by_type: the part dim joins as a broadcast (fact
+    never shuffles for the join); shares/squares run over the
+    brand-grain aggregate."""
+    plan = plan_of(spark, qs, "bi_revenue_hhi_by_type", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_upsample_reads_shared_persist_no_cartesian(spark, qs, sf_dir):
+    """corpus_upsample_epochs: the doc-level table comes from the
+    managed persist shared with the budget query (one corpus scan for
+    the pair), and the 1-row totals must ride broadcast joins, never a
+    cartesian."""
+    plan = plan_of(spark, qs, "corpus_upsample_epochs", sf_dir)
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_stacks_two_windows_on_one_sort(spark, qs, sf_dir):
+    """events_cusum_drift: the prefix-form CUSUM is exactly two Window
+    nodes (running deviation sum, then running min/max over it) over
+    the SAME (type, day) partition+order — a plan with a third window
+    or an exchange between them means the stacked-spec property was
+    lost. The per-type moments join stays broadcast."""
+    plan = plan_of(spark, qs, "events_cusum_drift", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window (") == 2, tree
+    win_span = tree[tree.index("Window (") :]
+    first = tree.index("Window (")
+    second = tree.index("Window (", first + 1)
+    assert "Exchange" not in tree[first:second], tree
+    assert "BroadcastHashJoin" in plan
+    assert win_span is not None
+
+
+def test_containment_blocking_is_aggregate_based(spark, qs, sf_dir):
+    """dedup_containment_pairs: candidate pairs come from the one-pass
+    bucket machinery (groupBy + generators) with the df-cap semi-join
+    as the skew guard — never a cartesian, and no self-join shape for
+    pair generation (the bucket form computes the shingle pipeline
+    once)."""
+    plan = plan_of(spark, qs, "dedup_containment_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
