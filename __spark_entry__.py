@@ -273,6 +273,10 @@ _PAST_WINDOW = (
     # family recomputed by dedup_family_recall; shingle relations as
     # dedup_substring_spans.
     "dedup_containment_pairs",
+    # r8h — same precedent. In-window siblings: shared CC cache +
+    # rank-over-cluster argmax as corpus_stratified_sample's ranked cut
+    # and dedup_cluster_components' assignments.
+    "dedup_cluster_canonical",
 )
 
 

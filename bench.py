@@ -134,6 +134,7 @@ HEADLINE = [
     "corpus_upsample_epochs",
     "events_cusum_drift",
     "dedup_containment_pairs",
+    "dedup_cluster_canonical",
     # sim_ann_recall_tuning is NOT headline, the sim_ann_recall /
     # dedup_family_recall precedent: composed audits re-run several
     # member pipelines and would dominate the total with redundant

@@ -11,7 +11,7 @@ rows-only checks on the two flagship scale-path operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.graph import connected_components
@@ -560,4 +560,90 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking and verification over the same distinct shingle sets."""
     return containment_dedup_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
+def _canonical_oracle() -> str:
+    """DuckDB replay of dedup_cluster_canonical: the recursive-CTE
+    transitive closure (same as _cc_oracle) joined with the documents'
+    length column; per cluster, keep the longest doc (doc_id tiebreak
+    ascending)."""
+    return f"""
+    WITH RECURSIVE mh AS ({_minhash_lsh_oracle()}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM mh
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM mh
+    ),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach AS (
+      SELECT id, id AS label FROM nodes
+      UNION
+      SELECT e.s AS id, r.label
+      FROM reach r JOIN edges e ON e.d = r.id
+    ),
+    cc AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+    scored AS (
+      SELECT cc.cluster_id, cc.doc_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY cc.cluster_id
+               ORDER BY d.n_chars DESC, cc.doc_id) AS rnk
+      FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS kept_doc_id,
+           CAST(n_chars AS BIGINT) AS kept_n_chars,
+           CAST(cnt AS BIGINT) AS n_members,
+           CAST(cnt - 1 AS BIGINT) AS n_dropped
+    FROM scored
+    JOIN (SELECT cluster_id AS c2, count(*) AS cnt FROM scored GROUP BY 1)
+      ON cluster_id = c2
+    WHERE rnk = 1
+    ORDER BY cluster_id
+    """
+
+
+@query("dedup_cluster_canonical", oracle=_canonical_oracle())
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based canonical selection per dup cluster — the KEEP
+    decision a production dedup actually ships: within each transitive
+    near-dup cluster, retain the doc scoring best on a quality proxy
+    (here n_chars — the longest variant usually subsumes truncated
+    near-dups) with doc_id as the deterministic tiebreak, and report
+    how many members were dropped. Complements
+    dedup_corpus_after_removal (which keeps the min-id representative):
+    same cluster machinery, the policy every data team overrides first.
+
+    Scale shape: consumes the shared persisted cluster assignments
+    (one CC computation across the whole dedup family), joins the
+    cluster-member rows back to the documents table on doc_id (the
+    clustered set is the tiny side — near-dup members only — so AQE
+    broadcasts it), and the argmax is a row_number window partitioned
+    by cluster_id over cluster-member-count rows."""
+    cc = shared_cluster_assignments(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = cc.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+            F.row_number().over(w).alias("_rnk"),
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("n_members"),
+        )
+        .where(F.col("_rnk") == 1)
+        .select(
+            "cluster_id",
+            "kept_doc_id",
+            "kept_n_chars",
+            "n_members",
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
     )

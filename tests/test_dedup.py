@@ -314,3 +314,34 @@ def test_containment_common_shingles_never_block(spark):
         ["doc_id", "text"],
     )
     assert containment_dedup_pairs(docs, threshold=0.3).collect() == []
+
+
+def test_cluster_canonical_keeps_longest_member(spark):
+    from retail_sales_analysis_etl_bi_project_spark.plans.dedup_queries import (
+        dedup_cluster_canonical,
+        shared_cluster_assignments,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kept = {
+        r.cluster_id: r for r in dedup_cluster_canonical(spark, sf).collect()
+    }
+    assert kept, "no clusters at sf0.001"
+    members = {}
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    for r in shared_cluster_assignments(spark, sf).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, mem in members.items():
+        best = sorted(mem, key=lambda d: (-chars[d], d))[0]
+        k = kept[cid]
+        assert k.kept_doc_id == best
+        assert k.n_members == len(mem) and k.n_dropped == len(mem) - 1
+        assert k.kept_n_chars == chars[best]

@@ -106,6 +106,7 @@ def main():
         "corpus_upsample_epochs",
         "events_cusum_drift",
         "dedup_containment_pairs",
+        "dedup_cluster_canonical",
     ]
     for name in names:
         print(summarize(name, qs[name](spark, sf_dir)))
