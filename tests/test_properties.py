@@ -363,3 +363,57 @@ def test_interval_overlap_equals_naive_multiset(spark, left, right, grid):
     rw = {j: hi > lo for j, (lo, w) in enumerate(right) for hi in [lo + w]}
     naive = [(a, b) for a, b in naive if lw.get(a) and rw.get(b)]
     assert got == naive
+
+
+# ------------------------------------------------------ r8: pure arithmetic
+
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1,
+                max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_cusum_prefix_identity_equals_recursion(devs):
+    """The window-expressible prefix form of CUSUM (stat_queries:
+    S+_t = P_t - min(0, min P_j); S-_t = max(0, max P_j) - P_t) must
+    equal Page's recursion max(0, S_{t-1} +/- dev_t) on EVERY integer
+    deviation sequence — the identity the registered query's whole
+    plan shape rests on."""
+    sp = sn = 0
+    P = mn = mx = 0
+    for d in devs:
+        sp = max(0, sp + d)
+        sn = max(0, sn - d)
+        P += d
+        mn = min(mn, P)
+        mx = max(mx, P)
+        assert sp == P - min(0, mn)
+        assert sn == max(0, mx) - P
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50),
+                  st.integers(min_value=1, max_value=3)),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_epoch_budget_arithmetic_invariants(sources):
+    """Integer budget/epoch arithmetic of the mix queries: epochs =
+    ceil(budget/size) never under-replicates (epochs*size >= budget
+    when size > 0), zero-size sources get zero epochs (the guarded
+    division), and per-source budgets never exceed the global target
+    by more than rounding."""
+    T = sum(tok for tok, _ in sources)
+    sum_wt = sum(wt for _, wt in sources)
+    total_budget = 0
+    for tok, wt in sources:
+        budget = (T * 2 * wt) // sum_wt
+        epochs = 0 if tok == 0 else (budget + tok - 1) // tok
+        if tok > 0:
+            assert epochs * tok >= budget
+            assert (epochs - 1) * tok < budget or epochs == 0
+        else:
+            assert epochs == 0
+        total_budget += budget
+    # floor rounding only ever loses tokens vs the exact 2*T target
+    assert total_budget <= 2 * T
