@@ -18,9 +18,6 @@ def _registry():
     from retail_sales_analysis_etl_bi_project_spark.plans import registry
     import retail_sales_analysis_etl_bi_project_spark.plans.bi  # noqa: F401
 
-    # Scale-path modules (dedup / similarity / joins) register FIRST so
-    # that if the surface ever grows past the driver's 50-query
-    # correctness window again, only long-tail spine variants spill out.
     for mod in (
         "retail_sales_analysis_etl_bi_project_spark.plans.dedup_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.similarity_queries",
@@ -35,8 +32,6 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.json_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.window_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.events_queries",
-        # round-5/6 extensions: registered LAST so the r1-r4 surface keeps
-        # its position inside the driver's 50-query correctness window
         "retail_sales_analysis_etl_bi_project_spark.plans.extension_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.pipeline_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.lifecycle_queries",
@@ -60,223 +55,82 @@ def _registry():
     return registry
 
 
-# Window rotation (r5 VERDICT item 2): the driver hash-checks only the
-# FIRST 50 registered queries, so newly added queries are rotated INTO
-# the window and long-stable spine VARIANTS (each a re-expression of an
-# in-window query's semantics, green in CORRECTNESS_r1-r5) are rotated
-# past it. Rotated-out queries remain fully registered and are verified
-# every round by the local gate replica (tools/compare_oracle.py runs
-# the WHOLE registry, not the first 50). Policy documented in
-# COVERAGE.md §"Correctness window rotation".
+# Correctness-window rotation: the driver hash-checks only the FIRST 50
+# registered queries, so new queries rotate INTO the window and
+# long-stable queries — each with an in-window mechanism sibling and
+# >=2 green driver rounds — rotate past it. Rotated-out queries stay
+# fully registered and are verified every round by the local gate
+# replica (tools/compare_oracle.py runs the WHOLE registry). The
+# per-round rationale for every spill below lives in COVERAGE.md
+# §"Correctness window rotation" (rounds 5-9); tags here are the
+# one-line reminders.
 _PAST_WINDOW = (
-    "sql_q01_top5_products",       # spark.sql twin of q01 (in-window)
-    "agg_rollup_year_month",       # superset of q02's year/month agg
-    "dedup_ngram_jaccard",         # all-pairs baseline of dedup_minhash_lsh
-    "events_sliding_3h_daily",     # sliding variant of events_hourly_agg
-    "window_customer_running_total",  # window-frame sibling of top3
-    "join_semi_active_customers",  # semi twin of etl_quality_audit's anti
-    "etl_upsert_dim_date",         # converges to etl_dim_date_build's rows
-    "etl_csv_roundtrip",           # staging twin of in-window JSON/ORC roundtrips
-    # r6 rotation — each spilled query is recomputed or mechanism-covered
-    # by an in-window sibling, and all are green in CORRECTNESS_r2-r5:
-    "sim_ivf_multiprobe_topk",     # recomputed inside in-window sim_ann_recall
-    "sim_ivf_kmedians_topk",       # recomputed inside in-window sim_ann_recall
-    "dedup_embedding_cosine",      # recomputed inside in-window dedup_family_recall
-    "sim_lsh_ann_topk",            # recomputed inside in-window sim_ann_recall
-    "events_dedup_first_per_key",  # row_number-first-per-key, as etl_surrogate_keys
-    "window_top3_parts_per_brand",  # rank-over-partition, as stratified_sample/rfm
-    "agg_order_value_percentiles",  # percentile_cont pinned r2-r5; exact twins of
-                                    # in-window agg_sketch_profile cover the path
-    # r6b rotation (lifecycle_queries lands 6 new in-window): each spilled
-    # query's MECHANISM is recomputed by an in-window sibling and all are
-    # green in CORRECTNESS_r1-r5 + the local gate replica:
-    "sim_bruteforce_topk",         # recomputed as ground truth inside sim_ann_recall
-    "sim_ivf_ann_topk",            # recomputed inside in-window sim_ann_recall
-    "sim_ivfpq_adc_topk",          # recomputed inside in-window sim_ann_recall
-    "dedup_embedding_lsh",         # recomputed inside in-window dedup_family_recall
-    "dedup_minhash_lsh",           # candidates recomputed inside dedup_family_recall
-    "dedup_hash_groups",           # exact-dedup stage runs inside in-window
-                                   # corpus_filter_pipeline; green r1-r5
-    "etl_dim_date_build",          # rows converge with etl_upsert_dim_date
-                                   # (r1-r5 green) + test_dims golden tests
-    "etl_quality_audit",           # superseded by in-window
-                                   # etl_expectations_report (its null-cell
-                                   # and FK checks are the not_null/ref
-                                   # rules there); green r1-r5
-    "events_hourly_agg",           # tumbling date_trunc agg — sliding twin
-                                   # + streaming==batch tests cover the
-                                   # mechanism; green r1-r5
-    "corpus_sample_and_pack",      # pack mechanism row-identical to
-                                   # in-window corpus_pack_sharded;
-                                   # temperature sampling distribution
-                                   # pytest-pinned; green r2-r5
-    # r6f rotation — etl_orc_roundtrip rotates BACK IN (r5 VERDICT item
-    # 2's done-criterion names it) and the two new term-statistics
-    # queries (text_tfidf_topterms, text_bpe_pair_merge) enter; spills:
-    "skew_salted_revenue_by_segment",  # final rows identical to a plain
-                                   # groupBy-sum (q03/q04 family, in-
-                                   # window); the salting mechanism is
-                                   # pinned by pytest + the PLANS.txt
-                                   # AQE skew-join capture; green r2-r5
-    "tpch_q5_local_supplier_volume",   # broadcast-dim multi-join + agg,
-                                   # the same shape as in-window q03 +
-                                   # etl_fact_assembly; green r2-r5
-    "join_asof_last_purchase",     # as-of (most-recent-effective-row)
-                                   # mechanism recomputed by in-window
-                                   # join_scd2_pit_attribution; green
-                                   # r2-r5
-    # r7 rotation — the four r6f queries (text_corpus_contrast,
-    # bi_revenue_pivot_priority_year, bi_revenue_cube_status_year,
-    # dedup_fuzzy_name_pairs) rotate IN as planned (r6 VERDICT item 1),
-    # alongside the two new r7 queries (pipeline_term_stats_shared,
-    # sim_ann_recall_tuning). Six long-proven spills, each with an
-    # in-window mechanism sibling:
-    "tpch_q1_pricing_summary",     # multi-agg groupBy + decimal sums,
-                                   # the q02/q03/k_core_kpis family
-                                   # (all in-window); green r1-r6
-    "etl_json_roundtrip",          # staging-roundtrip mechanism
-                                   # identical to in-window
-                                   # etl_orc_roundtrip; green r5-r6
-    "text_profile",                # its signal expressions run inside
-                                   # in-window corpus_filter_pipeline
-                                   # (quality_score_expr) and
-                                   # text_quality_classifier; green
-                                   # r1-r6
-    "corpus_split_assignment",     # deterministic hash-bucket
-                                   # assignment, the mechanism of
-                                   # in-window corpus_stratified_sample
-                                   # (hash-ranked strata); green r5-r6
-    "events_sessionization",       # single user_id shuffle + window
-                                   # chain, as in-window
-                                   # events_funnel_conversion /
-                                   # events_retention_cohorts; green
-                                   # r2-r6
-    "etl_scd2_priority_history",   # SCD2 interval build (operators/
-                                   # dims.scd2_history) recomputed
-                                   # inside in-window
-                                   # join_scd2_pit_attribution; green
-                                   # r3-r6
-    # r7b rotation — two new scale-pattern queries enter
-    # (join_bloom_prefilter_revenue: runtime Bloom join pruning;
-    # agg_incremental_kpi_merge: algebraic partial-aggregate merge).
-    # Two long-proven spills, each with an in-window mechanism sibling:
-    "etl_surrogate_keys_customer", # row_number-over-ordered-partition
-                                   # surrogate keys — the mechanism of
-                                   # in-window corpus_stratified_sample
-                                   # (hash-ranked row_number per
-                                   # stratum); green r1-r6
-    "dedup_corpus_after_removal",  # anti-join removal endpoint — the
-                                   # left_anti mechanism of in-window
-                                   # etl_expectations_report's
-                                   # referential rules, over pair sets
-                                   # recomputed by in-window
-                                   # dedup_family_recall; green r3-r6
-    # r7c rotation — join_interval_overlap_busy_windows (interval ×
-    # interval overlap via grid cells) enters; one spill:
-    "join_range_value_bands",      # point-in-interval grid-cell
-                                   # equi-join + residual — the same
-                                   # mechanism family as the in-window
-                                   # interval-overlap query (grid
-                                   # bucketing, exact residual filter),
-                                   # log-grid variant pytest-pinned vs
-                                   # the naive BETWEEN join; green
-                                   # r2-r6
-    # r7d rotation — agg_incremental_distinct_hll (sketch-merge
-    # incremental distinct, rows-only like agg_sketch_profile) enters;
-    # one spill:
-    "text_winnow_fingerprints",    # rolling-hash positional
-                                   # fingerprints — the positional
-                                   # n-gram hashing family of in-window
-                                   # dedup_substring_spans, and its
-                                   # winnow selection is pytest-pinned
-                                   # against a pure-Python reference;
-                                   # green r3-r6
-    # r8 rotation — dedup_incremental_minhash rotates IN as planned
-    # (registered past-window in r7e, gate-replica verified there), and
-    # the five new r8 stat queries (text_bigram_pmi,
-    # graph_kcore_coreness, corpus_token_budget_mix,
-    # events_anomaly_daily, events_markov_transitions) enter. Six
-    # long-proven spills, each with an in-window mechanism sibling:
-    "text_top_tokens",             # explode -> groupBy(term) -> global
-                                   # top-k: exactly the tf stage +
-                                   # ranked cut of in-window
-                                   # text_tfidf_topterms and
-                                   # pipeline_term_stats_shared; green
-                                   # r2-r7
-    "events_json_and_moments",     # JSON extraction mechanism covered
-                                   # by in-window events_variant_stats
-                                   # (typed VARIANT path over the same
-                                   # props column); its fillna/moment
-                                   # aggregates are the k_core_kpis
-                                   # family; green r2-r7
-    "dedup_graph_stats",           # cluster-size histogram READOUT of
-                                   # dedup_cluster_components (stays
-                                   # in-window, same shared CC cache);
-                                   # the new in-window
-                                   # graph_kcore_coreness keeps a
-                                   # second graph query in the window;
-                                   # green r6-r7
-    "events_retention_cohorts",    # single user_id shuffle + cohort
-                                   # window/agg — the mechanism of
-                                   # in-window events_funnel_conversion
-                                   # and the new in-window
-                                   # events_markov_transitions (lag
-                                   # over the same user window); green
-                                   # r6-r7
-    "corpus_stratified_sample",    # hash60-ranked per-stratum cut —
-                                   # the new in-window
-                                   # corpus_token_budget_mix runs the
-                                   # same hash60-ordered per-source
-                                   # window with a strictly stronger
-                                   # cutoff (running token sum vs row
-                                   # count); green r6-r7
-    "bi_daily_revenue_gapfill",    # day-grain collapse + sequence-
-                                   # explode gap fill: the sequence-
-                                   # explode mechanism is in-window via
-                                   # corpus_chunk_documents, the
-                                   # day-grain collapse via the new
-                                   # in-window events_anomaly_daily;
-                                   # green r6-r7
-    # r8b — NEW queries registered past the window (r6f/r7e precedent:
-    # gate-replica verified this round, rotate IN next round). In-window
-    # mechanism siblings: ordered-term aggregation over the same tf
-    # stage as text_tfidf_topterms (inverted index); groupBy-rollup DQ
-    # counting as etl_expectations_report (column profile).
-    "text_inverted_index",
-    "etl_column_profile",
-    # r8c — same precedent. In-window mechanism siblings: order-keyed
-    # self-join + rational lift over exact counts as text_bigram_pmi
-    # (basket pairs); brand-partitioned rank/cumsum windows as
-    # bi_rfm_segmentation, decimal-exact money as k4 (Pareto).
-    "bi_market_basket_pairs",
-    "bi_pareto_brand_products",
-    # r8d — same precedent. In-window mechanism siblings: degree/wedge
-    # equi-joins over the same shared verified pairs as
-    # dedup_cluster_components and graph_kcore_coreness (triangles);
-    # day-grain collapse + fixed-point window algebra as
-    # events_anomaly_daily / agg_incremental_kpi_merge (trailing 7d).
-    "graph_triangle_counts",
-    "events_trailing_7d_value",
-    # r8e — same precedent. In-window mechanism siblings: fixed-point
-    # share sums as k4_category_revenue_share + agg_incremental_kpi_merge
-    # (HHI); hash-ordered running-sum window + integer budget math as
-    # corpus_token_budget_mix, replication via sequence explode as
-    # corpus_chunk_documents (epoch upsampling).
-    "bi_revenue_hhi_by_type",
-    "corpus_upsample_epochs",
-    # r8f — same precedent. In-window mechanism siblings: day-grain
-    # collapse + integer sigma test as events_anomaly_daily; stacked
-    # same-spec windows as bi_rfm_segmentation's rank chain.
-    "events_cusum_drift",
-    # r8g — same precedent. In-window mechanism siblings: bucket-pair
-    # candidate generation + exact set verification as the minhash
-    # family recomputed by dedup_family_recall; shingle relations as
-    # dedup_substring_spans.
-    "dedup_containment_pairs",
-    # r8h — same precedent. In-window siblings: shared CC cache +
-    # rank-over-cluster argmax as corpus_stratified_sample's ranked cut
-    # and dedup_cluster_components' assignments.
-    "dedup_cluster_canonical",
+    # r5-r6 spills: spark.sql/agg/window/join/staging variants of
+    # in-window siblings, plus ANN/LSH paths recomputed inside the
+    # in-window recall audits (sim_ann_recall / dedup_family_recall)
+    "sql_q01_top5_products",          # spark.sql twin of q01
+    "agg_rollup_year_month",          # superset of q02's year/month agg
+    "dedup_ngram_jaccard",            # all-pairs baseline of minhash path
+    "events_sliding_3h_daily",        # sliding twin of tumbling hourly agg
+    "window_customer_running_total",  # window-frame sibling of ranked cuts
+    "join_semi_active_customers",     # semi twin of expectations anti-join
+    "etl_upsert_dim_date",            # converges to dim_date build rows
+    "etl_csv_roundtrip",              # staging twin of in-window ORC roundtrip
+    "sim_ivf_multiprobe_topk",        # recomputed inside sim_ann_recall
+    "sim_ivf_kmedians_topk",          # recomputed inside sim_ann_recall
+    "dedup_embedding_cosine",         # recomputed inside dedup_family_recall
+    "sim_lsh_ann_topk",               # recomputed inside sim_ann_recall
+    "events_dedup_first_per_key",     # row_number-first, as stratified cuts
+    "window_top3_parts_per_brand",    # rank-over-partition family
+    "agg_order_value_percentiles",    # percentile path, sketch twin in-window
+    "sim_bruteforce_topk",            # truth set inside sim_ann_recall
+    "sim_ivf_ann_topk",               # recomputed inside sim_ann_recall
+    "sim_ivfpq_adc_topk",             # recomputed inside sim_ann_recall
+    "dedup_embedding_lsh",            # recomputed inside dedup_family_recall
+    "dedup_minhash_lsh",              # candidates inside dedup_family_recall
+    "dedup_hash_groups",              # exact stage inside corpus_filter_pipeline
+    "etl_dim_date_build",             # rows converge w/ upsert; golden pytest
+    "etl_quality_audit",              # superseded by etl_expectations_report
+    "events_hourly_agg",              # tumbling twin + streaming==batch tests
+    "corpus_sample_and_pack",         # pack rows == corpus_pack_sharded
+    # r6f-r7 spills: groupBy-sum / staging / signal / window-chain
+    # shapes, each mechanism-covered by a named in-window sibling
+    "skew_salted_revenue_by_segment", # rows == plain groupBy-sum (q03/q04)
+    "tpch_q5_local_supplier_volume",  # broadcast-dim multi-join, as q03
+    "join_asof_last_purchase",        # as-of inside join_scd2_pit_attribution
+    "tpch_q1_pricing_summary",        # multi-agg decimal sums, q02/kpi family
+    "etl_json_roundtrip",             # staging twin of in-window ORC roundtrip
+    "text_profile",                   # signals inside corpus_filter_pipeline
+    "corpus_split_assignment",        # hash-bucket cut, stratified family
+    "events_sessionization",          # user_id shuffle + window chain
+    "etl_scd2_priority_history",      # SCD2 build inside pit-attribution
+    "etl_surrogate_keys_customer",    # row_number surrogate keys family
+    "dedup_corpus_after_removal",     # anti-join endpoint over shared pairs
+    "join_range_value_bands",         # grid-cell family of interval overlap
+    "text_winnow_fingerprints",       # positional hashing, as substring spans
+    # r8 spills: tf/JSON/graph-readout/cohort/ranked-cut/gapfill shapes
+    "text_top_tokens",                # tf stage + top-k, as tfidf/term stats
+    "events_json_and_moments",        # JSON path, as events_variant_stats
+    "dedup_graph_stats",              # readout of dedup_cluster_components
+    "events_retention_cohorts",       # user_id shuffle + cohort windows
+    "corpus_stratified_sample",       # hash-ranked cut, as token_budget_mix
+    "bi_daily_revenue_gapfill",       # day collapse + sequence explode
+    # r9 spills (rotating IN: the 11 r8 past-window queries +
+    # dedup_containment_recall; every spill below has >=2 green driver
+    # rounds + replica green at HEAD; full rationale in COVERAGE.md)
+    "sim_ann_recall_tuning",          # knob ladder over in-window sim_ann_recall
+    "bi_rfm_segmentation",            # rank/ntile windows, as bi_pareto (in)
+    "text_tfidf_topterms",            # shared-tf ranks, as term_stats/inverted index
+    "text_bpe_pair_merge",            # adjacent-pair counts, as text_bigram_pmi
+    "text_corpus_contrast",           # rational tf contrast, as term_stats_shared
+    "dedup_fuzzy_name_pairs",         # bucket-pairs + verify, as containment (in)
+    "text_repetition_signals",        # signal exprs, as quality_classifier +
+                                      # substring spans' dup fractions (both in)
+    "corpus_chunk_documents",         # sequence explode, as upsample_epochs (in)
+    "events_funnel_conversion",       # user_id shuffle + windows, as markov
+    "agg_numeric_histograms",         # bucket->groupBy-count, as q04 CASE agg
+    "bi_revenue_pivot_priority_year", # pivot agg, as cube_status_year (in)
+    "embed_label_centroids",          # embedding array-agg audit, as quantize_int8
 )
 
 

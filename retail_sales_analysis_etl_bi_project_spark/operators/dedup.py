@@ -1196,3 +1196,44 @@ def containment_dedup_pairs(
         .where(F.col("containment") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def containment_all_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact all-pairs containment (|A∩B|/min(|A|,|B|) >= threshold) —
+    the quadratic exactness baseline containment_dedup_pairs' blocking
+    approximates; verification/recall audits only, never the scale
+    path. Same columns as containment_dedup_pairs so recall audits can
+    join the two directly."""
+    from .partitioning import to_cluster_width
+
+    shd = shingle_relation(docs, n, text_col, id_col)
+    a = to_cluster_width(
+        shd.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    )
+    b = shd.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    mn = F.least(na, nb)
+    cont = F.when(mn > 0, inter.cast("double") / mn.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_shared"),
+            na.cast("bigint").alias("n_a"),
+            nb.cast("bigint").alias("n_b"),
+            cont.alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -19,6 +19,7 @@ from ..operators.dedup import (
     incremental_minhash_dedup_pairs,
     BAND_MASK,
     P31,
+    containment_all_pairs,
     embedding_lsh_near_dup_pairs,
     embedding_near_dup_pairs,
     exact_dup_groups,
@@ -560,6 +561,75 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking and verification over the same distinct shingle sets."""
     return containment_dedup_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
+def _containment_recall_oracle(threshold: float = 0.6) -> str:
+    """Truth = all-pairs containment (no blocking); method = the
+    rare-shingle-blocked _containment_oracle. Counting joins over the
+    two pair sets, same discipline as _dedup_recall_oracle."""
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CASE WHEN least(len(a.sh), len(b.sh)) > 0
+                 THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
+                 ELSE 0.0 END >= {threshold}
+    ),
+    got AS (SELECT doc_a, doc_b FROM ({_containment_oracle(threshold)}))
+    SELECT 'containment_blocked_vs_exact' AS family,
+           (SELECT COUNT(*) FROM got) AS n_method_pairs,
+           (SELECT COUNT(*) FROM truth) AS n_truth_pairs,
+           (SELECT COUNT(*) FROM got g JOIN truth t
+              ON g.doc_a = t.doc_a AND g.doc_b = t.doc_b) AS hits,
+           (SELECT COUNT(*) FROM truth) -
+           (SELECT COUNT(*) FROM got g JOIN truth t
+              ON g.doc_a = t.doc_a AND g.doc_b = t.doc_b) AS missed,
+           CAST((SELECT COUNT(*) FROM got g JOIN truth t
+                 ON g.doc_a = t.doc_a AND g.doc_b = t.doc_b) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS pair_recall
+    """
+
+
+@query("dedup_containment_recall", oracle=_containment_recall_oracle())
+def dedup_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-recall audit of the rare-shingle-blocked containment join
+    against the exact all-pairs containment baseline — closes the one
+    unmeasured approximation in the dedup family (r8 VERDICT item 4):
+    the df∈[2,10] blocker provably misses a contained doc whose every
+    shingle is either unique (df=1, nothing to collide on... impossible
+    for a true subset, since the container shares them) or common
+    (df>10, stopword-shingles never block). This pins found/missed
+    counts and recall to a hash-checked value, the same discipline as
+    dedup_family_recall / sim_ann_recall. Precision is 1.0 by
+    construction (candidates are verified with the exact measure).
+
+    The truth side is quadratic all-pairs (operators/dedup.py
+    containment_all_pairs) — a verification query, not a bench
+    headline, like the family's other exactness baselines."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = containment_dedup_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    truth = containment_all_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    n_method = got.agg(F.count(F.lit(1)).cast("bigint").alias("n_method_pairs"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"))
+    hits = got.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("hits")
+    )
+    return (
+        n_method.crossJoin(n_truth)
+        .crossJoin(hits)
+        .select(
+            F.lit("containment_blocked_vs_exact").alias("family"),
+            "n_method_pairs",
+            "n_truth_pairs",
+            "hits",
+            (F.col("n_truth_pairs") - F.col("hits")).cast("bigint").alias("missed"),
+            (
+                F.col("hits").cast("double") / F.col("n_truth_pairs").cast("double")
+            ).alias("pair_recall"),
+        )
     )
 
 

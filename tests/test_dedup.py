@@ -316,6 +316,32 @@ def test_containment_common_shingles_never_block(spark):
     assert containment_dedup_pairs(docs, threshold=0.3).collect() == []
 
 
+def test_containment_all_pairs_measures_blocker_misses(spark):
+    # the recall-audit scenario (r9): a contained doc whose EVERY
+    # shingle is a stopword shingle (df > df_max) is invisible to the
+    # rare-shingle blocker, but the exact all-pairs baseline finds it —
+    # dedup_containment_recall exists to measure exactly this gap
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        containment_all_pairs,
+        containment_dedup_pairs,
+    )
+
+    rows = [(i, f"a b c tail{i}x tail{i}y tail{i}z") for i in range(12)]
+    rows.append((99, "a b c"))  # one shingle, df("a b c") = 13 > df_max
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    blocked = {
+        (r.doc_a, r.doc_b)
+        for r in containment_dedup_pairs(docs, threshold=1.0).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in containment_all_pairs(docs, threshold=1.0).collect()
+    }
+    assert blocked == set()  # stopword shingles never block
+    # doc 99 is fully contained in each of the 12 others
+    assert exact == {(i, 99) for i in range(12)}
+
+
 def test_cluster_canonical_keeps_longest_member(spark):
     from retail_sales_analysis_etl_bi_project_spark.plans.dedup_queries import (
         dedup_cluster_canonical,

