@@ -566,8 +566,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _containment_recall_oracle(threshold: float = 0.6) -> str:
     """Truth = all-pairs containment (no blocking); method = the
-    rare-shingle-blocked _containment_oracle. Counting joins over the
-    two pair sets, same discipline as _dedup_recall_oracle."""
+    rare-shingle-blocked _containment_oracle. All counts come from ONE
+    full-outer pass over the two pair sets, so each CTE is referenced
+    exactly once — under DuckDB's CTE inlining the quadratic truth
+    join is therefore evaluated once, not once per scalar subquery
+    (the k-core unrolled-oracle lesson; AS MATERIALIZED is avoided
+    here because combining it with the blocked side's nested WITH
+    trips a DuckDB internal error)."""
     return f"""
     WITH sh AS ({_SQL_SHINGLES}),
     truth AS (
@@ -578,18 +583,21 @@ def _containment_recall_oracle(threshold: float = 0.6) -> str:
                       / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
                  ELSE 0.0 END >= {threshold}
     ),
-    got AS (SELECT doc_a, doc_b FROM ({_containment_oracle(threshold)}))
+    got AS (SELECT doc_a, doc_b FROM ({_containment_oracle(threshold)})),
+    merged AS (
+      SELECT g.doc_a IS NOT NULL AS in_got, t.doc_a IS NOT NULL AS in_truth
+      FROM got g FULL OUTER JOIN truth t
+        ON g.doc_a = t.doc_a AND g.doc_b = t.doc_b
+    )
     SELECT 'containment_blocked_vs_exact' AS family,
-           (SELECT COUNT(*) FROM got) AS n_method_pairs,
-           (SELECT COUNT(*) FROM truth) AS n_truth_pairs,
-           (SELECT COUNT(*) FROM got g JOIN truth t
-              ON g.doc_a = t.doc_a AND g.doc_b = t.doc_b) AS hits,
-           (SELECT COUNT(*) FROM truth) -
-           (SELECT COUNT(*) FROM got g JOIN truth t
-              ON g.doc_a = t.doc_a AND g.doc_b = t.doc_b) AS missed,
-           CAST((SELECT COUNT(*) FROM got g JOIN truth t
-                 ON g.doc_a = t.doc_a AND g.doc_b = t.doc_b) AS DOUBLE)
-             / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS pair_recall
+           CAST(count(CASE WHEN in_got THEN 1 END) AS BIGINT) AS n_method_pairs,
+           CAST(count(CASE WHEN in_truth THEN 1 END) AS BIGINT) AS n_truth_pairs,
+           CAST(count(CASE WHEN in_got AND in_truth THEN 1 END) AS BIGINT) AS hits,
+           CAST(count(CASE WHEN in_truth AND NOT in_got THEN 1 END) AS BIGINT)
+             AS missed,
+           CAST(count(CASE WHEN in_got AND in_truth THEN 1 END) AS DOUBLE)
+             / CAST(count(CASE WHEN in_truth THEN 1 END) AS DOUBLE) AS pair_recall
+    FROM merged
     """
 
 
