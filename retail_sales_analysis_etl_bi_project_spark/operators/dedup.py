@@ -1212,7 +1212,12 @@ def containment_all_pairs(
     join the two directly."""
     from .partitioning import to_cluster_width
 
-    shd = shingle_relation(docs, n, text_col, id_col)
+    # both join sides consume the relation: checkpoint so the
+    # tokenize/shingle pipeline runs once, not per side (the
+    # containment_dedup_pairs discipline)
+    shd = shingle_relation(docs, n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     a = to_cluster_width(
         shd.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")),
         "doc_a",

@@ -616,28 +616,45 @@ def dedup_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The truth side is quadratic all-pairs (operators/dedup.py
     containment_all_pairs) — a verification query, not a bench
-    headline, like the family's other exactness baselines."""
+    headline, like the family's other exactness baselines. All counts
+    come from ONE full-outer pass over the two pair sets (mirroring
+    the oracle), so each member pipeline — in particular the O(N^2)
+    truth join — is evaluated once, not once per count (review
+    finding, r9)."""
     docs = load_table(spark, sf_dir, "documents")
-    got = containment_dedup_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
-    truth = containment_all_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
-    n_method = got.agg(F.count(F.lit(1)).cast("bigint").alias("n_method_pairs"))
-    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"))
-    hits = got.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
-        F.count(F.lit(1)).cast("bigint").alias("hits")
+    got = (
+        containment_dedup_pairs(docs, threshold=0.6)
+        .select("doc_a", "doc_b")
+        .withColumn("_in_got", F.lit(True))
     )
-    return (
-        n_method.crossJoin(n_truth)
-        .crossJoin(hits)
-        .select(
-            F.lit("containment_blocked_vs_exact").alias("family"),
-            "n_method_pairs",
-            "n_truth_pairs",
-            "hits",
-            (F.col("n_truth_pairs") - F.col("hits")).cast("bigint").alias("missed"),
-            (
-                F.col("hits").cast("double") / F.col("n_truth_pairs").cast("double")
-            ).alias("pair_recall"),
-        )
+    truth = (
+        containment_all_pairs(docs, threshold=0.6)
+        .select("doc_a", "doc_b")
+        .withColumn("_in_truth", F.lit(True))
+    )
+    merged = got.join(truth, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("_in_got", F.lit(False)).alias("in_got"),
+        F.coalesce("_in_truth", F.lit(False)).alias("in_truth"),
+    )
+    hit = (F.col("in_got") & F.col("in_truth")).cast("bigint")
+    return merged.agg(
+        F.sum(F.col("in_got").cast("bigint")).cast("bigint").alias("n_method_pairs"),
+        F.sum(F.col("in_truth").cast("bigint")).cast("bigint").alias("n_truth_pairs"),
+        F.sum(hit).cast("bigint").alias("hits"),
+        F.sum((F.col("in_truth") & ~F.col("in_got")).cast("bigint"))
+        .cast("bigint")
+        .alias("missed"),
+        (
+            F.sum(hit).cast("double")
+            / F.sum(F.col("in_truth").cast("bigint")).cast("double")
+        ).alias("pair_recall"),
+    ).select(
+        F.lit("containment_blocked_vs_exact").alias("family"),
+        "n_method_pairs",
+        "n_truth_pairs",
+        "hits",
+        "missed",
+        "pair_recall",
     )
 
 

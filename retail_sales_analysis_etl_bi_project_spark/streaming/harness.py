@@ -1,0 +1,33 @@
+"""File-source micro-batch harness: split a DataFrame into N
+single-file parquet chunks under a source directory, so a
+``readStream.option("maxFilesPerTrigger", 1)`` over the directory
+replays the data as N micro-batches. Used by the streaming tests and
+tools/bench_streaming.py — one home so a harness fix applies once
+(review finding, r9: this was copy-pasted four times)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunked_file_source(
+    df: DataFrame, id_col: str, src: str, n_chunks: int = 3
+) -> int:
+    """Write ``df`` as ``n_chunks`` single-file parquet chunks under
+    ``src`` (chunk i holds rows with ``id_col % n_chunks == i``; empty
+    chunks are skipped) and return the total row count."""
+    os.makedirs(src, exist_ok=True)
+    for i in range(n_chunks):
+        stage = f"{src}/_stage_{i}"
+        df.filter(F.pmod(F.col(id_col), n_chunks) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        parts = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        if parts:  # an empty pmod bucket writes no part file
+            shutil.move(f"{stage}/{parts[0]}", f"{src}/chunk_{i}.parquet")
+        shutil.rmtree(stage)
+    return df.count()

@@ -3,15 +3,13 @@ count store must yield flags equal to the one-shot batch query
 bit-for-bit after draining the stream, a crash-replayed batch id must
 not double-count, and a restart must be a no-op."""
 
-import os
-import shutil
-
-from pyspark.sql import functions as F
-
 from retail_sales_analysis_etl_bi_project_spark.plans.stat_queries import (
     events_anomaly_daily,
 )
 from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+from retail_sales_analysis_etl_bi_project_spark.streaming.harness import (
+    chunked_file_source,
+)
 from retail_sales_analysis_etl_bi_project_spark.streaming.anomaly import (
     anomaly_readout,
     apply_counts_batch,
@@ -24,17 +22,7 @@ SF_DIR = "/root/testdata/sf0.001"
 def _events_stream_source(spark, tmp_path, n_files=3):
     events = load_table(spark, SF_DIR, "events")
     src = str(tmp_path / "events_src")
-    os.makedirs(src, exist_ok=True)
-    for i in range(n_files):
-        chunk = events.filter(F.pmod(F.col("event_id"), n_files) == i)
-        chunk.coalesce(1).write.mode("overwrite").parquet(f"{src}/_stage_{i}")
-        part = [
-            f
-            for f in os.listdir(f"{src}/_stage_{i}")
-            if f.endswith(".parquet")
-        ][0]
-        shutil.move(f"{src}/_stage_{i}/{part}", f"{src}/chunk_{i}.parquet")
-        shutil.rmtree(f"{src}/_stage_{i}")
+    chunked_file_source(events, "event_id", src, n_files)
     return src, events
 
 

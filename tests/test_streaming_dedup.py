@@ -12,6 +12,9 @@ from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
     minhash_dedup_pairs,
 )
 from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+from retail_sales_analysis_etl_bi_project_spark.streaming.harness import (
+    chunked_file_source,
+)
 from retail_sales_analysis_etl_bi_project_spark.streaming.dedup import (
     dedup_stream_against_store,
     read_pairs,
@@ -23,14 +26,7 @@ SF_DIR = "/root/testdata/sf0.001"
 def _doc_chunks(spark, tmp_path, n_files=3):
     docs = load_table(spark, SF_DIR, "documents")
     src = str(tmp_path / "docs_src")
-    os.makedirs(src, exist_ok=True)
-    for i in range(n_files):
-        chunk = docs.filter(F.pmod(F.col("doc_id"), n_files) == i)
-        stage = f"{src}/_stage_{i}"
-        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
-        shutil.move(f"{stage}/{part}", f"{src}/chunk_{i}.parquet")
-        shutil.rmtree(stage)
+    chunked_file_source(docs, "doc_id", src, n_files)
     return src, docs
 
 

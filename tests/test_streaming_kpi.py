@@ -9,6 +9,9 @@ import shutil
 from pyspark.sql import functions as F
 
 from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
+from retail_sales_analysis_etl_bi_project_spark.streaming.harness import (
+    chunked_file_source,
+)
 from retail_sales_analysis_etl_bi_project_spark.streaming.kpi import (
     apply_kpi_batch,
     maintain_kpi_stream,
@@ -23,17 +26,7 @@ def _orders_stream_source(spark, tmp_path, n_files=3):
     file stream delivers them as separate micro-batches-worth of data."""
     orders = load_table(spark, SF_DIR, "orders")
     src = str(tmp_path / "orders_src")
-    os.makedirs(src, exist_ok=True)
-    for i in range(n_files):
-        chunk = orders.filter(F.pmod(F.col("o_orderkey"), n_files) == i)
-        chunk.coalesce(1).write.mode("overwrite").parquet(f"{src}/_stage_{i}")
-        part = [
-            f
-            for f in os.listdir(f"{src}/_stage_{i}")
-            if f.endswith(".parquet")
-        ][0]
-        shutil.move(f"{src}/_stage_{i}/{part}", f"{src}/chunk_{i}.parquet")
-        shutil.rmtree(f"{src}/_stage_{i}")
+    chunked_file_source(orders, "o_orderkey", src, n_files)
     return src, orders
 
 

@@ -49,15 +49,27 @@ def main() -> None:
     resume = "--resume" in sys.argv
     prior_timings: dict[str, float] = {}
     prior_errors: dict[str, str] = {}
-    if resume and os.path.exists(out_path):
+    # foreign top-level sections other tools merge into the artifact
+    # (e.g. bench_streaming.py's "streaming") must survive a rewrite —
+    # preserved even WITHOUT --resume (review finding, r9: a full
+    # re-bench silently dropped the streaming throughput numbers)
+    _OWN_KEYS = {
+        "metric", "value", "unit", "sf", "repeats",
+        "action_overhead_ms", "n_queries", "n_errors", "queries",
+        "errors",
+    }
+    foreign: dict = {}
+    if os.path.exists(out_path):
         with open(out_path) as f:
             prior = json.load(f)
-        prior_timings = dict(prior.get("queries", {}))
-        prior_errors = {
-            k: v
-            for k, v in prior.get("errors", {}).items()
-            if not k.startswith("warmup:")
-        }
+        foreign = {k: v for k, v in prior.items() if k not in _OWN_KEYS}
+        if resume:
+            prior_timings = dict(prior.get("queries", {}))
+            prior_errors = {
+                k: v
+                for k, v in prior.get("errors", {}).items()
+                if not k.startswith("warmup:")
+            }
     spark = get_spark("bench-full")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
@@ -124,6 +136,7 @@ def main() -> None:
             "n_errors": len(errors),
             "queries": timings,
             "errors": errors,
+            **foreign,
         }
         with open(out_path + ".tmp", "w") as f:
             json.dump(doc, f, indent=1)

@@ -10,8 +10,8 @@ N_CHUNKS times — the honest shape of continuous ingestion, not one
 giant batch):
 
 - volume monitor (streaming/anomaly.py): events -> per-(type, day)
-  count store; readout row-count sanity-checked against the batch
-  events_anomaly_daily.
+  count store; readout rows asserted EQUAL to the batch
+  events_anomaly_daily result.
 - incremental KPI (streaming/kpi.py): orders -> per-(year, month)
   fixed-point partials; readout sanity-checked against a direct
   aggregate of the source.
@@ -35,11 +35,17 @@ sys.path.insert(0, ROOT)
 
 from pyspark.sql import functions as F
 
+from retail_sales_analysis_etl_bi_project_spark.plans.stat_queries import (
+    events_anomaly_daily,
+)
 from retail_sales_analysis_etl_bi_project_spark.session import get_spark
 from retail_sales_analysis_etl_bi_project_spark.sources.tables import load_table
 from retail_sales_analysis_etl_bi_project_spark.streaming.anomaly import (
     anomaly_readout,
     maintain_volume_stream,
+)
+from retail_sales_analysis_etl_bi_project_spark.streaming.harness import (
+    chunked_file_source,
 )
 from retail_sales_analysis_etl_bi_project_spark.streaming.kpi import (
     maintain_kpi_stream,
@@ -47,22 +53,6 @@ from retail_sales_analysis_etl_bi_project_spark.streaming.kpi import (
 )
 
 N_CHUNKS = 8
-
-
-def _chunked_source(df, id_col: str, src: str) -> int:
-    """Split ``df`` into N_CHUNKS single-file parquet chunks under
-    ``src`` (the file-source micro-batch harness the streaming tests
-    use) and return the row count."""
-    os.makedirs(src, exist_ok=True)
-    for i in range(N_CHUNKS):
-        stage = f"{src}/_stage_{i}"
-        df.filter(F.pmod(F.col(id_col), N_CHUNKS) == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
-        shutil.move(f"{stage}/{part}", f"{src}/chunk_{i}.parquet")
-        shutil.rmtree(stage)
-    return df.count()
 
 
 def main() -> None:
@@ -78,7 +68,7 @@ def main() -> None:
     # ---- volume monitor: events -> daily count store ----
     events = load_table(spark, sf_dir, "events")
     src = f"{work}/events_src"
-    n_events = _chunked_source(events, "event_id", src)
+    n_events = chunked_file_source(events, "event_id", src, N_CHUNKS)
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -89,19 +79,24 @@ def main() -> None:
         stream, f"{work}/volume", f"{work}/volume_ckpt", timeout_sec=600
     )
     wall = time.perf_counter() - t0
-    n_flags = anomaly_readout(spark, f"{work}/volume").count()
+    # correctness guard (outside the timed window): the maintained
+    # store's flags must EQUAL the one-shot batch query, or the
+    # throughput number is measuring a wrong pipeline
+    got = sorted(map(tuple, anomaly_readout(spark, f"{work}/volume").collect()))
+    want = sorted(map(tuple, events_anomaly_daily(spark, sf_dir).collect()))
+    assert got == want, "streamed anomaly flags != batch query"
     results["anomaly_volume_monitor"] = {
         "input_rows": n_events,
         "micro_batches": N_CHUNKS,
         "wall_sec": round(wall, 3),
         "rows_per_sec": round(n_events / wall),
-        "readout_rows": n_flags,
+        "readout_rows": len(got),
     }
 
     # ---- incremental KPI: orders -> fixed-point partials store ----
     orders = load_table(spark, sf_dir, "orders")
     src = f"{work}/orders_src"
-    n_orders = _chunked_source(orders, "o_orderkey", src)
+    n_orders = chunked_file_source(orders, "o_orderkey", src, N_CHUNKS)
     stream = (
         spark.readStream.schema(orders.schema)
         .option("maxFilesPerTrigger", 1)
@@ -141,8 +136,11 @@ def main() -> None:
         ),
         **results,
     }
-    with open(out_path, "w") as f:
+    # atomic, like every other writer of this shared artifact: a kill
+    # mid-dump must not truncate the full-registry timings
+    with open(out_path + ".tmp", "w") as f:
         json.dump(doc, f, indent=1)
+    os.replace(out_path + ".tmp", out_path)
     print(json.dumps(doc["streaming"], indent=1))
 
 
