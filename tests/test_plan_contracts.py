@@ -274,3 +274,20 @@ def test_containment_blocking_is_aggregate_based(spark, qs, sf_dir):
     plan = plan_of(spark, qs, "dedup_containment_pairs", sf_dir)
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_containment_recall_single_truth_pass(spark, qs, sf_dir):
+    """dedup_containment_recall: all counts come from ONE full-outer
+    join of the two pair sets, so the plan holds exactly one FullOuter
+    node and exactly one nested-loop join (the quadratic all-pairs
+    truth side — the deliberate, labeled baseline). A second
+    nested-loop means the truth join is being evaluated per count
+    again (the r9 review finding); a missing FullOuter means the
+    one-pass form was lost."""
+    plan = plan_of(spark, qs, "dedup_containment_recall", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("FullOuter") == 1, tree
+    nested = tree.count("BroadcastNestedLoopJoin") + tree.count(
+        "CartesianProduct"
+    )
+    assert nested == 1, tree
