@@ -272,6 +272,28 @@ def probe_assignments(
     )
 
 
+def ivf_corpus_lists(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF INDEX-BUILD stage: the corpus with its ``centroid_id``
+    column — the inverted lists a production IVF system stores (the
+    corpus sharded by centroid). Like ivfpq_corpus_codes, callers
+    serving repeated query batches should build this once
+    (plans/similarity_queries.py memo-persists it per corpus) instead
+    of re-assigning the corpus per batch."""
+    if codebook is None:
+        _, codebook = ivf_assignments(corpus, n_centroids, id_col, vec_col)
+    assigned, _ = ivf_assignments(
+        _parallelize(corpus, id_col), n_centroids, id_col, vec_col,
+        codebook=codebook,
+    )
+    return assigned
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -283,6 +305,7 @@ def ivf_topk(
     nprobe: int = 1,
     train_mod: int = 4,
     codebook: list[list[float]] | None = None,
+    corpus_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: queries score only the corpus vectors assigned to their
     ``nprobe`` closest centroids. The probe join is an equi-join on
@@ -298,18 +321,28 @@ def ivf_topk(
     entirely (refine_iters/train_mod are then ignored). A codebook is a
     FITTED ARTIFACT — at 100 TB it is trained once and reused by every
     query batch, never re-derived per query; the plans layer memoizes
-    it per corpus for exactly that reason."""
-    if codebook is not None:
+    it per corpus for exactly that reason.
+
+    ``corpus_assigned``: reuse prebuilt inverted lists from
+    ivf_corpus_lists (requires ``codebook`` — queries must be assigned
+    against the same codebook the lists were built with)."""
+    if corpus_assigned is not None:
+        if codebook is None:
+            raise ValueError(
+                "corpus_assigned requires the codebook it was built with"
+            )
         cb = codebook
-    elif refine_iters > 0:
-        cb = kmedians_codebook(
-            corpus, n_centroids, refine_iters, id_col, vec_col, train_mod
-        )
+        assigned = corpus_assigned
     else:
-        _, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)
-    assigned, _ = ivf_assignments(
-        _parallelize(corpus, id_col), n_centroids, id_col, vec_col, codebook=cb
-    )
+        if codebook is not None:
+            cb = codebook
+        elif refine_iters > 0:
+            cb = kmedians_codebook(
+                corpus, n_centroids, refine_iters, id_col, vec_col, train_mod
+            )
+        else:
+            _, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)
+        assigned = ivf_corpus_lists(corpus, n_centroids, id_col, vec_col, cb)
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
     )
@@ -426,9 +459,7 @@ def ivfpq_corpus_codes(
         cb = codebook
     else:
         _, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)
-    assigned, _ = ivf_assignments(
-        _parallelize(corpus, id_col), n_centroids, id_col, vec_col, codebook=cb
-    )
+    assigned = ivf_corpus_lists(corpus, n_centroids, id_col, vec_col, cb)
     if ks <= n_centroids:
         # Both codebooks init from the first-N-by-id convention, so the
         # first ks coarse centroids ARE the PQ training vectors — slice

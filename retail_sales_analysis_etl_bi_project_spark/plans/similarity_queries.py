@@ -18,6 +18,7 @@ from ..operators.similarity import (
     brute_force_topk,
     hyperplanes,
     ivf_assignments,
+    ivf_corpus_lists,
     ivf_topk,
     ivfpq_corpus_codes,
     ivfpq_topk,
@@ -58,6 +59,33 @@ def _corpus_codebook(
             _, cb = ivf_assignments(emb, _N_CENTROIDS)
         _CODEBOOK_CACHE[key] = cb
     return _CODEBOOK_CACHE[key]
+
+
+def _corpus_ivf_lists(
+    spark: SparkSession, sf_dir: str, refine_iters: int = 0
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fitted IVF inverted lists for the corpus (memo_persist — the
+    corpus sharded by centroid_id is the stored layout a production
+    IVF serves from) plus the codebook they were built with. One
+    persisted entry per (corpus, codebook variant); persist returns
+    the identical plan a rebuild would, so oracle hashes cannot
+    move."""
+    cb = _corpus_codebook(spark, sf_dir, refine_iters=refine_iters)
+    lists = memo_persist(
+        "ivf_lists",
+        (
+            spark.sparkContext.applicationId,
+            sf_dir,
+            _N_CENTROIDS,
+            refine_iters,
+        ),
+        lambda: ivf_corpus_lists(
+            load_table(spark, sf_dir, "embeddings"),
+            n_centroids=_N_CENTROIDS,
+            codebook=cb,
+        ),
+    )
+    return lists, cb
 
 
 def _corpus_pq_index(spark: SparkSession, sf_dir: str):
@@ -265,12 +293,14 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replay; recall vs brute force additionally asserted in
     tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
+    lists, cb = _corpus_ivf_lists(spark, sf_dir)
     return ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < _N_QUERIES),
         k=_K,
         n_centroids=_N_CENTROIDS,
-        codebook=_corpus_codebook(spark, sf_dir),
+        codebook=cb,
+        corpus_assigned=lists,
     )
 
 
@@ -281,13 +311,15 @@ def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5x less than brute force at 16 centroids). Fully hash-verified
     against the shared IVF oracle builder."""
     emb = load_table(spark, sf_dir, "embeddings")
+    lists, cb = _corpus_ivf_lists(spark, sf_dir)
     return ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < _N_QUERIES),
         k=_K,
         n_centroids=_N_CENTROIDS,
         nprobe=3,
-        codebook=_corpus_codebook(spark, sf_dir),
+        codebook=cb,
+        corpus_assigned=lists,
     )
 
 
@@ -303,12 +335,14 @@ def sim_ivf_kmedians_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont), so DuckDB replays the entire iterative pipeline —
     sampling predicate included — for a full hash check."""
     emb = load_table(spark, sf_dir, "embeddings")
+    lists, cb = _corpus_ivf_lists(spark, sf_dir, refine_iters=2)
     return ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < _N_QUERIES),
         k=_K,
         n_centroids=_N_CENTROIDS,
-        codebook=_corpus_codebook(spark, sf_dir, refine_iters=2),
+        codebook=cb,
+        corpus_assigned=lists,
     )
 
 
