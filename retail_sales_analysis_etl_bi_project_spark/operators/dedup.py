@@ -1121,6 +1121,7 @@ def containment_dedup_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup pairs by shingle CONTAINMENT (Broder):
     containment = |A∩B| / min(|A|,|B|) — the measure that catches a
@@ -1150,10 +1151,16 @@ def containment_dedup_pairs(
     # array_distinct), and the relation feeds FOUR consumers (the df
     # groupBy, the rare semi-join, both verification sides) — checkpoint
     # it so the tokenize/shingle pipeline runs once, not 4x (the
-    # triangle-counts lesson; review finding, r8)
-    shd = shingle_relation(docs, n, text_col, id_col).localCheckpoint(
-        eager=False
-    )
+    # triangle-counts lesson; review finding, r8). ``shingles``: reuse
+    # a caller-managed (did, sh) relation instead (the signature-store
+    # posture — production dedup materializes this table once per
+    # corpus; plans/dedup_queries.py memo-persists it).
+    if shingles is not None:
+        shd = shingles
+    else:
+        shd = shingle_relation(docs, n, text_col, id_col).localCheckpoint(
+            eager=False
+        )
     tall = shd.select("did", F.explode("sh").alias("shingle"))
     df = (
         tall.groupBy("shingle")
@@ -1204,20 +1211,24 @@ def containment_all_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-pairs containment (|A∩B|/min(|A|,|B|) >= threshold) —
     the quadratic exactness baseline containment_dedup_pairs' blocking
     approximates; verification/recall audits only, never the scale
     path. Same columns as containment_dedup_pairs so recall audits can
-    join the two directly."""
+    join the two directly. ``shingles`` as in containment_dedup_pairs."""
     from .partitioning import to_cluster_width
 
     # both join sides consume the relation: checkpoint so the
     # tokenize/shingle pipeline runs once, not per side (the
     # containment_dedup_pairs discipline)
-    shd = shingle_relation(docs, n, text_col, id_col).localCheckpoint(
-        eager=False
-    )
+    if shingles is not None:
+        shd = shingles
+    else:
+        shd = shingle_relation(docs, n, text_col, id_col).localCheckpoint(
+            eager=False
+        )
     a = to_cluster_width(
         shd.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")),
         "doc_a",

@@ -551,6 +551,24 @@ def _containment_oracle(
     """
 
 
+def _shared_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Managed-persist (did, sh) distinct-shingle relation — the
+    signature-store table production dedup materializes once per
+    corpus (operators/dedup.py signature_store_relations persists
+    exactly this alongside band rows). Shared by the containment
+    blocker and its recall audit's all-pairs baseline; persist returns
+    the identical plan a rebuild would, so oracle hashes cannot
+    move."""
+    from ..operators.dedup import shingle_relation
+    from .shared_cache import memo_persist
+
+    return memo_persist(
+        "shingles",
+        (spark.sparkContext.applicationId, sf_dir, n),
+        lambda: shingle_relation(load_table(spark, sf_dir, "documents"), n),
+    )
+
+
 @query("dedup_containment_pairs", oracle=_containment_oracle())
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (operators/dedup.py
@@ -558,9 +576,14 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare-shingle blocking (AllPairs/PPJoin prefix-filter discipline) —
     the subset/quote detector Jaccard misses at size skew, with the df
     cap as the skew guard. Fully hash-verified: the oracle replays
-    blocking and verification over the same distinct shingle sets."""
+    blocking and verification over the same distinct shingle sets.
+    The shingle relation comes from the managed signature-store
+    persist (_shared_shingles) instead of a per-invocation
+    checkpoint."""
     return containment_dedup_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.6
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.6,
+        shingles=_shared_shingles(spark, sf_dir),
     )
 
 
@@ -622,13 +645,14 @@ def dedup_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth join — is evaluated once, not once per count (review
     finding, r9)."""
     docs = load_table(spark, sf_dir, "documents")
+    sh = _shared_shingles(spark, sf_dir)
     got = (
-        containment_dedup_pairs(docs, threshold=0.6)
+        containment_dedup_pairs(docs, threshold=0.6, shingles=sh)
         .select("doc_a", "doc_b")
         .withColumn("_in_got", F.lit(True))
     )
     truth = (
-        containment_all_pairs(docs, threshold=0.6)
+        containment_all_pairs(docs, threshold=0.6, shingles=sh)
         .select("doc_a", "doc_b")
         .withColumn("_in_truth", F.lit(True))
     )
