@@ -135,11 +135,12 @@ HEADLINE = [
     "events_cusum_drift",
     "dedup_containment_pairs",
     "dedup_cluster_canonical",
-    # sim_ann_recall_tuning and dedup_containment_recall are NOT
-    # headline, the sim_ann_recall / dedup_family_recall precedent:
-    # composed audits re-run member pipelines (and the containment
-    # audit's truth side is quadratic all-pairs) and would dominate the
-    # total with redundant timings; BENCH_FULL.json records them.
+    # sim_ann_recall_tuning, dedup_containment_recall, and
+    # dedup_minhash_recall_tuning are NOT headline, the sim_ann_recall
+    # / dedup_family_recall precedent: composed audits re-run member
+    # pipelines (and the recall audits' truth sides are quadratic
+    # all-pairs) and would dominate the total with redundant timings;
+    # BENCH_FULL.json records them.
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

@@ -682,6 +682,147 @@ def dedup_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (label, bands) — the LSH banding ladder at num_hashes=64: rows_per_band
+# = 64/bands drives the match-probability S-curve 1-(1-s^r)^b. More
+# bands (fewer rows each) = looser blocking = recall up, candidates up.
+# The strict end (2 bands x 32 rows) visibly LOSES near-exact pairs on
+# this corpus (s ~ 0.95-0.99: 1-(1-s^32)^2 drops well below 1), so the
+# ladder pins a real S-curve, not three 1.0s.
+_MINHASH_TUNING_CONFIGS = (
+    ("bands02_rows32", 2),
+    ("bands04_rows16", 4),
+    ("bands16_rows4", 16),
+)
+
+
+def _minhash_tuning_oracle(threshold: float = 0.5) -> str:
+    """DuckDB replay of the banding ladder: each config's FULL MinHash
+    pipeline (shared _minhash_lsh_oracle builder) unioned under its
+    config label, one LEFT JOIN against the all-pairs Jaccard truth,
+    and recall + delta vs the production bands=16 config — the
+    _ann_tuning_oracle shape on the dedup family."""
+    withs = ",\n    ".join(
+        f"cfg_{label} AS (SELECT doc_a, doc_b FROM "
+        f"({_minhash_lsh_oracle(bands=bands, threshold=threshold)}))"
+        for label, bands in _MINHASH_TUNING_CONFIGS
+    )
+    unioned = "\n      UNION ALL\n      ".join(
+        f"""SELECT '{label}' AS config,
+                 CAST({bands} AS BIGINT) AS bands,
+                 CAST({64 // bands} AS BIGINT) AS rows_per_band,
+                 doc_a, doc_b
+          FROM cfg_{label}"""
+        for label, bands in _MINHASH_TUNING_CONFIGS
+    )
+    return f"""
+    WITH truth AS (SELECT doc_a, doc_b FROM ({_ngram_jaccard_oracle()})),
+    {withs},
+    mh AS (
+      {unioned}
+    ),
+    rec AS (
+      SELECT a.config, a.bands, a.rows_per_band,
+             CAST(COUNT(*) AS BIGINT) AS n_method_pairs,
+             CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits
+      FROM mh a LEFT JOIN truth t
+        ON a.doc_a = t.doc_a AND a.doc_b = t.doc_b
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_pairs FROM truth),
+    scored AS (
+      SELECT config, bands, rows_per_band, n_method_pairs, hits,
+             n_truth_pairs,
+             CAST(hits AS DOUBLE) / CAST(n_truth_pairs AS DOUBLE)
+               AS pair_recall
+      FROM rec CROSS JOIN tot
+    ),
+    base AS (
+      SELECT pair_recall AS base_recall FROM scored
+      WHERE config = 'bands16_rows4'
+    )
+    SELECT config, bands, rows_per_band, n_method_pairs, hits,
+           n_truth_pairs, pair_recall,
+           pair_recall - base_recall AS delta_vs_b16
+    FROM scored CROSS JOIN base
+    ORDER BY config
+    """
+
+
+@query("dedup_minhash_recall_tuning", oracle=_minhash_tuning_oracle())
+def dedup_minhash_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH BANDING story as checked numbers — the dedup
+    twin of sim_ann_recall_tuning: at fixed num_hashes=64, the
+    bands/rows_per_band split is THE recall/cost knob (candidate-match
+    probability 1-(1-s^r)^b), and this ladder pins each config's pair
+    recall against the exact all-pairs Jaccard truth plus its delta vs
+    the production bands=16 config. Precision is 1.0 by construction
+    for every config (exact-Jaccard verification), so n_method_pairs
+    <= n_truth_pairs and recall is the only number that can move —
+    a banding regression shifts a hash-checked double, not prose.
+
+    Plan shape: the three config pipelines union under literal labels,
+    recall is ONE left join + groupBy against the truth relation, and
+    the truth (quadratic all-pairs — a verification input, like every
+    exactness baseline here) is localCheckpointed so its two consumers
+    (the join and the denominator count) compute it once."""
+    docs = load_table(spark, sf_dir, "documents")
+    mh = None
+    for label, bands in _MINHASH_TUNING_CONFIGS:
+        pairs = (
+            shared_minhash_pairs(spark, sf_dir, bands=bands)
+            if bands == 16
+            else minhash_dedup_pairs(
+                docs, threshold=0.5, num_hashes=64, bands=bands
+            )
+        )
+        part = pairs.select(
+            F.lit(label).alias("config"),
+            F.lit(bands).cast("bigint").alias("bands"),
+            F.lit(64 // bands).cast("bigint").alias("rows_per_band"),
+            "doc_a",
+            "doc_b",
+        )
+        mh = part if mh is None else mh.unionByName(part)
+    truth = (
+        ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    rec = (
+        mh.join(truth.withColumn("_hit", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .groupBy("config", "bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_method_pairs"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits"),
+        )
+    )
+    tot = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"))
+    scored = rec.crossJoin(tot).withColumn(
+        "pair_recall",
+        F.col("hits").cast("double") / F.col("n_truth_pairs").cast("double"),
+    )
+    base = scored.filter(F.col("config") == "bands16_rows4").select(
+        F.col("pair_recall").alias("base_recall")
+    )
+    return (
+        scored.crossJoin(base)
+        .select(
+            "config",
+            "bands",
+            "rows_per_band",
+            "n_method_pairs",
+            "hits",
+            "n_truth_pairs",
+            "pair_recall",
+            (F.col("pair_recall") - F.col("base_recall")).alias("delta_vs_b16"),
+        )
+        .orderBy("config")
+    )
+
+
 def _canonical_oracle() -> str:
     """DuckDB replay of dedup_cluster_canonical: the recursive-CTE
     transitive closure (same as _cc_oracle) joined with the documents'

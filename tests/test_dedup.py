@@ -342,6 +342,31 @@ def test_containment_all_pairs_measures_blocker_misses(spark):
     assert exact == {(i, 99) for i in range(12)}
 
 
+def test_minhash_banding_ladder_is_monotone(spark, sf_dir):
+    """The banding S-curve 1-(1-s^r)^b: recall must be non-decreasing
+    in the band count at fixed num_hashes, the production bands=16
+    config must sit at the ladder's top, and precision stays 1.0 by
+    construction (hits == n_method_pairs for every config)."""
+    from retail_sales_analysis_etl_bi_project_spark.plans.dedup_queries import (
+        dedup_minhash_recall_tuning,
+    )
+
+    rows = {
+        r.config: r
+        for r in dedup_minhash_recall_tuning(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"bands02_rows32", "bands04_rows16", "bands16_rows4"}
+    r2, r4, r16 = (
+        rows["bands02_rows32"],
+        rows["bands04_rows16"],
+        rows["bands16_rows4"],
+    )
+    assert r2.pair_recall <= r4.pair_recall <= r16.pair_recall
+    assert r16.delta_vs_b16 == 0.0
+    for r in rows.values():
+        assert r.hits == r.n_method_pairs  # exact verify => precision 1.0
+
+
 def test_cluster_canonical_keeps_longest_member(spark):
     from retail_sales_analysis_etl_bi_project_spark.plans.dedup_queries import (
         dedup_cluster_canonical,
