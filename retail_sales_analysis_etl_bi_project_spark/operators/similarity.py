@@ -465,16 +465,33 @@ def ivfpq_corpus_codes(
         # first ks coarse centroids ARE the PQ training vectors — slice
         # them instead of running a second orderBy/limit/collect job
         # over the corpus.
-        sub = len(cb[0]) // n_sub
-        cbs = [
-            [v[m * sub : (m + 1) * sub] for v in cb[:ks]] for m in range(n_sub)
-        ]
+        cbs = pq_codebooks_from_coarse(cb, n_sub, ks)
     else:
         cbs = pq_codebooks(corpus, n_sub, ks, id_col, vec_col)
     codes = pq_encode(assigned, cbs, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id", "pq_codes"
     )
     return codes, cbs, cb
+
+
+def pq_codebooks_from_coarse(
+    cb: list[list[float]], n_sub: int, ks: int
+) -> list[list[list[float]]]:
+    """The slice path of ivfpq_corpus_codes as a shared helper (a
+    caller re-deriving the slice privately could silently diverge from
+    the branch the corpus was encoded with — review finding, r9):
+    valid only while the first ks coarse centroids ARE the PQ training
+    vectors, i.e. ks <= n_centroids."""
+    if ks > len(cb):
+        raise ValueError(
+            f"ks={ks} > n_centroids={len(cb)}: the slice derivation no "
+            "longer matches ivfpq_corpus_codes (it trains via "
+            "pq_codebooks there); build the index and reuse its cbs"
+        )
+    sub = len(cb[0]) // n_sub
+    return [
+        [v[m * sub : (m + 1) * sub] for v in cb[:ks]] for m in range(n_sub)
+    ]
 
 
 def ivfpq_topk(
@@ -514,6 +531,11 @@ def ivfpq_topk(
     query batch is what this parameter exists to avoid."""
     if index is not None:
         c, cbs, cb = index
+        # the index's codebooks define the subspace split — a caller
+        # leaving n_sub at its default while passing an 8-subspace
+        # index would otherwise score with half the PQ distance,
+        # silently (review finding, r9)
+        n_sub = len(cbs)
     else:
         c, cbs, cb = ivfpq_corpus_codes(
             corpus, n_centroids, n_sub, ks, id_col, vec_col, codebook

@@ -215,13 +215,33 @@ def _ngram_jaccard_oracle() -> str:
     """
 
 
+def shared_jaccard_truth(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Managed-persist all-pairs n-gram Jaccard truth set — the
+    quadratic exactness baseline consumed by THREE registered queries
+    (dedup_ngram_jaccard itself, dedup_family_recall,
+    dedup_minhash_recall_tuning); one evaluation per
+    (application, corpus) instead of one per consumer (review
+    finding, r9 — the _shared_shingles discipline applied to the
+    truth relation)."""
+    from .shared_cache import memo_persist
+
+    return memo_persist(
+        "jaccard_truth",
+        (spark.sparkContext.applicationId, sf_dir, threshold, n),
+        lambda: ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=threshold, n=n
+        ),
+    )
+
+
 @query("dedup_ngram_jaccard", oracle=_ngram_jaccard_oracle())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) — the
-    quadratic exactness baseline that MinHash-LSH approximates."""
-    return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, n=3
-    )
+    quadratic exactness baseline that MinHash-LSH approximates.
+    Served from the managed truth persist (shared_jaccard_truth)."""
+    return shared_jaccard_truth(spark, sf_dir)
 
 
 # Shared verified-pairs stage (r5 VERDICT): dedup_minhash_lsh,
@@ -660,17 +680,25 @@ def dedup_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("_in_got", F.lit(False)).alias("in_got"),
         F.coalesce("_in_truth", F.lit(False)).alias("in_truth"),
     )
-    hit = (F.col("in_got") & F.col("in_truth")).cast("bigint")
+    # count(CASE WHEN ...) not sum(cast): COUNT over an empty merged
+    # set is 0 in both engines, where SUM would be NULL in Spark only
+    # — a false hash mismatch on a pair-free corpus (review finding,
+    # r9)
+    hit = F.when(F.col("in_got") & F.col("in_truth"), F.lit(1))
     return merged.agg(
-        F.sum(F.col("in_got").cast("bigint")).cast("bigint").alias("n_method_pairs"),
-        F.sum(F.col("in_truth").cast("bigint")).cast("bigint").alias("n_truth_pairs"),
-        F.sum(hit).cast("bigint").alias("hits"),
-        F.sum((F.col("in_truth") & ~F.col("in_got")).cast("bigint"))
+        F.count(F.when(F.col("in_got"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_method_pairs"),
+        F.count(F.when(F.col("in_truth"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_truth_pairs"),
+        F.count(hit).cast("bigint").alias("hits"),
+        F.count(F.when(F.col("in_truth") & ~F.col("in_got"), F.lit(1)))
         .cast("bigint")
         .alias("missed"),
         (
-            F.sum(hit).cast("double")
-            / F.sum(F.col("in_truth").cast("bigint")).cast("double")
+            F.count(hit).cast("double")
+            / F.count(F.when(F.col("in_truth"), F.lit(1))).cast("double")
         ).alias("pair_recall"),
     ).select(
         F.lit("containment_blocked_vs_exact").alias("family"),
@@ -764,8 +792,10 @@ def dedup_minhash_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the three config pipelines union under literal labels,
     recall is ONE left join + groupBy against the truth relation, and
     the truth (quadratic all-pairs — a verification input, like every
-    exactness baseline here) is localCheckpointed so its two consumers
-    (the join and the denominator count) compute it once."""
+    exactness baseline here) comes from the managed persist
+    (shared_jaccard_truth) its other consumers also read, so one
+    evaluation serves the join, the denominator count, and the sibling
+    recall queries."""
     docs = load_table(spark, sf_dir, "documents")
     mh = None
     for label, bands in _MINHASH_TUNING_CONFIGS:
@@ -784,11 +814,7 @@ def dedup_minhash_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
         mh = part if mh is None else mh.unionByName(part)
-    truth = (
-        ngram_jaccard_pairs(docs, threshold=0.5, n=3)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
+    truth = shared_jaccard_truth(spark, sf_dir).select("doc_a", "doc_b")
     rec = (
         mh.join(truth.withColumn("_hit", F.lit(1)), ["doc_a", "doc_b"], "left")
         .groupBy("config", "bands", "rows_per_band")

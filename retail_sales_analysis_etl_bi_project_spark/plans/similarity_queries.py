@@ -112,11 +112,12 @@ def _corpus_pq_index(spark: SparkSession, sf_dir: str):
         (spark.sparkContext.applicationId, sf_dir, _N_CENTROIDS, _N_SUB, _PQ_KS),
         build,
     )
-    sub = _DIM // _N_SUB
-    cbs = [
-        [v[m * sub : (m + 1) * sub] for v in cb[:_PQ_KS]]
-        for m in range(_N_SUB)
-    ]
+    # shared slice helper (raises if _PQ_KS ever outgrows the coarse
+    # codebook, where ivfpq_corpus_codes switches to trained PQ
+    # codebooks and a private slice would silently diverge)
+    from ..operators.similarity import pq_codebooks_from_coarse
+
+    cbs = pq_codebooks_from_coarse(cb, _N_SUB, _PQ_KS)
     return codes, cbs, cb
 
 

@@ -60,8 +60,14 @@ def main() -> None:
     }
     foreign: dict = {}
     if os.path.exists(out_path):
-        with open(out_path) as f:
-            prior = json.load(f)
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            # a truncated/corrupt artifact must not abort a fresh
+            # bench that would simply rewrite it (resume falls back to
+            # a full run — the honest recovery)
+            prior = {}
         foreign = {k: v for k, v in prior.items() if k not in _OWN_KEYS}
         if resume:
             prior_timings = dict(prior.get("queries", {}))
@@ -125,7 +131,11 @@ def main() -> None:
             spark._jvm.System.gc()
         except Exception:
             pass
+        # foreign sections spread FIRST so freshly computed fields
+        # always win a key collision with stale prior-file values
+        # (review finding, r9)
         doc = {
+            **foreign,
             "metric": "full_registry_wall_once",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
@@ -136,7 +146,6 @@ def main() -> None:
             "n_errors": len(errors),
             "queries": timings,
             "errors": errors,
-            **foreign,
         }
         with open(out_path + ".tmp", "w") as f:
             json.dump(doc, f, indent=1)
