@@ -188,6 +188,38 @@ def test_ivfpq_adc_matches_exact_l2_on_codebook_vectors(spark):
     assert dists == sorted(dists)
 
 
+def test_ivfpq_prebuilt_index_path_equals_inline_build(spark, sf_dir):
+    """The served-index split (r9): ivfpq_topk probing a prebuilt
+    ivfpq_corpus_codes index must return EXACTLY the rows of the
+    inline-build path — and the probe must honor the index's own
+    subspace split (n_sub derived from the index, not the call-site
+    default: an 8-subspace index probed with the default 4 would
+    silently rank by half the PQ distance)."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+        ivfpq_corpus_codes,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = sorted(map(tuple, ivfpq_topk(emb, queries, k=10).collect()))
+    idx = ivfpq_corpus_codes(emb)
+    served = sorted(
+        map(tuple, ivfpq_topk(emb, queries, k=10, index=idx).collect())
+    )
+    assert served == inline
+    # the index defines the split: an n_sub=8 index probed with the
+    # call-site default must equal the inline n_sub=8 result
+    inline8 = sorted(
+        map(tuple, ivfpq_topk(emb, queries, k=10, n_sub=8).collect())
+    )
+    idx8 = ivfpq_corpus_codes(emb, n_sub=8)
+    served8 = sorted(
+        map(tuple, ivfpq_topk(emb, queries, k=10, index=idx8).collect())
+    )
+    assert served8 == inline8
+
+
 def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
     """IVFPQ recall@10 against the exact baseline on driver embeddings:
     quantized top-k must keep a usable fraction of true neighbors
