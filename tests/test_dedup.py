@@ -342,6 +342,26 @@ def test_containment_all_pairs_measures_blocker_misses(spark):
     assert exact == {(i, 99) for i in range(12)}
 
 
+def test_containment_recall_zero_counts_on_pair_free_corpus(spark, tmp_path):
+    """Empty pair universe: every count must be 0 (not NULL) — Spark's
+    SUM over an empty relation is NULL where the oracle's COUNT(CASE)
+    is 0, the exact cross-engine trap the count(when) form exists for
+    (review finding, r9)."""
+    from retail_sales_analysis_etl_bi_project_spark.plans.dedup_queries import (
+        dedup_containment_recall,
+    )
+
+    # all-distinct docs, no shared shingles at all -> no pairs anywhere
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    sf = str(tmp_path / "sf_empty")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    r = dedup_containment_recall(spark, sf).collect()[0]
+    assert (r.n_method_pairs, r.n_truth_pairs, r.hits, r.missed) == (0, 0, 0, 0)
+
+
 def test_minhash_banding_ladder_is_monotone(spark, sf_dir):
     """The banding S-curve 1-(1-s^r)^b: recall must be non-decreasing
     in the band count at fixed num_hashes, the production bands=16
