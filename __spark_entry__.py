@@ -131,11 +131,12 @@ _PAST_WINDOW = (
     "agg_numeric_histograms",         # bucket->groupBy-count, as q04 CASE agg
     "bi_revenue_pivot_priority_year", # pivot agg, as cube_status_year (in)
     "embed_label_centroids",          # embedding array-agg audit, as quantize_int8
-    # r9b — NEW query registered past the window (r6f/r7e precedent:
-    # gate-replica verified this round, rotate IN next round). In-window
-    # mechanism sibling: dedup_family_recall (same truth set + counting
-    # joins; the ladder adds the banding knob dimension).
-    "dedup_minhash_recall_tuning",
+    # r9b — dedup_minhash_recall_tuning (banding ladder) rotates IN
+    # within the round (replica-green at sf0.01 AND sf0.001); spill:
+    "etl_snapshot_cdc_diff",          # full-outer set-diff, as in-window
+                                      # dedup_containment_recall's full-outer
+                                      # audit; CDC swap pinned by streaming
+                                      # tests; green r6b-r8
 )
 
 
