@@ -391,7 +391,7 @@ def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d GROUP BY 1
     )
     SELECT event_type, day, n_events, n_days, sum_events,
-           CAST(sumsq_events AS DECIMAL(38,0)) AS sumsq_events,
+           CAST(sumsq_events AS BIGINT) AS sumsq_events,
            CAST(CASE WHEN
                   (CAST(n_days AS HUGEINT) * n_events - sum_events)
                     * (CAST(n_days AS HUGEINT) * n_events - sum_events)
@@ -425,6 +425,14 @@ def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow yields NULL comparisons (flags silently 0) while DuckDB's
     int128 wraps later, so past-envelope inputs would FAIL the oracle
     hash rather than agree on garbage — see anomaly_flags).
+
+    Output-type discipline: the wide-decimal/HUGEINT arithmetic stays
+    INTERNAL; the projected sumsq_events is cast to BIGINT on both
+    engines (registry contract: no decimal output columns —
+    tests/test_registry_contract.py). int64 envelope for the OUTPUT:
+    sumsq = sum of x^2 per type < 9.2e18 holds through ~1e4 days at
+    ~3e7 events/day/type; a 100 TB monitor freezes the baseline on a
+    reference period, which also caps the moments (SCALE.md).
 
     Scale shape: the daily collapse is one groupBy (map-side partial),
     per-type moments are a groupBy over the DAY-grain table
@@ -504,7 +512,7 @@ def anomaly_flags(daily: DataFrame) -> DataFrame:
             "n_events",
             "n_days",
             "sum_events",
-            F.col("sumsq_events").cast("decimal(38,0)").alias("sumsq_events"),
+            F.col("sumsq_events").cast("bigint").alias("sumsq_events"),
             F.when(dev * dev > spread, F.lit(1))
             .otherwise(F.lit(0))
             .cast("int")
@@ -855,8 +863,8 @@ def corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, day, n_events,
-           CAST(cusum_pos AS DECIMAL(38,0)) AS cusum_pos,
-           CAST(cusum_neg AS DECIMAL(38,0)) AS cusum_neg,
+           CAST(cusum_pos AS BIGINT) AS cusum_pos,
+           CAST(cusum_neg AS BIGINT) AS cusum_neg,
            CAST(CASE WHEN cusum_pos * cusum_pos > 25 * var_num
                 THEN 1 ELSE 0 END AS INT) AS drift_up,
            CAST(CASE WHEN cusum_neg * cusum_neg > 25 * var_num
@@ -886,6 +894,15 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled by n), and the 5-sigma alarm multiplies through to
     S_t^2 > 25*(n*SS - S^2) — the events_anomaly_daily discipline, so
     alarms are bit-identical across engines with no float variance.
+
+    Output-type discipline: the decimal(38,0)/HUGEINT prefix math
+    stays INTERNAL; projected cusum_pos/cusum_neg are cast to BIGINT
+    on both engines (registry contract: no decimal output columns).
+    int64 envelope for the OUTPUT: |cusum| <= range of prefix sums of
+    dev = n*x - S, so at n ~ 1e4 days and x ~ 1e9 events/day the
+    prefix magnitude is ~1e17 — comfortably inside int64; the frozen
+    reference-period baseline a 100 TB monitor uses caps it further
+    (SCALE.md).
 
     Scale shape: events collapse to day grain first; the windows and
     moment joins all run over |types x days| rows. The whole-history
@@ -931,8 +948,8 @@ def cusum_flags(daily: DataFrame) -> DataFrame:
         "event_type",
         "day",
         "n_events",
-        big(F.col("cusum_pos")).alias("cusum_pos"),
-        big(F.col("cusum_neg")).alias("cusum_neg"),
+        F.col("cusum_pos").cast("bigint").alias("cusum_pos"),
+        F.col("cusum_neg").cast("bigint").alias("cusum_neg"),
         F.when(F.col("cusum_pos") * F.col("cusum_pos") > lim, F.lit(1))
         .otherwise(F.lit(0))
         .cast("int")

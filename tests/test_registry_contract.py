@@ -38,3 +38,63 @@ def test_window_composition():
 
     # key alignment: no oracle for a non-existent query
     assert not set(oracles) - set(qs)
+
+
+# Leaf types the driver's Spark/DuckDB hash compare is known-safe on:
+# the full green registry uses exactly these (r9 sweep). DECIMAL is
+# deliberately absent — the only two hash-red driver rows in r8/r9
+# were the registry's only decimal-output queries (the driver's hash
+# normalization renders Decimal cells differently between its Arrow
+# and duckdb fetch paths). Wide-decimal arithmetic is fine INTERNALLY;
+# final projections must cast to one of these.
+_SAFE_LEAF_TYPES = {
+    "bigint",
+    "boolean",
+    "date",
+    "double",
+    "float",
+    "int",
+    "string",
+    "timestamp",
+}
+
+
+def _leaf_types(dt, out):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        for f in dt.fields:
+            _leaf_types(f.dataType, out)
+    elif isinstance(dt, T.ArrayType):
+        _leaf_types(dt.elementType, out)
+    elif isinstance(dt, T.MapType):
+        _leaf_types(dt.keyType, out)
+        _leaf_types(dt.valueType, out)
+    else:
+        out.add(dt.simpleString())
+
+
+def test_no_decimal_or_exotic_output_columns(spark, sf_dir):
+    """Every registered query's OUTPUT schema stays inside the leaf
+    types the driver compare has proven safe on. Schema-only: builds
+    each DataFrame (analysis, no job) and recurses through
+    array/map/struct containers down to leaves."""
+    bad = {}
+    for name, fn in entrymod.queries().items():
+        leaves = set()
+        _leaf_types(fn(spark, sf_dir).schema, leaves)
+        offending = leaves - _SAFE_LEAF_TYPES
+        if offending:
+            bad[name] = sorted(offending)
+    assert not bad, f"unsafe output leaf types: {bad}"
+
+
+def test_decimal_output_actually_fails_the_contract(spark, sf_dir):
+    """Self-check: a deliberately decimal-projecting frame trips the
+    same leaf-type walk the contract uses."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.lit(1).cast("decimal(38,0)").alias("x"))
+    leaves = set()
+    _leaf_types(df.schema, leaves)
+    assert leaves - _SAFE_LEAF_TYPES == {"decimal(38,0)"}
