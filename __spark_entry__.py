@@ -141,8 +141,14 @@ _PAST_WINDOW = (
 
 
 def _rotated(d: dict) -> dict:
+    # a _PAST_WINDOW name absent from the registry is rotation-list
+    # drift (typo / renamed query) — fail loudly instead of silently
+    # leaving the intended spill in-window (review finding, r10); the
+    # same invariant is pinned in tests/test_registry_contract.py
+    missing = [k for k in _PAST_WINDOW if k not in d]
+    assert not missing, f"_PAST_WINDOW names not in registry: {missing}"
     head = {k: v for k, v in d.items() if k not in _PAST_WINDOW}
-    tail = {k: d[k] for k in _PAST_WINDOW if k in d}
+    tail = {k: d[k] for k in _PAST_WINDOW}
     return head | tail
 
 

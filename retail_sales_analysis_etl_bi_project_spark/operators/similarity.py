@@ -460,7 +460,11 @@ def ivfpq_corpus_codes(
     else:
         _, cb = ivf_assignments(corpus, n_centroids, id_col, vec_col)
     assigned = ivf_corpus_lists(corpus, n_centroids, id_col, vec_col, cb)
-    if ks <= n_centroids:
+    # Branch on len(cb), not the n_centroids parameter: with a
+    # caller-supplied codebook shorter than n_centroids, cb[:ks] would
+    # silently yield fewer than ks PQ training vectors while the shared
+    # helper raises — the two derivations must use the same condition.
+    if ks <= len(cb):
         # Both codebooks init from the first-N-by-id convention, so the
         # first ks coarse centroids ARE the PQ training vectors — slice
         # them instead of running a second orderBy/limit/collect job

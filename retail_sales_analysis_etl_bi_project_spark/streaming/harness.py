@@ -19,8 +19,20 @@ def chunked_file_source(
 ) -> int:
     """Write ``df`` as ``n_chunks`` single-file parquet chunks under
     ``src`` (chunk i holds rows with ``id_col % n_chunks == i``; empty
-    chunks are skipped) and return the total row count."""
+    chunks are skipped) and return the total row count.
+
+    Refuses a source directory that already holds chunk files: a
+    reused ``src`` would replay the stale chunks alongside the new
+    ones, so the returned count would disagree with what the stream
+    ingests (review finding, r10)."""
     os.makedirs(src, exist_ok=True)
+    stale = [f for f in os.listdir(src) if f.startswith("chunk_")]
+    if stale:
+        raise ValueError(
+            f"source dir {src} already holds chunk files {sorted(stale)}: "
+            "a readStream over it would replay them alongside the new "
+            "chunks — pass a fresh directory"
+        )
     for i in range(n_chunks):
         stage = f"{src}/_stage_{i}"
         df.filter(F.pmod(F.col(id_col), n_chunks) == i).coalesce(1).write.mode(

@@ -124,9 +124,14 @@ def main() -> None:
 
     out_path = os.path.join(ROOT, "BENCH_FULL.json")
     doc = {}
-    if os.path.exists(out_path):
+    # tolerate a truncated/corrupt prior artifact (bench_full.py has
+    # the same guard): the just-measured throughput must not be lost
+    # to an unreadable file — start a fresh doc instead
+    try:
         with open(out_path) as f:
             doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {}
     doc["streaming"] = {
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "note": (
