@@ -459,6 +459,7 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     include_estimate: bool = False,
     max_bucket: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` rows of
     ``num_hashes/bands`` values, hash each band, and emit pairs of docs
@@ -481,8 +482,16 @@ def minhash_candidate_pairs(
     (see _bucket_pairs; audit the drops with oversize_buckets)."""
     # No .cache(): the builder contract returns lazy plans (nobody could
     # unpersist), and an unmanaged cache leaked storage memory across the
-    # 28-query bench session in round 1.
-    with_sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    # 28-query bench session in round 1. Callers that band the SAME
+    # corpus several ways (the banding-ladder audit) pass a persisted
+    # ``signatures`` relation ((doc_id_, sig), from minhash_signatures
+    # with the same num_hashes) so the dominant signature pipeline is
+    # built once, not once per band config.
+    with_sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    )
     banded = _banded_rows(with_sig, num_hashes, bands)
     cand = (
         _bucket_pairs(banded, ["band_idx", "band_hash"], ["doc_id_"], max_bucket)
@@ -520,16 +529,24 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    signatures: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH dedup: candidates from banding, then exact
     n-gram-Jaccard verification of ONLY the candidates (the classic
     two-phase scheme — verification cost is proportional to candidate
-    count, not corpus^2)."""
+    count, not corpus^2). ``signatures`` / ``shingles`` let callers
+    that run the pipeline repeatedly over one corpus (the banding
+    ladder, a signature store) inject persisted relations for the two
+    corpus-scan stages; both default to a fresh build with identical
+    plans, so oracle hashes cannot move."""
     cand = minhash_candidate_pairs(
         docs, num_hashes, bands, n, text_col, id_col,
         include_estimate=False, max_bucket=max_bucket,
+        signatures=signatures,
     )
-    return _verify_candidates(cand, docs, threshold, n, text_col, id_col)
+    sh = shingles if shingles is not None else shingle_relation(docs, n, text_col, id_col)
+    return _verify_pairs(cand, sh, threshold)
 
 
 def incremental_minhash_dedup_pairs(

@@ -34,7 +34,12 @@ from ..operators.dedup import (
 from ..sources.tables import load_table
 from .registry import query
 
-_SQL_SHINGLES = """
+def _sql_shingles(docs_sql: str = "documents") -> str:
+    """DuckDB (doc_id, sh) distinct-shingle relation over ``docs_sql``
+    (a table name or parenthesized subquery) — parameterized so the
+    sampled-truth sweep mode can replay the same pipeline over a
+    deterministic corpus subsample (see _TRUTH_SAMPLE_K)."""
+    return f"""
     SELECT doc_id,
            list_distinct(
              list_transform(
@@ -45,8 +50,68 @@ _SQL_SHINGLES = """
                  CASE WHEN text IS NULL OR length(trim(text)) = 0
                       THEN []::VARCHAR[]
                       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
-          FROM documents)
+          FROM {docs_sql})
 """
+
+
+_SQL_SHINGLES = _sql_shingles()
+
+# ---------------------------------------------------------------------------
+# Sampled-truth sweep mode (SPARK_GRAFT_TRUTH_SAMPLE_HEX): the three
+# recall-audit queries whose DuckDB twins embed the quadratic all-pairs
+# n-gram Jaccard baseline (dedup_ngram_jaccard, dedup_family_recall's
+# text family, dedup_minhash_recall_tuning) exceed any reasonable
+# oracle timeout at 10k docs (sf0.1). Setting the env var to K in 1..16
+# restricts THOSE THREE queries — method and truth sides alike, on BOTH
+# engines — to the deterministic hash-prefix doc sample
+#   first-hex-char(md5(doc_id)) among the first K of '0123456789abcdef'
+# i.e. ~K/16 of the corpus (K=3 at sf0.1 ≈ 1.9k docs), so the sf0.1
+# sweep can hash-check the recall math at scale instead of skipping it.
+# Read ONCE at import (the oracle strings are built at decoration time)
+# — set the env var before importing __spark_entry__; unset (the driver
+# path) everything below is the exact full-corpus pipeline. Every other
+# query is unaffected.
+TRUTH_SAMPLE_ENV = "SPARK_GRAFT_TRUTH_SAMPLE_HEX"
+
+
+def _read_truth_sample_k() -> int:
+    import os
+
+    try:
+        return max(0, min(16, int(os.environ.get(TRUTH_SAMPLE_ENV, "0"))))
+    except ValueError:
+        return 0
+
+
+_TRUTH_SAMPLE_K = _read_truth_sample_k()
+
+
+def _sql_docs() -> str:
+    """``documents`` (full corpus), or the hash-prefix subsample when
+    sampled-truth mode is on — the DuckDB twin of _truth_docs."""
+    if _TRUTH_SAMPLE_K == 0:
+        return "documents"
+    return (
+        "(SELECT * FROM documents WHERE strpos('0123456789abcdef', "
+        f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= {_TRUTH_SAMPLE_K})"
+    )
+
+
+def _truth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table, restricted to the deterministic md5-prefix
+    sample when sampled-truth mode is on (the Spark twin of
+    _sql_docs; md5 of the same decimal doc_id string is identical
+    across engines, so both sides keep exactly the same docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    if _TRUTH_SAMPLE_K == 0:
+        return docs
+    return docs.where(
+        F.expr(
+            "instr('0123456789abcdef', "
+            "substring(md5(cast(doc_id as string)), 1, 1))"
+        )
+        <= F.lit(_TRUTH_SAMPLE_K)
+    )
 
 
 def _hex60(x: str) -> str:
@@ -65,6 +130,7 @@ def _minhash_lsh_oracle(
     bands: int = 16,
     threshold: float = 0.5,
     cand_extra: str = "",
+    docs_sql: str = "documents",
 ) -> str:
     """Full MinHash-LSH pipeline in DuckDB SQL: shingles -> base hash ->
     universal-family grouped MINs -> Horner band buckets -> candidate
@@ -84,7 +150,7 @@ def _minhash_lsh_oracle(
 
     bands_sql = "\n      UNION ALL ".join(band_select(i) for i in range(bands))
     return f"""
-    WITH sh AS ({_SQL_SHINGLES}),
+    WITH sh AS ({_sql_shingles(docs_sql)}),
     tall AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
     hb_t AS (SELECT doc_id, {_hex60('shingle')} % {P31} AS hb FROM tall),
     sig AS (SELECT doc_id,
@@ -198,9 +264,12 @@ def dedup_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ngram_jaccard_oracle() -> str:
     """DuckDB twin of ngram_jaccard_pairs — also the text-family truth
-    set of dedup_family_recall, so it lives in a function."""
+    set of dedup_family_recall, so it lives in a function. Runs over
+    the hash-prefix doc sample in sampled-truth sweep mode
+    (_TRUTH_SAMPLE_K) — this all-pairs join is exactly the piece that
+    outgrows the sweep timeout at 10k docs."""
     return f"""
-    WITH sh AS ({_SQL_SHINGLES})
+    WITH sh AS ({_sql_shingles(_sql_docs())})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
                 THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -224,15 +293,37 @@ def shared_jaccard_truth(
     dedup_minhash_recall_tuning); one evaluation per
     (application, corpus) instead of one per consumer (review
     finding, r9 — the _shared_shingles discipline applied to the
-    truth relation)."""
+    truth relation). In sampled-truth sweep mode the quadratic join
+    runs over the hash-prefix doc sample (key includes the sample
+    setting, so a mode flip can't serve a stale relation)."""
     from .shared_cache import memo_persist
 
     return memo_persist(
         "jaccard_truth",
-        (spark.sparkContext.applicationId, sf_dir, threshold, n),
+        (spark.sparkContext.applicationId, sf_dir, threshold, n, _TRUTH_SAMPLE_K),
         lambda: ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), threshold=threshold, n=n
+            _truth_docs(spark, sf_dir), threshold=threshold, n=n
         ),
+    )
+
+
+def shared_minhash_signatures(
+    spark: SparkSession, sf_dir: str, num_hashes: int = 64
+) -> DataFrame:
+    """Managed-persist (doc_id_, sig) MinHash signature relation over
+    the (possibly sampled) corpus — the banding ladder's three configs
+    band the SAME 64-hash signatures three different ways, so the
+    dominant shingle+hash pipeline is built once per (application,
+    corpus), not once per rung (r9 VERDICT item 6). persist returns
+    the identical plan a rebuild would, so oracle hashes cannot
+    move."""
+    from ..operators.dedup import minhash_signatures
+    from .shared_cache import memo_persist
+
+    return memo_persist(
+        "minhash_sigs",
+        (spark.sparkContext.applicationId, sf_dir, num_hashes, _TRUTH_SAMPLE_K),
+        lambda: minhash_signatures(_truth_docs(spark, sf_dir), num_hashes),
     )
 
 
@@ -731,7 +822,7 @@ def _minhash_tuning_oracle(threshold: float = 0.5) -> str:
     _ann_tuning_oracle shape on the dedup family."""
     withs = ",\n    ".join(
         f"cfg_{label} AS (SELECT doc_a, doc_b FROM "
-        f"({_minhash_lsh_oracle(bands=bands, threshold=threshold)}))"
+        f"({_minhash_lsh_oracle(bands=bands, threshold=threshold, docs_sql=_sql_docs())}))"
         for label, bands in _MINHASH_TUNING_CONFIGS
     )
     unioned = "\n      UNION ALL\n      ".join(
@@ -795,15 +886,31 @@ def dedup_minhash_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness baseline here) comes from the managed persist
     (shared_jaccard_truth) its other consumers also read, so one
     evaluation serves the join, the denominator count, and the sibling
-    recall queries."""
-    docs = load_table(spark, sf_dir, "documents")
+    recall queries. The three rungs band the SAME 64-hash signatures,
+    so they read one persisted signature relation
+    (shared_minhash_signatures) and one persisted shingle relation
+    (_shared_shingles) instead of building the corpus-scan stages once
+    per rung (r9 VERDICT item 6); the production bands=16 rung still
+    reuses the family-wide verified-pairs persist when available
+    (full-corpus mode). In sampled-truth sweep mode
+    (SPARK_GRAFT_TRUTH_SAMPLE_HEX) every rung and the truth run over
+    the same deterministic hash-prefix doc sample, which bounds the
+    oracle's quadratic replay at sf0.1."""
+    docs = _truth_docs(spark, sf_dir)
+    sigs = shared_minhash_signatures(spark, sf_dir, num_hashes=64)
+    sh = _shared_shingles(spark, sf_dir)
     mh = None
     for label, bands in _MINHASH_TUNING_CONFIGS:
         pairs = (
             shared_minhash_pairs(spark, sf_dir, bands=bands)
-            if bands == 16
+            if bands == 16 and _TRUTH_SAMPLE_K == 0
             else minhash_dedup_pairs(
-                docs, threshold=0.5, num_hashes=64, bands=bands
+                docs,
+                threshold=0.5,
+                num_hashes=64,
+                bands=bands,
+                signatures=sigs,
+                shingles=sh,
             )
         )
         part = pairs.select(

@@ -455,11 +455,16 @@ def _dedup_recall_oracle() -> str:
         _embedding_lsh_oracle,
         _minhash_lsh_oracle,
         _ngram_jaccard_oracle,
+        _sql_docs,
     )
 
+    # the text family (method AND truth) runs over the hash-prefix doc
+    # sample in sampled-truth sweep mode (dedup_queries._TRUTH_SAMPLE_K)
+    # — the all-pairs Jaccard truth is what outgrows the sf0.1 sweep
+    # timeout; the embedding family is corpus-bounded and stays full
     return f"""
     WITH t_truth AS ({_ngram_jaccard_oracle()}),
-    t_got AS ({_minhash_lsh_oracle()}),
+    t_got AS ({_minhash_lsh_oracle(docs_sql=_sql_docs())}),
     e_truth AS ({_embedding_cosine_oracle()}),
     e_got AS ({_embedding_lsh_oracle()})
     SELECT 'embedding_lsh_vs_exact_cosine' AS family,
@@ -499,11 +504,16 @@ def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truths are quadratic, so like the other exactness baselines this
     audit is a verification query, not a bench headline)."""
     from .dedup_queries import (
+        _TRUTH_SAMPLE_K,
+        _shared_shingles,
+        _truth_docs,
         dedup_embedding_cosine,
         dedup_embedding_lsh,
         dedup_ngram_jaccard,
         shared_minhash_pairs,
+        shared_minhash_signatures,
     )
+    from ..operators.dedup import minhash_dedup_pairs
 
     def family(name: str, got: DataFrame, truth: DataFrame, keys: list) -> DataFrame:
         g = got.select(*keys)
@@ -533,9 +543,24 @@ def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_embedding_cosine(spark, sf_dir),
         ["vec_a", "vec_b"],
     )
+    # sampled-truth sweep mode: method and truth both restrict to the
+    # hash-prefix doc sample (matching _dedup_recall_oracle); full mode
+    # keeps the family-wide verified-pairs persist
+    mh_got = (
+        shared_minhash_pairs(spark, sf_dir)
+        if _TRUTH_SAMPLE_K == 0
+        else minhash_dedup_pairs(
+            _truth_docs(spark, sf_dir),
+            threshold=0.5,
+            num_hashes=64,
+            bands=16,
+            signatures=shared_minhash_signatures(spark, sf_dir, num_hashes=64),
+            shingles=_shared_shingles(spark, sf_dir),
+        )
+    )
     txt = family(
         "minhash_lsh_vs_exact_jaccard",
-        shared_minhash_pairs(spark, sf_dir),
+        mh_got,
         dedup_ngram_jaccard(spark, sf_dir),
         ["doc_a", "doc_b"],
     )

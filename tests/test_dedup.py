@@ -416,3 +416,71 @@ def test_cluster_canonical_keeps_longest_member(spark):
         assert k.kept_doc_id == best
         assert k.n_members == len(mem) and k.n_dropped == len(mem) - 1
         assert k.kept_n_chars == chars[best]
+
+
+def test_minhash_injected_relations_match_fresh_build(spark, sf_dir):
+    """minhash_dedup_pairs with caller-injected signatures/shingles
+    (the banding-ladder sharing path, r10) returns exactly the pairs a
+    fresh build does — the injection is a cost knob, never a semantic
+    one."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_relation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    fresh = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_dedup_pairs(docs, threshold=0.5, bands=4).collect()
+    }
+    injected = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_dedup_pairs(
+            docs,
+            threshold=0.5,
+            bands=4,
+            signatures=minhash_signatures(docs, 64),
+            shingles=shingle_relation(docs, 3),
+        ).collect()
+    }
+    assert fresh == injected
+
+
+def test_truth_docs_sampling_is_deterministic_subset(spark, sf_dir):
+    """_truth_docs with the sweep env var set keeps a deterministic
+    md5-prefix subset; unset it is the identity. (The oracle twins use
+    the same predicate — scoping is pinned in the entry-module import
+    checks run by tools/compare_oracle sweeps.)"""
+    import retail_sales_analysis_etl_bi_project_spark.plans.dedup_queries as dq
+
+    full = {r.doc_id for r in dq._truth_docs(spark, sf_dir).select("doc_id").collect()}
+    all_ids = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    assert full == all_ids  # K=0: identity
+
+    old = dq._TRUTH_SAMPLE_K
+    try:
+        dq._TRUTH_SAMPLE_K = 3
+        s1 = {r.doc_id for r in dq._truth_docs(spark, sf_dir).select("doc_id").collect()}
+        s2 = {r.doc_id for r in dq._truth_docs(spark, sf_dir).select("doc_id").collect()}
+    finally:
+        dq._TRUTH_SAMPLE_K = old
+    assert s1 == s2 and s1 < all_ids and len(s1) > 0
+    # expected mass ~3/16 of the corpus; allow a wide tolerance
+    assert 0.05 < len(s1) / len(all_ids) < 0.4
+
+
+def test_chunked_file_source_refuses_reused_dir(spark, tmp_path):
+    """A reused source dir would replay stale chunks alongside new
+    ones — the harness must refuse instead (review finding, r10)."""
+    from retail_sales_analysis_etl_bi_project_spark.streaming.harness import (
+        chunked_file_source,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    src = str(tmp_path / "src")
+    assert chunked_file_source(df, "k", src, n_chunks=2) == 10
+    with pytest.raises(ValueError, match="chunk files"):
+        chunked_file_source(df, "k", src, n_chunks=2)
