@@ -135,10 +135,11 @@ def ngram_jaccard_pairs(
     """Near-dup pairs by exact n-gram Jaccard >= threshold.
 
     All-pairs is the exactness baseline (quadratic — small corpora /
-    verification only; at scale use minhash_candidate_pairs to generate
-    candidates first). ``query_mod`` restricts the left side to
-    ``id % query_mod == 0`` — the 'dedup a sample against the corpus'
-    shape."""
+    verification only; allpairs_jaccard_join returns the IDENTICAL
+    result via prefix filtering without the cross product, and
+    minhash_candidate_pairs trades exactness for candidates at scale).
+    ``query_mod`` restricts the left side to ``id % query_mod == 0``
+    — the 'dedup a sample against the corpus' shape."""
     a = docs.select(
         F.col(id_col).alias("doc_a"), tokens_expr(F.col(text_col)).alias("_t")
     ).select("doc_a", shingles_from_tokens(F.col("_t"), n).alias("sh_a"))
@@ -164,6 +165,72 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def allpairs_jaccard_join(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard self-join via prefix filtering — the
+    AllPairs/PPJoin discipline (Bayardo et al., WWW'07): identical
+    output to ngram_jaccard_pairs (every pair with J >= threshold, no
+    approximation), without materializing the O(N^2) cross product.
+
+    Why it is exact: order each doc's shingles by a GLOBAL total order
+    (corpus document frequency ascending, shingle as tie-break) and
+    keep only the first  p = |d| - ceil(t*|d|) + 1  as the doc's
+    PREFIX. For any pair with J >= t, |A∩B| >= t*|A∪B| >= t*max(|A|,
+    |B|), and the smallest common element under the global order must
+    sit inside BOTH prefixes (if it sat past A's prefix, the >=
+    ceil(t*|A|) intersection elements would all have to fit in the
+    last ceil(t*|A|)-1 positions — a contradiction). So joining docs
+    on shared PREFIX shingles generates a candidate superset, and
+    exact verification (the same jaccard_expr the brute-force form
+    uses) keeps precisely the qualifying pairs.
+
+    Scale shape: shingle dfs are one groupBy; the prefix cut is one
+    per-doc window over (df, shingle); candidates come from the shared
+    one-pass bucket machinery on prefix shingles (no self-join); cost
+    tracks sum over prefix shingles of C(df,2) — rare shingles
+    dominate prefixes by construction, so hot (stopword) shingles are
+    indexed only by docs that have nothing rarer, and the join never
+    touches non-candidate pairs. This replaces the brute-force truth
+    build in shared_jaccard_truth (the DuckDB oracle REMAINS the
+    brute-force all-pairs SQL, so the cross-engine hash check proves
+    the prefix filter's exactness on every corpus it runs on; equality
+    with ngram_jaccard_pairs is additionally pinned in tests).
+
+    The threshold enters ceil() through a tiny downward bias
+    (-1e-9) so float rounding can only LENGTHEN a prefix (more
+    candidates, never a missed pair)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_relation(docs, n, text_col, id_col)
+    )
+    tall = sh.select("did", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    dfs = tall.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("did").orderBy("df", "shingle")
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
+        + 1
+    )
+    pref = (
+        tall.join(dfs, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= prefix_len)
+    )
+    cand = (
+        _bucket_pairs(pref, ["shingle"], ["did"])
+        .select(F.col("did_a").alias("doc_a"), F.col("did_b").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _verify_pairs(cand, sh, threshold)
 
 
 # --------------------------------------------------------- minhash + lsh

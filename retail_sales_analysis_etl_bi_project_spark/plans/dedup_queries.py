@@ -26,7 +26,6 @@ from ..operators.dedup import (
     fingerprint_dup_groups,
     minhash_dedup_pairs,
     minhash_params,
-    ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     winnow_fingerprints,
     containment_dedup_pairs,
@@ -293,15 +292,27 @@ def shared_jaccard_truth(
     dedup_minhash_recall_tuning); one evaluation per
     (application, corpus) instead of one per consumer (review
     finding, r9 — the _shared_shingles discipline applied to the
-    truth relation). In sampled-truth sweep mode the quadratic join
-    runs over the hash-prefix doc sample (key includes the sample
-    setting, so a mode flip can't serve a stale relation)."""
+    truth relation). In sampled-truth sweep mode the join runs over
+    the hash-prefix doc sample (key includes the sample setting, so a
+    mode flip can't serve a stale relation).
+
+    Since r10 the Spark side computes the truth with the EXACT
+    prefix-filtered AllPairs join (operators/dedup.py
+    allpairs_jaccard_join) instead of the brute-force cross product —
+    identical pairs by construction AND by proof: the DuckDB oracle
+    remains the brute-force all-pairs SQL, so every gate run
+    hash-checks the prefix filter against an independent quadratic
+    evaluation; equality with ngram_jaccard_pairs is also pinned in
+    tests/test_dedup.py. This removes the engine's only corpus-scale
+    quadratic plan (88 s of the sf0.1 BENCH_FULL tail) while keeping
+    the truth exact."""
+    from ..operators.dedup import allpairs_jaccard_join
     from .shared_cache import memo_persist
 
     return memo_persist(
         "jaccard_truth",
         (spark.sparkContext.applicationId, sf_dir, threshold, n, _TRUTH_SAMPLE_K),
-        lambda: ngram_jaccard_pairs(
+        lambda: allpairs_jaccard_join(
             _truth_docs(spark, sf_dir), threshold=threshold, n=n
         ),
     )

@@ -484,3 +484,33 @@ def test_chunked_file_source_refuses_reused_dir(spark, tmp_path):
     assert chunked_file_source(df, "k", src, n_chunks=2) == 10
     with pytest.raises(ValueError, match="chunk files"):
         chunked_file_source(df, "k", src, n_chunks=2)
+
+
+def test_allpairs_prefix_join_equals_brute_force(spark, sf_dir):
+    """The prefix-filtered AllPairs join (r10, the shared_jaccard_truth
+    builder) must return EXACTLY the brute-force all-pairs result —
+    pairs and jaccard values — including the degenerate conventions
+    (empty/NULL text docs share the '' shingle and pair at J=1)."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        allpairs_jaccard_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (0.5, 0.7):
+        brute = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        fast = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in allpairs_jaccard_join(docs, threshold=t).collect()
+        }
+        assert brute == fast and brute
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "a b c d e f"), (4, "a b c d e g"), (5, None)],
+        "doc_id long, text string",
+    )
+    brute = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(edge, threshold=0.5).collect()}
+    fast = {(r.doc_a, r.doc_b) for r in allpairs_jaccard_join(edge, threshold=0.5).collect()}
+    assert brute == fast == {(1, 2), (1, 5), (2, 5), (3, 4)}
