@@ -140,15 +140,20 @@ _PAST_WINDOW = (
 )
 
 
-def _rotated(d: dict) -> dict:
-    # a _PAST_WINDOW name absent from the registry is rotation-list
-    # drift (typo / renamed query) — fail loudly instead of silently
-    # leaving the intended spill in-window (review finding, r10); the
-    # same invariant is pinned in tests/test_registry_contract.py
-    missing = [k for k in _PAST_WINDOW if k not in d]
-    assert not missing, f"_PAST_WINDOW names not in registry: {missing}"
+def _rotated(d: dict, strict: bool = False) -> dict:
+    # strict (the queries() path): a _PAST_WINDOW name absent from the
+    # registry is rotation-list drift (typo / renamed query) — fail
+    # loudly instead of silently leaving the intended spill in-window
+    # (review finding, r10); the same invariant is pinned in
+    # tests/test_registry_contract.py. The oracle path stays lenient:
+    # ORACLES legitimately lacks the rows-only sketch queries, so a
+    # rotated-out oracle-less name must not crash oracle_sql()
+    # (review finding, r10b).
+    if strict:
+        missing = [k for k in _PAST_WINDOW if k not in d]
+        assert not missing, f"_PAST_WINDOW names not in registry: {missing}"
     head = {k: v for k, v in d.items() if k not in _PAST_WINDOW}
-    tail = {k: d[k] for k in _PAST_WINDOW}
+    tail = {k: d[k] for k in _PAST_WINDOW if k in d}
     return head | tail
 
 
@@ -160,7 +165,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return _rotated(dict(_registry().QUERIES))
+    return _rotated(dict(_registry().QUERIES), strict=True)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -206,7 +206,18 @@ def allpairs_jaccard_join(
 
     The threshold enters ceil() through a tiny downward bias
     (-1e-9) so float rounding can only LENGTHEN a prefix (more
-    candidates, never a missed pair)."""
+    candidates, never a missed pair).
+
+    Precondition: threshold > 0 — at t=0 the brute-force form emits
+    shingle-DISJOINT pairs (J=0.0 >= 0), which by definition share no
+    shingle and can never become prefix candidates, so the identity
+    claim above would not hold (review finding, r10b)."""
+    if threshold <= 0:
+        raise ValueError(
+            "allpairs_jaccard_join requires threshold > 0 (prefix "
+            "filtering cannot generate shingle-disjoint J=0 pairs; use "
+            "ngram_jaccard_pairs for an all-pairs listing)"
+        )
     sh = (
         shingles
         if shingles is not None

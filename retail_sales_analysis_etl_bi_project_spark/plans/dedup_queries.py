@@ -76,10 +76,19 @@ TRUTH_SAMPLE_ENV = "SPARK_GRAFT_TRUTH_SAMPLE_HEX"
 def _read_truth_sample_k() -> int:
     import os
 
+    raw = os.environ.get(TRUTH_SAMPLE_ENV, "0")
     try:
-        return max(0, min(16, int(os.environ.get(TRUTH_SAMPLE_ENV, "0"))))
+        k = int(raw)
     except ValueError:
-        return 0
+        # a malformed value silently mapping to 0 would hand the sweep
+        # exactly the full-corpus quadratic oracle the mode exists to
+        # avoid — fail loudly instead (review finding, r10b)
+        raise ValueError(
+            f"{TRUTH_SAMPLE_ENV}={raw!r} is not an integer (expected 0-16)"
+        ) from None
+    if not 0 <= k <= 16:
+        raise ValueError(f"{TRUTH_SAMPLE_ENV}={k} out of range 0-16")
+    return k
 
 
 _TRUTH_SAMPLE_K = _read_truth_sample_k()
@@ -691,6 +700,26 @@ def _shared_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     )
 
 
+def _truth_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Shingle relation matching _truth_docs' scope: the full-corpus
+    _shared_shingles persist when sampling is off, a separately-keyed
+    sampled persist otherwise — injecting the FULL relation into a
+    sampled rung would pay two full-corpus tokenize scans per
+    verification join for nothing (review finding, r10b). The
+    containment family always reads the full-corpus persist; only the
+    sampled recall audits read this one."""
+    if _TRUTH_SAMPLE_K == 0:
+        return _shared_shingles(spark, sf_dir, n)
+    from ..operators.dedup import shingle_relation
+    from .shared_cache import memo_persist
+
+    return memo_persist(
+        "shingles_sampled",
+        (spark.sparkContext.applicationId, sf_dir, n, _TRUTH_SAMPLE_K),
+        lambda: shingle_relation(_truth_docs(spark, sf_dir), n),
+    )
+
+
 @query("dedup_containment_pairs", oracle=_containment_oracle())
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (operators/dedup.py
@@ -909,7 +938,7 @@ def dedup_minhash_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's quadratic replay at sf0.1."""
     docs = _truth_docs(spark, sf_dir)
     sigs = shared_minhash_signatures(spark, sf_dir, num_hashes=64)
-    sh = _shared_shingles(spark, sf_dir)
+    sh = _truth_shingles(spark, sf_dir)
     mh = None
     for label, bands in _MINHASH_TUNING_CONFIGS:
         pairs = (

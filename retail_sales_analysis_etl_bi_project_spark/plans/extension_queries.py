@@ -505,8 +505,8 @@ def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit is a verification query, not a bench headline)."""
     from .dedup_queries import (
         _TRUTH_SAMPLE_K,
-        _shared_shingles,
         _truth_docs,
+        _truth_shingles,
         dedup_embedding_cosine,
         dedup_embedding_lsh,
         dedup_ngram_jaccard,
@@ -555,7 +555,7 @@ def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=64,
             bands=16,
             signatures=shared_minhash_signatures(spark, sf_dir, num_hashes=64),
-            shingles=_shared_shingles(spark, sf_dir),
+            shingles=_truth_shingles(spark, sf_dir),
         )
     )
     txt = family(
