@@ -291,3 +291,19 @@ def test_containment_recall_single_truth_pass(spark, qs, sf_dir):
         "CartesianProduct"
     )
     assert nested == 1, tree
+
+
+def test_jaccard_truth_is_prefix_filtered_not_quadratic(spark, qs, sf_dir):
+    """dedup_ngram_jaccard (the shared Jaccard truth) builds with the
+    prefix-filtered AllPairs join (r10): the plan must hold NO
+    nested-loop/cartesian node — a reappearing one means someone
+    reverted shared_jaccard_truth to the brute-force cross product —
+    and must carry the prefix machinery (a Window for the per-doc
+    df-rank cut)."""
+    from retail_sales_analysis_etl_bi_project_spark.plans import shared_cache
+
+    shared_cache.release()  # plan the BUILD, not a prior persist
+    plan = plan_of(spark, qs, "dedup_ngram_jaccard", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Window" in plan, plan[:2000]
