@@ -1348,3 +1348,97 @@ def containment_all_pairs(
         .where(F.col("containment") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def containment_allpairs_prefix(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT all-pairs containment via ASYMMETRIC prefix filtering —
+    identical output to containment_all_pairs without the cross
+    product, the containment twin of allpairs_jaccard_join.
+
+    Containment = |A∩B|/min(|A|,|B|) >= t bounds the intersection only
+    against the SMALLER doc (t·min can be a sliver of the larger one),
+    so the symmetric Jaccard prefix scheme does not apply. The exact
+    asymmetric scheme: every doc posts ALL its shingles to the index
+    side; every doc posts its PREFIX (first |d|-ceil(t·|d|)+1 shingles
+    under the global df-ascending order) to the probe side; candidates
+    join probe-prefix x index on the shingle, keeping orientations
+    where the prefix owner is the smaller-or-equal side. For any
+    qualifying pair the smaller doc's intersection with the larger has
+    >= ceil(t·|S|) elements, so the smallest common element sits inside
+    the smaller doc's prefix (the allpairs_jaccard_join argument), and
+    the larger doc indexes everything — the candidate is always
+    generated. Exact verification keeps precisely the qualifying
+    pairs.
+
+    Precondition threshold > 0, as in allpairs_jaccard_join (shingle-
+    disjoint pairs score 0.0 and would need the cross product)."""
+    if threshold <= 0:
+        raise ValueError(
+            "containment_allpairs_prefix requires threshold > 0; use "
+            "containment_all_pairs for an all-pairs listing"
+        )
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_relation(docs, n, text_col, id_col)
+    )
+    tall = sh.select(
+        "did", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    dfs = tall.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("did").orderBy("df", "shingle")
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
+        + 1
+    )
+    probe = (
+        tall.join(dfs, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= prefix_len)
+        .select(F.col("did").alias("p_did"), F.col("n_sh").alias("p_n"), "shingle")
+    )
+    index = tall.select(
+        F.col("did").alias("q_did"), F.col("n_sh").alias("q_n"), "shingle"
+    )
+    cand = (
+        probe.join(index, "shingle")
+        .where(
+            (F.col("p_n") < F.col("q_n"))
+            | ((F.col("p_n") == F.col("q_n")) & (F.col("p_did") != F.col("q_did")))
+        )
+        .select(
+            F.least("p_did", "q_did").alias("doc_a"),
+            F.greatest("p_did", "q_did").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    mn = F.least(na, nb)
+    cont = F.when(mn > 0, inter.cast("double") / mn.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_shared"),
+            na.cast("bigint").alias("n_a"),
+            nb.cast("bigint").alias("n_b"),
+            cont.alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

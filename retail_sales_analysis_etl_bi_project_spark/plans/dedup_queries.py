@@ -19,7 +19,7 @@ from ..operators.dedup import (
     incremental_minhash_dedup_pairs,
     BAND_MASK,
     P31,
-    containment_all_pairs,
+    containment_allpairs_prefix,
     embedding_lsh_near_dup_pairs,
     embedding_near_dup_pairs,
     exact_dup_groups,
@@ -788,12 +788,14 @@ def dedup_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_family_recall / sim_ann_recall. Precision is 1.0 by
     construction (candidates are verified with the exact measure).
 
-    The truth side is quadratic all-pairs (operators/dedup.py
-    containment_all_pairs) — a verification query, not a bench
-    headline, like the family's other exactness baselines. All counts
-    come from ONE full-outer pass over the two pair sets (mirroring
-    the oracle), so each member pipeline — in particular the O(N^2)
-    truth join — is evaluated once, not once per count (review
+    The truth is the EXACT all-pairs containment, computed since r10
+    by asymmetric prefix filtering (operators/dedup.py
+    containment_allpairs_prefix — provably identical output to the
+    brute-force containment_all_pairs, which remains the semantic spec
+    and this query's DuckDB oracle replay, so every gate run
+    cross-checks the prefix scheme). All counts come from ONE
+    full-outer pass over the two pair sets (mirroring the oracle), so
+    each member pipeline is evaluated once, not once per count (review
     finding, r9)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shared_shingles(spark, sf_dir)
@@ -803,7 +805,7 @@ def dedup_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_in_got", F.lit(True))
     )
     truth = (
-        containment_all_pairs(docs, threshold=0.6, shingles=sh)
+        containment_allpairs_prefix(docs, threshold=0.6, shingles=sh)
         .select("doc_a", "doc_b")
         .withColumn("_in_truth", F.lit(True))
     )

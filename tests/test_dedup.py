@@ -514,3 +514,38 @@ def test_allpairs_prefix_join_equals_brute_force(spark, sf_dir):
     brute = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(edge, threshold=0.5).collect()}
     fast = {(r.doc_a, r.doc_b) for r in allpairs_jaccard_join(edge, threshold=0.5).collect()}
     assert brute == fast == {(1, 2), (1, 5), (2, 5), (3, 4)}
+
+
+def test_containment_prefix_join_equals_brute_force(spark, sf_dir):
+    """containment_allpairs_prefix (r10, the containment-recall truth
+    builder) must return EXACTLY the brute-force all-pairs containment
+    — pairs, counts, and scores — including the degenerate empty/NULL
+    docs and the pure-subset case the asymmetric measure exists for."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        containment_all_pairs,
+        containment_allpairs_prefix,
+    )
+
+    def rows(df):
+        return {
+            (r.doc_a, r.doc_b, r.n_shared, r.n_a, r.n_b, r.containment)
+            for r in df.collect()
+        }
+
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (0.6, 0.9):
+        brute = rows(containment_all_pairs(docs, threshold=t))
+        fast = rows(containment_allpairs_prefix(docs, threshold=t))
+        assert brute == fast and brute
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "a b c d e f g h"), (4, "a b c d e"), (5, None)],
+        "doc_id long, text string",
+    )
+    brute = rows(containment_all_pairs(edge, threshold=0.6))
+    fast = rows(containment_allpairs_prefix(edge, threshold=0.6))
+    assert brute == fast
+    assert {(a, b) for a, b, *_ in brute} == {(1, 2), (1, 5), (2, 5), (3, 4)}
+
+    with pytest.raises(ValueError, match="threshold > 0"):
+        containment_allpairs_prefix(edge, threshold=0.0)

@@ -279,18 +279,18 @@ def test_containment_blocking_is_aggregate_based(spark, qs, sf_dir):
 def test_containment_recall_single_truth_pass(spark, qs, sf_dir):
     """dedup_containment_recall: all counts come from ONE full-outer
     join of the two pair sets, so the plan holds exactly one FullOuter
-    node and exactly one nested-loop join (the quadratic all-pairs
-    truth side — the deliberate, labeled baseline). A second
-    nested-loop means the truth join is being evaluated per count
-    again (the r9 review finding); a missing FullOuter means the
-    one-pass form was lost."""
+    node (a missing one means the one-pass form was lost — the r9
+    review finding was the truth join evaluated per count) and, since
+    the truth moved to asymmetric prefix filtering (r10), ZERO
+    nested-loop/cartesian nodes — a reappearing one means the truth
+    reverted to the brute-force cross product."""
     plan = plan_of(spark, qs, "dedup_containment_recall", sf_dir)
     tree = plan.split("\n\n")[0]
     assert tree.count("FullOuter") == 1, tree
     nested = tree.count("BroadcastNestedLoopJoin") + tree.count(
         "CartesianProduct"
     )
-    assert nested == 1, tree
+    assert nested == 0, tree
 
 
 def test_jaccard_truth_is_prefix_filtered_not_quadratic(spark, qs, sf_dir):
