@@ -417,3 +417,55 @@ def test_epoch_budget_arithmetic_invariants(sources):
         total_budget += budget
     # floor rounding only ever loses tokens vs the exact 2*T target
     assert total_budget <= 2 * T
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.6, 0.9, 1.0]),
+)
+def test_prefix_joins_equal_brute_force_on_random_corpora(
+    spark, texts, threshold
+):
+    """Exactness law for BOTH r10 prefix-filter joins: on arbitrary
+    corpora — a 4-letter alphabet forces hot shingles, duplicate docs,
+    ties in the global (df, shingle) order, and empty docs — the
+    prefix-filtered result must equal the brute-force all-pairs result
+    for Jaccard AND containment at every threshold. Hypothesis shrinks
+    any violation to a minimal corpus."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        allpairs_jaccard_join,
+        containment_all_pairs,
+        containment_allpairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    jb = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=threshold).collect()
+    }
+    jf = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in allpairs_jaccard_join(docs, threshold=threshold).collect()
+    }
+    assert jb == jf
+    cb = {
+        (r.doc_a, r.doc_b, r.n_shared, r.containment)
+        for r in containment_all_pairs(docs, threshold=threshold).collect()
+    }
+    cf = {
+        (r.doc_a, r.doc_b, r.n_shared, r.containment)
+        for r in containment_allpairs_prefix(docs, threshold=threshold).collect()
+    }
+    assert cb == cf
