@@ -322,7 +322,13 @@ def shared_jaccard_truth(
         "jaccard_truth",
         (spark.sparkContext.applicationId, sf_dir, threshold, n, _TRUTH_SAMPLE_K),
         lambda: allpairs_jaccard_join(
-            _truth_docs(spark, sf_dir), threshold=threshold, n=n
+            _truth_docs(spark, sf_dir),
+            threshold=threshold,
+            n=n,
+            # the persisted (sample-scoped) shingle relation: the join
+            # reads it three times (tall explode + both verify sides),
+            # so injecting the managed persist saves two tokenize scans
+            shingles=_truth_shingles(spark, sf_dir, n),
         ),
     )
 
