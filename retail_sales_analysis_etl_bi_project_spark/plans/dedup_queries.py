@@ -981,7 +981,11 @@ def dedup_minhash_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"))
-    scored = rec.crossJoin(tot).withColumn(
+    # 1-row totals ride explicit broadcasts: without the hint Spark
+    # plans a CartesianProduct for the unconditioned inner join (the
+    # honest PLANS.txt filter surfaced it, r10) — same rows, wrong
+    # plan shape for the documented 1-row-crossJoin pattern
+    scored = rec.crossJoin(F.broadcast(tot)).withColumn(
         "pair_recall",
         F.col("hits").cast("double") / F.col("n_truth_pairs").cast("double"),
     )
@@ -989,7 +993,7 @@ def dedup_minhash_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pair_recall").alias("base_recall")
     )
     return (
-        scored.crossJoin(base)
+        scored.crossJoin(F.broadcast(base))
         .select(
             "config",
             "bands",

@@ -21,6 +21,12 @@ INTERESTING = re.compile(
     r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|Exchange|HashAggregate"
     r"|TakeOrderedAndProject|PushedFilters|PartitionFilters|WholeStageCodegen"
     r"|Window|Scan parquet|InMemoryTableScan"
+    # the BAD nodes must be recordable, not filtered into invisibility:
+    # without these the artifact could never show a quadratic join even
+    # when one exists (review finding, r10 — the embedding all-pairs
+    # truths and the 1-row crossJoin totals DO plan nested loops, and
+    # the artifact silently hid them)
+    r"|BroadcastNestedLoopJoin|CartesianProduct"
 )
 
 
