@@ -137,6 +137,17 @@ _PAST_WINDOW = (
                                       # dedup_containment_recall's full-outer
                                       # audit; CDC swap pinned by streaming
                                       # tests; green r6b-r8
+    # r11 spills: the two r10 prefix-filter joins rotate IN as
+    # first-class queries (r10 VERDICT item 2); each spill below has
+    # >=2 green driver rounds (r9+r10) and its mechanism stays
+    # in-window via the new queries themselves (ledger: COVERAGE.md)
+    "dedup_containment_pairs",        # blocked containment; exact sibling
+                                      # dedup_containment_prefix_join (in) +
+                                      # recall audit dedup_containment_recall
+                                      # (in) re-runs the blocked path
+    "dedup_cluster_canonical",        # rank-readout of in-window
+                                      # dedup_cluster_components; window-rank
+                                      # mechanism as bi_pareto (in)
 )
 
 
@@ -151,7 +162,8 @@ def _rotated(d: dict, strict: bool = False) -> dict:
     # (review finding, r10b).
     if strict:
         missing = [k for k in _PAST_WINDOW if k not in d]
-        assert not missing, f"_PAST_WINDOW names not in registry: {missing}"
+        if missing:  # not assert: must survive python -O (r10 ADVICE)
+            raise RuntimeError(f"_PAST_WINDOW names not in registry: {missing}")
     head = {k: v for k, v in d.items() if k not in _PAST_WINDOW}
     tail = {k: d[k] for k in _PAST_WINDOW if k in d}
     return head | tail

@@ -312,6 +312,7 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures, scalable form: explode shingles to a tall
     (doc, shingle) relation — shingle construction happens ONCE — then
@@ -322,19 +323,32 @@ def minhash_signatures(
     The input is repartitioned by id first: document corpora often
     arrive as few large files, and the explode + 64 hashes/row is the
     compute-heavy phase — it must run at full cluster parallelism, not
-    at input-file granularity."""
+    at input-file granularity.
+
+    ``shingles``: an optional (did, sh) relation from shingle_relation
+    over the SAME docs/n — the signature-store discipline: a caller
+    holding the persisted shingle table derives signatures from it
+    instead of re-tokenizing the corpus. Identical output by
+    construction (both paths explode the same distinct-shingle arrays;
+    pinned in tests/test_dedup.py)."""
     from .partitioning import to_cluster_width
 
-    tall = (
-        to_cluster_width(docs, id_col)
-        .select(
-            F.col(id_col).alias("doc_id_"),
-            tokens_expr(F.col(text_col)).alias("_toks"),
+    if shingles is not None:
+        tall = shingles.select(
+            F.col("did").alias("doc_id_"), F.explode("sh").alias("shingle")
         )
-        .select(
-            "doc_id_", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
+    else:
+        tall = (
+            to_cluster_width(docs, id_col)
+            .select(
+                F.col(id_col).alias("doc_id_"),
+                tokens_expr(F.col(text_col)).alias("_toks"),
+            )
+            .select(
+                "doc_id_",
+                F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
+            )
         )
-    )
     # ONE md5 per shingle; the num_hashes family members are cheap
     # multiply-add-mod derivations of that base (universal hashing) —
     # far less per-row work than num_hashes independent string hashes,
@@ -570,6 +584,26 @@ def minhash_candidate_pairs(
         if signatures is not None
         else minhash_signatures(docs, num_hashes, n, text_col, id_col)
     )
+    if signatures is not None:
+        # Guard a width-mismatched injection (r10 ADVICE): element_at
+        # past the array end yields NULL band hashes (non-ANSI), which
+        # would collapse every doc into one giant NULL bucket — a
+        # SILENT quadratic candidate blowup. The guard lives inside the
+        # consumed ``sig`` column so the optimizer cannot prune it.
+        with_sig = with_sig.withColumn(
+            "sig",
+            F.when(F.size("sig") == num_hashes, F.col("sig")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "injected signatures width mismatch: expected "
+                            f"num_hashes={num_hashes}, got "
+                        ),
+                        F.size("sig").cast("string"),
+                    )
+                )
+            ),
+        )
     banded = _banded_rows(with_sig, num_hashes, bands)
     cand = (
         _bucket_pairs(banded, ["band_idx", "band_hash"], ["doc_id_"], max_bucket)

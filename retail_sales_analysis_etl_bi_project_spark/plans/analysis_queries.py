@@ -107,14 +107,19 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
       with NO exchange between the join and the window).
     Ties break on term text so the cut is deterministic.
 
-    Known tradeoff (same call as dedup_minhash_lsh's verification
-    join): the df branch re-derives tf from its own corpus scan, so
-    the corpus is tokenized twice rather than holding an unmanaged
-    (doc,term)-sized cache; callers embedding this in a multi-consumer
-    pipeline should persist tf in scope and unpersist after."""
+    Since r11 the tf table comes from the MANAGED persist scope
+    (_shared_tf, plans/shared_cache.py) instead of a lazy inline
+    build: the df branch previously re-derived tf from its own corpus
+    scan (Spark re-executes an unpersisted subtree per consumer), so
+    the corpus was tokenized twice per run; serving both branches from
+    the persisted (doc, term, tf) relation makes it ONE tokenize pass
+    per (application, corpus) shared with pipeline_term_stats_shared —
+    pinned by tests/test_plan_contracts.py
+    test_tfidf_serves_tf_from_shared_persist. lang rides along in the
+    persisted relation (constant per doc, so the (doc_id, term) grain
+    and every count below are unchanged) and is simply not selected."""
     docs = load_table(spark, sf_dir, "documents")
-    tall = lower_terms(docs)
-    tf = tall.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _shared_tf(spark, sf_dir).select("doc_id", "term", "tf")
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -247,21 +252,22 @@ def text_corpus_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     form would rank similarly but pull in libm ln). Min-support
     n_en+n_rest >= 10 keeps one-off typos out of the ratio tail.
 
-    Scale shape: one explode -> groupBy(term) with conditional partial
-    sums (single corpus-token shuffle, vocabulary-sized output); slice
-    totals LOGICALLY re-aggregate the counts table into one broadcast
-    row — but without a cache Spark recomputes that subtree, so the
-    plan scans the corpus twice (same documented
-    no-unmanaged-cache tradeoff as text_tfidf_topterms's df branch;
-    a pipeline embedding this persists counts in scope instead);
-    top-15 is TakeOrderedAndProject."""
-    docs = load_table(spark, sf_dir, "documents")
-    tall = lower_terms(docs, "lang")
-    counts = tall.groupBy("term").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    Scale shape: since r11 the (doc, lang, term, tf) table comes from
+    the managed persist (_shared_tf — one tokenize pass per
+    application/corpus shared with text_tfidf_topterms and
+    pipeline_term_stats_shared); the per-term conditional sums
+    aggregate that relation (vocabulary-sized output), the slice
+    totals re-aggregate the counts subtree from the PERSISTED relation
+    rather than a second corpus scan, and they broadcast as one row;
+    top-15 is TakeOrderedAndProject. Summing tf over (doc, lang, term)
+    rows is arithmetic-identical to counting the exploded tokens
+    directly, so the oracle is unchanged."""
+    tf = _shared_tf(spark, sf_dir)
+    counts = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("tf")).otherwise(0))
         .cast("bigint")
         .alias("n_en"),
-        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(F.col("tf")))
         .cast("bigint")
         .alias("n_rest"),
     )

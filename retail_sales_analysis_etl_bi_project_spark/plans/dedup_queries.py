@@ -19,6 +19,7 @@ from ..operators.dedup import (
     incremental_minhash_dedup_pairs,
     BAND_MASK,
     P31,
+    allpairs_jaccard_join,
     containment_allpairs_prefix,
     embedding_lsh_near_dup_pairs,
     embedding_near_dup_pairs,
@@ -349,7 +350,14 @@ def shared_minhash_signatures(
     return memo_persist(
         "minhash_sigs",
         (spark.sparkContext.applicationId, sf_dir, num_hashes, _TRUTH_SAMPLE_K),
-        lambda: minhash_signatures(_truth_docs(spark, sf_dir), num_hashes),
+        # derive from the persisted shingle table (signature-store
+        # discipline, r11): one tokenize pass serves shingles AND
+        # signatures; identical output pinned in tests/test_dedup.py
+        lambda: minhash_signatures(
+            _truth_docs(spark, sf_dir),
+            num_hashes,
+            shingles=_truth_shingles(spark, sf_dir),
+        ),
     )
 
 
@@ -393,14 +401,51 @@ def shared_minhash_pairs(
         except Exception:  # a dead context's handle must not fail the query
             pass
     _PAIRS_CACHE.clear()
+    # r11 (VERDICT item 4): inject the managed signature + shingle
+    # persists so the full chain tokenizes the corpus ONCE (sig stage
+    # served from the persisted signatures, both verify sides from the
+    # persisted shingle relation) instead of three times. SCOPE
+    # GUARD: this relation feeds the NEVER-sampled production queries
+    # (dedup_minhash_lsh, the cluster/graph family), so in
+    # sampled-truth sweep mode the sampled "minhash_sigs" persist must
+    # not leak in here — a full-corpus twin family is used instead.
     pairs = minhash_dedup_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=threshold,
         num_hashes=num_hashes,
         bands=bands,
+        signatures=_full_corpus_signatures(spark, sf_dir, num_hashes),
+        shingles=_shared_shingles(spark, sf_dir),
     ).persist()
     _PAIRS_CACHE[key] = pairs
     return pairs
+
+
+def _full_corpus_signatures(
+    spark: SparkSession, sf_dir: str, num_hashes: int = 64
+) -> DataFrame:
+    """Full-corpus MinHash signatures regardless of sampled-truth mode
+    — shared_minhash_signatures' scope follows _truth_docs (sampled in
+    sweep mode), which is correct for the recall audits but would
+    silently shrink the production verified-pairs relation. In full
+    mode the two coincide, so the ONE "minhash_sigs" persist serves
+    both; only in sweep mode does this build its own family (distinct
+    family name: one-slot-per-family eviction must not thrash between
+    the sampled and full relations)."""
+    if _TRUTH_SAMPLE_K == 0:
+        return shared_minhash_signatures(spark, sf_dir, num_hashes)
+    from ..operators.dedup import minhash_signatures
+    from .shared_cache import memo_persist
+
+    return memo_persist(
+        "minhash_sigs_full",
+        (spark.sparkContext.applicationId, sf_dir, num_hashes),
+        lambda: minhash_signatures(
+            load_table(spark, sf_dir, "documents"),
+            num_hashes,
+            shingles=_shared_shingles(spark, sf_dir),
+        ),
+    )
 
 
 @query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
@@ -741,6 +786,97 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         threshold=0.6,
         shingles=_shared_shingles(spark, sf_dir),
+    )
+
+
+def _allpairs_jaccard_oracle(threshold: float = 0.7) -> str:
+    """Brute-force all-pairs n-gram Jaccard listing at ``threshold`` —
+    the DuckDB cross-product twin of allpairs_jaccard_join, so every
+    gate run proves the prefix filter's exactness at a SECOND
+    threshold (0.7; the 0.5 point is dedup_ngram_jaccard). Runs over
+    the hash-prefix doc sample in sampled-truth sweep mode — the
+    quadratic side here is the oracle, exactly what the mode exists to
+    bound."""
+    return f"""
+    WITH sh AS ({_sql_shingles(_sql_docs())}),
+    scored AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                              AS DOUBLE)
+                  ELSE 0.0 END AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored
+    WHERE jaccard >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_allpairs_jaccard_join", oracle=_allpairs_jaccard_oracle())
+def dedup_allpairs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT prefix-filtered AllPairs/PPJoin Jaccard self-join as a
+    first-class query (r10 VERDICT item 2): since r10 this operator IS
+    the production exact-dedup scale path (the corpus-scale answer to
+    reference A6/dropDuplicates for near-duplicates), but it was only
+    exercised as truth-build machinery inside other queries' oracles.
+    Registered here at threshold 0.7 — a different prefix length and
+    S-curve point than the 0.5 truth family — with the full pair
+    LISTING (ids + exact Jaccard) hash-checked against the brute-force
+    cross-product oracle on every gate run.
+
+    Scale shape: candidates come from shared prefix shingles (cost
+    tracks Σ C(df,2) over PREFIX shingles; see SCALE.md), never a
+    cross product; the higher threshold shortens every prefix
+    (|d|−ceil(0.7|d|)+1 ≈ 0.3|d|), so this point is strictly cheaper
+    than the 0.5 baseline."""
+    return allpairs_jaccard_join(
+        _truth_docs(spark, sf_dir),
+        threshold=0.7,
+        shingles=_truth_shingles(spark, sf_dir),
+    )
+
+
+def _containment_allpairs_oracle(threshold: float = 0.5) -> str:
+    """Brute-force all-pairs containment listing at ``threshold`` — the
+    DuckDB cross-product twin of containment_allpairs_prefix (no
+    blocking, no df band: every qualifying pair). Sampled-truth-mode
+    aware like _allpairs_jaccard_oracle."""
+    return f"""
+    WITH sh AS ({_sql_shingles(_sql_docs())}),
+    scored AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared,
+             CAST(len(a.sh) AS BIGINT) AS n_a,
+             CAST(len(b.sh) AS BIGINT) AS n_b,
+             CASE WHEN least(len(a.sh), len(b.sh)) > 0
+                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
+                  ELSE 0.0 END AS containment
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared, n_a, n_b, containment FROM scored
+    WHERE containment >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_containment_prefix_join", oracle=_containment_allpairs_oracle())
+def dedup_containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT asymmetric containment prefix join as a first-class
+    query (r10 VERDICT item 2, containment twin of
+    dedup_allpairs_jaccard_join): index ALL shingles, probe with the
+    smaller side's prefix (operators/dedup.py
+    containment_allpairs_prefix). Registered at threshold 0.5 — looser
+    than the blocked 0.6 production query (dedup_containment_pairs),
+    and EXACT where that one trades recall for the df-band skew guard
+    — with the full listing (ids, set sizes, overlap, containment)
+    hash-checked against the brute-force cross-product oracle."""
+    return containment_allpairs_prefix(
+        _truth_docs(spark, sf_dir),
+        threshold=0.5,
+        shingles=_truth_shingles(spark, sf_dir),
     )
 
 

@@ -21,15 +21,17 @@ def chunked_file_source(
     ``src`` (chunk i holds rows with ``id_col % n_chunks == i``; empty
     chunks are skipped) and return the total row count.
 
-    Refuses a source directory that already holds chunk files: a
-    reused ``src`` would replay the stale chunks alongside the new
-    ones, so the returned count would disagree with what the stream
-    ingests (review finding, r10)."""
+    Refuses a source directory that already holds ANY visible file: a
+    readStream over ``src`` ingests every non-hidden file it finds, so
+    stale content of any name — not just ``chunk_*`` — would be
+    replayed alongside the new chunks and the returned count would
+    disagree with what the stream ingests (review findings, r10 +
+    r10-ADVICE: the original guard only matched the ``chunk_`` prefix)."""
     os.makedirs(src, exist_ok=True)
-    stale = [f for f in os.listdir(src) if f.startswith("chunk_")]
+    stale = [f for f in os.listdir(src) if not f.startswith((".", "_"))]
     if stale:
         raise ValueError(
-            f"source dir {src} already holds chunk files {sorted(stale)}: "
+            f"source dir {src} already holds files {sorted(stale)}: "
             "a readStream over it would replay them alongside the new "
             "chunks — pass a fresh directory"
         )

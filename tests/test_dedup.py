@@ -482,8 +482,25 @@ def test_chunked_file_source_refuses_reused_dir(spark, tmp_path):
     df = spark.range(10).select(F.col("id").alias("k"))
     src = str(tmp_path / "src")
     assert chunked_file_source(df, "k", src, n_chunks=2) == 10
-    with pytest.raises(ValueError, match="chunk files"):
+    with pytest.raises(ValueError, match="already holds files"):
         chunked_file_source(df, "k", src, n_chunks=2)
+    # ANY visible stray file is refused, not just chunk_* — readStream
+    # would ingest it regardless of name (r10 ADVICE)
+    src2 = str(tmp_path / "src2")
+    import os
+
+    os.makedirs(src2)
+    with open(f"{src2}/stray.parquet", "w") as f:
+        f.write("x")
+    with pytest.raises(ValueError, match="stray.parquet"):
+        chunked_file_source(df, "k", src2, n_chunks=2)
+    # hidden/metadata names (dot and underscore prefixes) are ignored
+    # by Spark's file source and must not trip the guard
+    src3 = str(tmp_path / "src3")
+    os.makedirs(src3)
+    open(f"{src3}/_SUCCESS", "w").close()
+    open(f"{src3}/.hidden", "w").close()
+    assert chunked_file_source(df, "k", src3, n_chunks=2) == 10
 
 
 def test_allpairs_prefix_join_equals_brute_force(spark, sf_dir):
@@ -549,3 +566,46 @@ def test_containment_prefix_join_equals_brute_force(spark, sf_dir):
 
     with pytest.raises(ValueError, match="threshold > 0"):
         containment_allpairs_prefix(edge, threshold=0.0)
+
+
+def test_signatures_from_shingle_relation_match_fresh_build(spark, sf_dir):
+    """minhash_signatures(shingles=...) — the signature-store
+    discipline (r11): deriving signatures from the persisted shingle
+    table returns bit-identical signatures to the fresh tokenize path
+    (min over the same distinct-shingle multiset)."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_relation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    fresh = {
+        (r.doc_id_, tuple(r.sig))
+        for r in minhash_signatures(docs, 64).collect()
+    }
+    stored = {
+        (r.doc_id_, tuple(r.sig))
+        for r in minhash_signatures(
+            docs, 64, shingles=shingle_relation(docs, 3)
+        ).collect()
+    }
+    assert fresh == stored
+
+
+def test_injected_signature_width_mismatch_fails_loudly(spark, sf_dir):
+    """A signatures relation whose sig width disagrees with num_hashes
+    must raise, not silently band NULL hashes into one giant bucket
+    (r10 ADVICE)."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    wrong = minhash_signatures(docs, 32)  # width 32, claimed 64
+    # surfaces as SparkRuntimeException/Py4JJavaError depending on the
+    # error-capture path; the message is the contract
+    with pytest.raises(Exception, match="width mismatch"):
+        minhash_candidate_pairs(
+            docs, num_hashes=64, bands=16, signatures=wrong
+        ).collect()

@@ -119,3 +119,82 @@ def test_fuzzy_names_served_from_managed_scope(spark, qs):
     assert row.n_names > 0
     assert row.n_dup_pairs <= row.n_candidate_pairs
     shared_cache.release()
+
+
+def test_families_coexist_no_cross_family_eviction(spark):
+    """r10 VERDICT item 6: memo_persist's evict-on-key-miss is scoped
+    PER FAMILY — a representative headline sequence that builds the tf
+    table, the shingle relation, and the MinHash signatures must leave
+    all three persisted side by side (no family evicts another's only
+    slot), while a key change WITHIN a family (the deliberately
+    colliding build) evicts exactly that family's old entry and
+    nothing else."""
+    from retail_sales_analysis_etl_bi_project_spark.plans.dedup_queries import (
+        _shared_shingles,
+        shared_minhash_signatures,
+    )
+
+    shared_cache.release()
+    tf = _shared_tf(spark, SF_DIR)
+    sh = _shared_shingles(spark, SF_DIR)
+    sig = shared_minhash_signatures(spark, SF_DIR)
+    # the sequence leaves every family's entry persisted — building a
+    # later family must not have evicted an earlier one
+    assert tf.storageLevel.useMemory
+    assert sh.storageLevel.useMemory
+    assert sig.storageLevel.useMemory
+    assert {"term_tf", "shingles", "minhash_sigs"} <= set(
+        shared_cache._CACHES
+    )
+    assert all(
+        len(shared_cache._CACHES[f]) == 1
+        for f in ("term_tf", "shingles", "minhash_sigs")
+    )
+    # serving again is a key hit on every family (no rebuild)
+    assert _shared_tf(spark, SF_DIR) is tf
+    assert _shared_shingles(spark, SF_DIR) is sh
+    assert shared_minhash_signatures(spark, SF_DIR) is sig
+    # deliberate key collision WITHIN one family: evicts that family's
+    # old entry, leaves the other families' persists untouched
+    sh2 = _shared_shingles(spark, "/root/testdata/sf0.01")
+    assert sh2 is not sh
+    assert not sh.storageLevel.useMemory  # old shingles unpersisted
+    assert tf.storageLevel.useMemory  # other families survive
+    assert sig.storageLevel.useMemory
+    shared_cache.release()
+
+
+def test_tfidf_and_contrast_serve_tf_from_shared_persist(spark):
+    """r10 VERDICT item 1 pin: text_tfidf_topterms and
+    text_corpus_contrast each tokenize the corpus ONCE — both tf
+    consumers (the tf branch and the df/totals re-aggregation) read
+    the managed term_tf persist, so the only documents parquet scan in
+    tfidf's plan is the single-row corpus count (and contrast's plan
+    has none)."""
+    from retail_sales_analysis_etl_bi_project_spark.plans.analysis_queries import (
+        text_corpus_contrast,
+        text_tfidf_topterms,
+    )
+
+    import re
+
+    def scan_node_ids(plan: str) -> set:
+        # formatted explain keeps the parquet path off the tree line;
+        # distinct "(N) Scan parquet" node ids count the scans (a
+        # shared cached-build scan keeps ONE id however many
+        # InMemoryTableScans consume it)
+        return set(re.findall(r"\((\d+)\) Scan parquet", plan))
+
+    shared_cache.release("term_tf")
+    plan = formatted_plan(text_tfidf_topterms(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    # exactly two scan nodes: the ONE tokenize scan inside the cached
+    # relation's build (shared by the tf and df consumers) + the
+    # single-row n_docs count (pre-r11: three — tf build, df rebuild,
+    # count)
+    assert len(scan_node_ids(plan)) == 2, plan[:2000]
+    plan = formatted_plan(text_corpus_contrast(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    # contrast never touches the corpus outside the cached build
+    assert len(scan_node_ids(plan)) == 1, plan[:2000]
+    shared_cache.release()

@@ -132,5 +132,7 @@ def test_rotating_out_an_oracle_less_query_keeps_oracle_sql_working(monkeypatch)
         tuple(entrymod._PAST_WINDOW) + ("no_such_query",),
     )
     entrymod.oracle_sql()  # lenient: still fine
-    with pytest.raises(AssertionError, match="no_such_query"):
+    # RuntimeError, not assert: the guard must survive python -O
+    # (r10 ADVICE)
+    with pytest.raises(RuntimeError, match="no_such_query"):
         entrymod.queries()  # strict: drift fails loudly
