@@ -118,9 +118,17 @@ def contaminated_ids(
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two distinct-element arrays (set semantics)."""
+    """Exact Jaccard over two distinct-element arrays (set semantics).
+
+    |A∪B| is computed ARITHMETICALLY as |A|+|B|-|A∩B| (r11): for
+    distinct-element arrays — every caller's contract; shingle
+    relations end in array_distinct — the identity is exact in
+    integers, so the resulting double is bit-identical to the
+    array_union form while doing ONE hash-set pass per pair instead
+    of two (this expression sits under the candidate-verify joins,
+    the dedup family's hottest per-pair work)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -237,7 +245,18 @@ def allpairs_jaccard_join(
         .where(F.col("_rk") <= prefix_len)
     )
     cand = (
-        _bucket_pairs(pref, ["shingle"], ["did"])
+        _bucket_pairs(pref, ["shingle"], ["did", "n_sh"])
+        # LENGTH filter (AllPairs): J >= t implies |A∩B| >= t·|A∪B| >=
+        # t·max(|A|,|B|), and |A∩B| <= min(|A|,|B|), so any qualifying
+        # pair satisfies min >= t·max — size-skewed candidates are
+        # dropped BEFORE the shingle join + set-intersection verify.
+        # Same -1e-9 bias discipline as the prefix cut: float rounding
+        # of t·max may only ADMIT an extra candidate, never drop a
+        # qualifying pair (verification stays exact either way).
+        .where(
+            F.least("n_sh_a", "n_sh_b")
+            >= F.lit(threshold) * F.greatest("n_sh_a", "n_sh_b") - F.lit(1e-9)
+        )
         .select(F.col("did_a").alias("doc_a"), F.col("did_b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -1083,11 +1102,30 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup: pairs above a cosine threshold. Exact
     all-pairs baseline (use LSH buckets from operators.similarity for the
     scale path). ``query_mod`` samples the left side as in
-    ngram_jaccard_pairs."""
-    from .similarity import cosine_expr
+    ngram_jaccard_pairs.
 
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    Norms are computed ONCE PER VECTOR in the pre-join projections
+    (N sqrt-folds, r11) instead of per pair — the naive cosine_expr
+    recomputes BOTH norms inside the N^2 join, so this drops ~2/3 of
+    the arithmetic under the join (measured 12.1 s -> 3.4 s cold at
+    sf0.1) with bit-identical doubles (same folds, evaluated once per
+    row; pinned in tests/test_similarity.py)."""
+    from .similarity import _dbl, dot_expr, norm_expr
+
+    # _dbl BEFORE the folds: the stored embeddings are array<float>,
+    # and cosine_expr's contract is fold-over-DOUBLES — skipping the
+    # cast changes last-ulp rounding and breaks the oracle hash
+    # (caught by the gate when r11 first inlined the norms)
+    a = emb.select(
+        F.col(id_col).alias("vec_a"),
+        _dbl(F.col(vec_col)).alias("ea"),
+        norm_expr(_dbl(F.col(vec_col))).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"),
+        _dbl(F.col(vec_col)).alias("eb"),
+        norm_expr(_dbl(F.col(vec_col))).alias("nb"),
+    )
     if query_mod:
         a = a.filter(F.col("vec_a") % query_mod == 0)
     # Same parallelism guard as ngram_jaccard_pairs: widen the streamed
@@ -1099,7 +1137,12 @@ def embedding_near_dup_pairs(
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", cosine_expr(F.col("ea"), F.col("eb")).alias("cosine")
+            "vec_a",
+            "vec_b",
+            (
+                dot_expr(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
@@ -1127,7 +1170,7 @@ def embedding_lsh_near_dup_pairs(
     shuffle. Same single-pass _bucket_pairs shape as MinHash (self-joins
     execute the input twice); vectors ride in the bucket items so
     verification needs no re-join."""
-    from .similarity import cosine_expr, hyperplanes, signature_expr
+    from .similarity import _dbl, dot_expr, hyperplanes, norm_expr, signature_expr
 
     planes = hyperplanes(dim, bands * bits_per_band, seed)
     band_sigs = F.array(
@@ -1142,17 +1185,27 @@ def embedding_lsh_near_dup_pairs(
             for b in range(bands)
         ]
     )
+    # the double-cast vector AND its norm ride in the bucket items
+    # (computed once per vector pre-explode, r11) so verification is
+    # dot/(na*nb) instead of cosine_expr's per-pair norm recomputation
+    # — identical doubles, same win as embedding_near_dup_pairs
     bucketed = emb.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
+        _dbl(F.col(vec_col)).alias("v"),
+        norm_expr(_dbl(F.col(vec_col))).alias("nv"),
         F.explode(band_sigs).alias("band"),
-    ).select("vid", "v", "band.band_idx", "band.band_sig")
+    ).select("vid", "v", "nv", "band.band_idx", "band.band_sig")
     return (
-        _bucket_pairs(bucketed, ["band_idx", "band_sig"], ["vid", "v"], max_bucket)
+        _bucket_pairs(
+            bucketed, ["band_idx", "band_sig"], ["vid", "v", "nv"], max_bucket
+        )
         .select(
             F.col("vid_a").alias("vec_a"),
             F.col("vid_b").alias("vec_b"),
-            cosine_expr(F.col("v_a"), F.col("v_b")).alias("cosine"),
+            (
+                dot_expr(F.col("v_a"), F.col("v_b"))
+                / (F.col("nv_a") * F.col("nv_b"))
+            ).alias("cosine"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
         .filter(F.col("cosine") >= threshold)

@@ -58,7 +58,15 @@ def _parallelize(df: DataFrame, key: str) -> DataFrame:
 def dot_expr(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array<double> columns. The fold
     order is the array order, so results are deterministic and match any
-    single-threaded oracle exactly."""
+    single-threaded oracle exactly.
+
+    Measured dead end (r11): unrolling the fold into a flat 64-term
+    ((0.0 + a0*b0) + a1*b1) + ... expression is bit-identical but ~3x
+    SLOWER under the BroadcastNestedLoopJoin where the all-pairs
+    truths evaluate it (128 interpreted GetArrayItem nodes vs the
+    fold's single tight-loop expression node) — the win there is
+    precomputing the NORMS per vector before the join
+    (dedup.embedding_near_dup_pairs), not reshaping the dot."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )

@@ -516,16 +516,25 @@ def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_dedup_pairs
 
     def family(name: str, got: DataFrame, truth: DataFrame, keys: list) -> DataFrame:
-        g = got.select(*keys)
-        t = truth.select(*keys)
-        n_method = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_method_pairs"))
-        n_truth = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"))
-        hits = g.join(t, keys, "left_semi").agg(
-            F.count(F.lit(1)).cast("bigint").alias("hits")
-        )
+        # ONE full-outer pass over the two pair sets (the oracle's
+        # shape, r11): the count/semi-join form referenced each member
+        # pipeline twice, and Spark re-executes unpersisted subtrees
+        # per consumer — for the embedding family that meant running
+        # the quadratic all-pairs cosine TRUTH twice per audit. Both
+        # listings are key-unique (verified pair sets), so the
+        # full-outer join is 1:1 and the conditional counts equal the
+        # separate aggregates exactly.
+        g = got.select(*keys).withColumn("_in_g", F.lit(True))
+        t = truth.select(*keys).withColumn("_in_t", F.lit(True))
         return (
-            n_method.crossJoin(n_truth)
-            .crossJoin(hits)
+            g.join(t, keys, "full_outer")
+            .agg(
+                F.count("_in_g").cast("bigint").alias("n_method_pairs"),
+                F.count("_in_t").cast("bigint").alias("n_truth_pairs"),
+                F.count(F.when(F.col("_in_g") & F.col("_in_t"), 1))
+                .cast("bigint")
+                .alias("hits"),
+            )
             .select(
                 F.lit(name).alias("family"),
                 "n_method_pairs",

@@ -267,3 +267,37 @@ def test_codebook_cache_matches_retrain(spark, sf_dir):
     via_cache = ivf_topk(emb, q, k=5, n_centroids=16, codebook=cached).collect()
     via_train = ivf_topk(emb, q, k=5, n_centroids=16, refine_iters=2).collect()
     assert via_cache == via_train
+
+
+def test_embedding_pairs_prejoin_norms_match_naive(spark, sf_dir):
+    """embedding_near_dup_pairs precomputes norms per VECTOR before the
+    all-pairs join (r11); the (pair, cosine) output must equal the
+    naive per-pair cosine_expr form bit-for-bit — the dedup family's
+    oracles hash these doubles."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+        cosine_expr,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    naive = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_expr("ea", "eb").alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+        .collect()
+    }
+    fast = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert naive == fast
