@@ -57,13 +57,15 @@ def _sql_shingles(docs_sql: str = "documents") -> str:
 _SQL_SHINGLES = _sql_shingles()
 
 # ---------------------------------------------------------------------------
-# Sampled-truth sweep mode (SPARK_GRAFT_TRUTH_SAMPLE_HEX): the three
-# recall-audit queries whose DuckDB twins embed the quadratic all-pairs
-# n-gram Jaccard baseline (dedup_ngram_jaccard, dedup_family_recall's
-# text family, dedup_minhash_recall_tuning) exceed any reasonable
-# oracle timeout at 10k docs (sf0.1). Setting the env var to K in 1..16
-# restricts THOSE THREE queries — method and truth sides alike, on BOTH
-# engines — to the deterministic hash-prefix doc sample
+# Sampled-truth sweep mode (SPARK_GRAFT_TRUTH_SAMPLE_HEX): the queries
+# whose DuckDB twins embed a quadratic all-pairs baseline
+# (dedup_ngram_jaccard, dedup_family_recall's text family,
+# dedup_minhash_recall_tuning, and since r11 the first-class prefix
+# joins dedup_allpairs_jaccard_join / dedup_containment_prefix_join)
+# exceed any reasonable oracle timeout at 10k docs (sf0.1). Setting the
+# env var to K in 1..16 restricts THOSE queries — method and truth
+# sides alike, on BOTH engines — to the deterministic hash-prefix doc
+# sample
 #   first-hex-char(md5(doc_id)) among the first K of '0123456789abcdef'
 # i.e. ~K/16 of the corpus (K=3 at sf0.1 ≈ 1.9k docs), so the sf0.1
 # sweep can hash-check the recall math at scale instead of skipping it.
