@@ -148,6 +148,10 @@ _PAST_WINDOW = (
     "dedup_cluster_canonical",        # rank-readout of in-window
                                       # dedup_cluster_components; window-rank
                                       # mechanism as bi_pareto (in)
+    # r11b: new query registered PAST-window (r6f/r7e precedent:
+    # gate-replica verified at sf0.001+sf0.01+sf0.1 this round,
+    # rotates into the driver window next round)
+    "dedup_semantic_clusters",        # SemDeDup cluster-blocked cosine dedup
 )
 
 

@@ -135,6 +135,7 @@ HEADLINE = [
     "events_cusum_drift",
     "dedup_containment_pairs",
     "dedup_cluster_canonical",
+    "dedup_semantic_clusters",
     # sim_ann_recall_tuning, dedup_containment_recall, and
     # dedup_minhash_recall_tuning are NOT headline, the sim_ann_recall
     # / dedup_family_recall precedent: composed audits re-run member

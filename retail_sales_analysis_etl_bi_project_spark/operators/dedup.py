@@ -1529,3 +1529,73 @@ def containment_allpairs_prefix(
         .where(F.col("containment") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------- semantic dedup
+
+
+def semantic_dedup_flags(
+    emb: DataFrame,
+    threshold: float = 0.6,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (Abbas et al., 2023 — cluster the
+    embedding space, drop near-identical points within each cluster):
+    assign every vector to its nearest IVF centroid (the deterministic
+    shared codebook of operators/similarity.ivf_assignments), then
+    within each cluster drop any vector whose cosine to a SMALLER-id
+    cluster member reaches ``threshold``. Returns one row per vector:
+    (vec_id, centroid_id, keep) — the keep-list is the deduped corpus.
+
+    Deterministic keep rule: a vector is dropped iff ANY smaller-id
+    member of its cluster is within the threshold (the parallel,
+    order-free variant of the paper's greedy scan; where the greedy
+    form would re-admit a vector because its nearer predecessor was
+    itself dropped, this variant still drops it — strictly
+    more-aggressive, deterministic, and embarrassingly parallel).
+    Known miss, documented: near-duplicates assigned to DIFFERENT
+    clusters are not compared — the same recall trade the paper makes;
+    the all-pairs baseline (embedding_near_dup_pairs) measures it.
+
+    Scale shape: assignment is a pure per-row expression against the
+    broadcast codebook (no shuffle); intra-cluster pairs come from the
+    shared one-pass bucket machinery keyed on centroid_id (per-cluster
+    cost C(|cluster|, 2) — n_centroids is the knob that bounds cluster
+    size at scale, and ``max_bucket`` drops degenerate mega-clusters
+    before expansion, the _bucket_pairs discipline); norms ride the
+    bucket items so verification is dot/(na*nb). The dropped-id set is
+    vector-count-bounded, and the final flag join is id-keyed."""
+    from .similarity import _dbl, dot_expr, ivf_assignments, norm_expr
+
+    assigned, _ = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    items = assigned.select(
+        F.col(id_col).alias("vid"),
+        _dbl(F.col(vec_col)).alias("v"),
+        norm_expr(_dbl(F.col(vec_col))).alias("nv"),
+        "centroid_id",
+    )
+    pairs = _bucket_pairs(items, ["centroid_id"], ["vid", "v", "nv"], max_bucket)
+    dropped = (
+        pairs.where(
+            dot_expr(F.col("v_a"), F.col("v_b"))
+            / (F.col("nv_a") * F.col("nv_b"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("vid_b").alias("_dropped_id"))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(
+            dropped, F.col(id_col) == F.col("_dropped_id"), "left_outer"
+        )
+        .select(
+            id_col,
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.col("_dropped_id").isNull().alias("keep"),
+        )
+        .orderBy(id_col)
+    )

@@ -27,6 +27,7 @@ from ..operators.dedup import (
     fingerprint_dup_groups,
     minhash_dedup_pairs,
     minhash_params,
+    semantic_dedup_flags,
     simhash_near_dup_pairs,
     winnow_fingerprints,
     containment_dedup_pairs,
@@ -1229,4 +1230,61 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
         )
         .orderBy("cluster_id")
+    )
+
+
+def _semantic_dedup_oracle(threshold: float = 0.4, n_centroids: int = 16) -> str:
+    """DuckDB replay of semantic_dedup_flags: deterministic IVF
+    codebook (first n vectors by id — the _ivf_oracle init), argmax
+    cosine assignment with the first-index tie-break, within-cluster
+    smaller-id drop rule, one flag row per vector.
+    list_cosine_similarity over DOUBLE[] is bit-identical to Spark's
+    zip_with+aggregate fold (the sim_* oracle precedent)."""
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
+             v AS cvec
+      FROM (SELECT * FROM base ORDER BY vec_id LIMIT {n_centroids})
+    ),
+    assign AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT b.vec_id, b.v, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY list_cosine_similarity(b.v, c.cvec) DESC,
+                                           c.centroid_id) AS rn
+        FROM base b CROSS JOIN cb c
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+    )
+    SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id,
+           (d.vec_id IS NULL) AS keep
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id
+    """
+
+
+@query("dedup_semantic_clusters", oracle=_semantic_dedup_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.py
+    semantic_dedup_flags): IVF-cluster the embedding space against the
+    deterministic shared codebook, drop any vector within cosine 0.4
+    of a smaller-id member of its own cluster, emit one
+    (vec_id, centroid_id, keep) flag row per vector — the keep-list is
+    the semantically deduped corpus. The within-cluster restriction is
+    what makes the operation linear-ish at 100 TB (per-cluster C(m,2)
+    with n_centroids as the knob, vs the all-pairs baseline's N^2);
+    the baseline (dedup_embedding_cosine) measures what the cluster
+    blocking can miss across cluster boundaries.
+
+    Registered past-window this round (r6f/r7e precedent:
+    gate-replica verified now, rotates into the driver window next
+    round)."""
+    return semantic_dedup_flags(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )

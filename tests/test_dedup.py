@@ -609,3 +609,41 @@ def test_injected_signature_width_mismatch_fails_loudly(spark, sf_dir):
         minhash_candidate_pairs(
             docs, num_hashes=64, bands=16, signatures=wrong
         ).collect()
+
+
+def test_semantic_dedup_flags_planted_dups(spark):
+    """SemDeDup operator semantics on a constructed corpus: identical
+    vectors in one cluster keep only the smallest id; a cross-cluster
+    near-identical pair is NOT compared (the documented blocking miss);
+    singletons keep."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        semantic_dedup_flags,
+    )
+
+    # 2 centroids = first 2 vectors by id: v0 ~ x-axis, v1 ~ y-axis.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid 0
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid 1
+        (2, [1.0, 0.01, 0.0, 0.0]),  # cluster 0, near-dup of 0 -> dropped
+        (3, [1.0, 0.02, 0.0, 0.0]),  # cluster 0, near-dup of 0/2 -> dropped
+        (4, [0.0, 1.0, 0.01, 0.0]),  # cluster 1, near-dup of 1 -> dropped
+        (5, [0.6, 0.8, 0.0, 0.0]),   # between clusters; argmax -> cluster 1
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.centroid_id, r.keep)
+        for r in semantic_dedup_flags(
+            emb, threshold=0.95, n_centroids=2
+        ).collect()
+    }
+    assert len(got) == 6
+    assert got[0] == (0, True)  # smallest id in its dup group keeps
+    assert got[1] == (1, True)
+    assert got[2][1] is False and got[2][0] == 0
+    assert got[3][1] is False
+    assert got[4] == (1, False)
+    # vec 5: cos to both dup groups < 0.95 -> keeps despite cluster 1
+    assert got[5][1] is True
