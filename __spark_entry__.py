@@ -152,6 +152,7 @@ _PAST_WINDOW = (
     # gate-replica verified at sf0.001+sf0.01+sf0.1 this round,
     # rotates into the driver window next round)
     "dedup_semantic_clusters",        # SemDeDup cluster-blocked cosine dedup
+    "dedup_semantic_recall",          # its recall audit vs all-pairs baseline
 )
 
 

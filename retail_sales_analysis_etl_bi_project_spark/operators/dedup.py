@@ -1568,23 +1568,12 @@ def semantic_dedup_flags(
     before expansion, the _bucket_pairs discipline); norms ride the
     bucket items so verification is dot/(na*nb). The dropped-id set is
     vector-count-bounded, and the final flag join is id-keyed."""
-    from .similarity import _dbl, dot_expr, ivf_assignments, norm_expr
+    from .similarity import ivf_assignments
 
     assigned, _ = ivf_assignments(emb, n_centroids, id_col, vec_col)
-    items = assigned.select(
-        F.col(id_col).alias("vid"),
-        _dbl(F.col(vec_col)).alias("v"),
-        norm_expr(_dbl(F.col(vec_col))).alias("nv"),
-        "centroid_id",
-    )
-    pairs = _bucket_pairs(items, ["centroid_id"], ["vid", "v", "nv"], max_bucket)
     dropped = (
-        pairs.where(
-            dot_expr(F.col("v_a"), F.col("v_b"))
-            / (F.col("nv_a") * F.col("nv_b"))
-            >= F.lit(threshold)
-        )
-        .select(F.col("vid_b").alias("_dropped_id"))
+        _semantic_cluster_pairs(assigned, threshold, id_col, vec_col, max_bucket)
+        .select(F.col("vec_b").alias("_dropped_id"))
         .distinct()
     )
     return (
@@ -1598,4 +1587,36 @@ def semantic_dedup_flags(
             F.col("_dropped_id").isNull().alias("keep"),
         )
         .orderBy(id_col)
+    )
+
+
+def _semantic_cluster_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Intra-cluster qualifying pairs (vec_a < vec_b, cosine >=
+    threshold) over an ivf_assignments output — the pair stage shared
+    by semantic_dedup_flags and its recall audit (the within-cluster
+    restriction is exactly what the audit measures against the
+    all-pairs baseline). Pre-joined norms, the
+    embedding_near_dup_pairs discipline."""
+    from .similarity import _dbl, dot_expr, norm_expr
+
+    items = assigned.select(
+        F.col(id_col).alias("vid"),
+        _dbl(F.col(vec_col)).alias("v"),
+        norm_expr(_dbl(F.col(vec_col))).alias("nv"),
+        "centroid_id",
+    )
+    return (
+        _bucket_pairs(items, ["centroid_id"], ["vid", "v", "nv"], max_bucket)
+        .where(
+            dot_expr(F.col("v_a"), F.col("v_b"))
+            / (F.col("nv_a") * F.col("nv_b"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("vid_a").alias("vec_a"), F.col("vid_b").alias("vec_b"))
     )
