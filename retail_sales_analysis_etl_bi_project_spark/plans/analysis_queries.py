@@ -114,8 +114,8 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus was tokenized twice per run; serving both branches from
     the persisted (doc, term, tf) relation makes it ONE tokenize pass
     per (application, corpus) shared with pipeline_term_stats_shared —
-    pinned by tests/test_plan_contracts.py
-    test_tfidf_serves_tf_from_shared_persist. lang rides along in the
+    pinned by tests/test_pipeline_shared.py
+    test_tfidf_and_contrast_serve_tf_from_shared_persist. lang rides along in the
     persisted relation (constant per doc, so the (doc_id, term) grain
     and every count below are unchanged) and is simply not selected."""
     docs = load_table(spark, sf_dir, "documents")

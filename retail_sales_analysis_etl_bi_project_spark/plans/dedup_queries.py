@@ -63,12 +63,12 @@ _SQL_SHINGLES = _sql_shingles()
 # (dedup_ngram_jaccard, dedup_family_recall's text family,
 # dedup_minhash_recall_tuning, and since r11 the first-class prefix
 # joins dedup_allpairs_jaccard_join / dedup_containment_prefix_join)
-# exceed any reasonable oracle timeout at 10k docs (sf0.1). Setting the
+# exceed any reasonable oracle timeout at 5k docs (sf0.1). Setting the
 # env var to K in 1..16 restricts THOSE queries — method and truth
 # sides alike, on BOTH engines — to the deterministic hash-prefix doc
 # sample
 #   first-hex-char(md5(doc_id)) among the first K of '0123456789abcdef'
-# i.e. ~K/16 of the corpus (K=3 at sf0.1 ≈ 1.9k docs), so the sf0.1
+# i.e. ~K/16 of the corpus (K=3 at sf0.1 = 977 of 5000 docs), so the sf0.1
 # sweep can hash-check the recall math at scale instead of skipping it.
 # Read ONCE at import (the oracle strings are built at decoration time)
 # — set the env var before importing __spark_entry__; unset (the driver
@@ -1233,29 +1233,40 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_dedup_oracle(threshold: float = 0.4, n_centroids: int = 16) -> str:
-    """DuckDB replay of semantic_dedup_flags: deterministic IVF
-    codebook (first n vectors by id — the _ivf_oracle init), argmax
-    cosine assignment with the first-index tie-break, within-cluster
-    smaller-id drop rule, one flag row per vector.
-    list_cosine_similarity over DOUBLE[] is bit-identical to Spark's
-    zip_with+aggregate fold (the sim_* oracle precedent)."""
+def _sql_semantic_assign(n_centroids: int, suffix: str = "") -> str:
+    """cb/assign CTE fragments (comma-terminated) for the deterministic
+    SemDeDup assignment — first-``n_centroids``-by-id codebook (the
+    _ivf_oracle init), argmax cosine with the first-index tie-break.
+    ONE definition serves both the flags oracle and every recall-ladder
+    rung (review finding, r11: the duplicated copies could drift).
+    ``suffix`` disambiguates CTE names when one query carries several
+    assignments."""
     return f"""
-    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cb AS (
+    cb{suffix} AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
              v AS cvec
       FROM (SELECT * FROM base ORDER BY vec_id LIMIT {n_centroids})
     ),
-    assign AS (
+    assign{suffix} AS (
       SELECT vec_id, v, centroid_id FROM (
         SELECT b.vec_id, b.v, c.centroid_id,
                ROW_NUMBER() OVER (PARTITION BY b.vec_id
                                   ORDER BY list_cosine_similarity(b.v, c.cvec) DESC,
                                            c.centroid_id) AS rn
-        FROM base b CROSS JOIN cb c
+        FROM base b CROSS JOIN cb{suffix} c
       ) WHERE rn = 1
-    ),
+    ),"""
+
+
+def _semantic_dedup_oracle(threshold: float = 0.4, n_centroids: int = 16) -> str:
+    """DuckDB replay of semantic_dedup_flags: deterministic IVF
+    codebook + argmax assignment (_sql_semantic_assign), within-cluster
+    smaller-id drop rule, one flag row per vector.
+    list_cosine_similarity over DOUBLE[] is bit-identical to Spark's
+    zip_with+aggregate fold (the sim_* oracle precedent)."""
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {_sql_semantic_assign(n_centroids)}
     dropped AS (
       SELECT DISTINCT b.vec_id
       FROM assign a JOIN assign b
@@ -1290,65 +1301,53 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_recall_rung(threshold: float, n_centroids: int) -> str:
-    """One rung of the semantic-recall ladder: truth = all-pairs cosine
-    >= threshold (no clustering); method = the within-cluster pairs of
-    the n_centroids assignment. One full-outer pass over the two pair
-    sets (the containment-recall discipline), so the quadratic truth
-    join is evaluated once per rung."""
-    return f"""
-    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cb AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
-             v AS cvec
-      FROM (SELECT * FROM base ORDER BY vec_id LIMIT {n_centroids})
-    ),
-    assign AS (
-      SELECT vec_id, v, centroid_id FROM (
-        SELECT b.vec_id, b.v, c.centroid_id,
-               ROW_NUMBER() OVER (PARTITION BY b.vec_id
-                                  ORDER BY list_cosine_similarity(b.v, c.cvec) DESC,
-                                           c.centroid_id) AS rn
-        FROM base b CROSS JOIN cb c
-      ) WHERE rn = 1
-    ),
-    got AS (
+def _semantic_recall_oracle(threshold: float = 0.4) -> str:
+    """The two-rung n_centroids ladder (coarse k=4 vs production k=16
+    — the banding-ladder discipline applied to the SemDeDup knob) with
+    ONE shared all-pairs truth CTE: the quadratic cosine join is the
+    oracle's dominant cost and must be evaluated once for both rungs
+    (review finding, r11 — the per-rung form paid it twice), the same
+    single-truth-evaluation discipline the Spark side's
+    memo_persist("semantic_truth") applies."""
+
+    def rung(n_centroids: int, suffix: str) -> str:
+        return f"""
+    got{suffix} AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM assign a JOIN assign b
+      FROM assign{suffix} a JOIN assign{suffix} b
         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
     ),
+    merged{suffix} AS (
+      SELECT g.vec_a IS NOT NULL AS in_got, t.vec_a IS NOT NULL AS in_truth
+      FROM got{suffix} g FULL OUTER JOIN truth t
+        ON g.vec_a = t.vec_a AND g.vec_b = t.vec_b
+    ),
+    counts{suffix} AS (
+      SELECT 'semantic_k{n_centroids:02d}' AS family,
+             CAST(count(CASE WHEN in_got THEN 1 END) AS BIGINT) AS n_method_pairs,
+             CAST(count(CASE WHEN in_truth THEN 1 END) AS BIGINT) AS n_truth_pairs,
+             CAST(count(CASE WHEN in_got AND in_truth THEN 1 END) AS BIGINT) AS hits,
+             CAST(count(CASE WHEN in_truth AND NOT in_got THEN 1 END) AS BIGINT)
+               AS missed,
+             CAST(count(CASE WHEN in_got AND in_truth THEN 1 END) AS DOUBLE)
+               / CAST(count(CASE WHEN in_truth THEN 1 END) AS DOUBLE) AS pair_recall
+      FROM merged{suffix}
+    ),"""
+
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     truth AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM base a JOIN base b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
     ),
-    merged AS (
-      SELECT g.vec_a IS NOT NULL AS in_got, t.vec_a IS NOT NULL AS in_truth
-      FROM got g FULL OUTER JOIN truth t
-        ON g.vec_a = t.vec_a AND g.vec_b = t.vec_b
+    {_sql_semantic_assign(4, "4")}{rung(4, "4")}
+    {_sql_semantic_assign(16, "16")}{rung(16, "16")}
+    final AS (
+      SELECT * FROM counts4 UNION ALL SELECT * FROM counts16
     )
-    SELECT 'semantic_k{n_centroids:02d}' AS family,
-           CAST(count(CASE WHEN in_got THEN 1 END) AS BIGINT) AS n_method_pairs,
-           CAST(count(CASE WHEN in_truth THEN 1 END) AS BIGINT) AS n_truth_pairs,
-           CAST(count(CASE WHEN in_got AND in_truth THEN 1 END) AS BIGINT) AS hits,
-           CAST(count(CASE WHEN in_truth AND NOT in_got THEN 1 END) AS BIGINT)
-             AS missed,
-           CAST(count(CASE WHEN in_got AND in_truth THEN 1 END) AS DOUBLE)
-             / CAST(count(CASE WHEN in_truth THEN 1 END) AS DOUBLE) AS pair_recall
-    FROM merged
-    """
-
-
-def _semantic_recall_oracle(threshold: float = 0.4) -> str:
-    """The two-rung ladder: coarse clustering (k=4, bigger clusters,
-    higher recall / higher cost) vs the production k=16 — the
-    banding-ladder discipline applied to the SemDeDup knob."""
-    return f"""
-    SELECT * FROM ({_semantic_recall_rung(threshold, 4)})
-    UNION ALL
-    SELECT * FROM ({_semantic_recall_rung(threshold, 16)})
-    ORDER BY family
+    SELECT * FROM final ORDER BY family
     """
 
 
