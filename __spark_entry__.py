@@ -153,6 +153,7 @@ _PAST_WINDOW = (
     # rotates into the driver window next round)
     "dedup_semantic_clusters",        # SemDeDup cluster-blocked cosine dedup
     "dedup_semantic_recall",          # its recall audit vs all-pairs baseline
+    "text_bpe_train_rounds",          # k-round BPE trainer (round-1 = bpe_pair_merge)
 )
 
 

@@ -366,3 +366,107 @@ def quality_classifier(
         F.round(score, 9).alias("quality_score"),
         (score >= F.lit(float(threshold))).alias("kept"),
     )
+
+
+def bpe_train_merges(
+    docs, rounds: int = 4, text_col: str = "text"
+):
+    """Multi-round byte-pair-encoding MERGE TRAINING (Sennrich et al.
+    2016): the iterative loop a BPE tokenizer trainer runs — count
+    adjacent symbol pairs over the word-frequency table, pick the most
+    frequent pair (ties: lexicographic), merge every occurrence
+    greedily left-to-right, repeat. Returns one row per learned merge:
+    (merge_rank, left_sym, right_sym, merged, pair_count).
+
+    text_bpe_pair_merge is round 1's counting stage; this operator is
+    the full trainer kernel for ``rounds`` merges. Scale shape: every
+    round runs over the VOCABULARY (distinct words + frequencies, the
+    map-side-combined heavy-hitter shuffle), never the corpus; the
+    per-round argmax is ONE collected row (the connected-components /
+    codebook eager-build precedent — KB-scale driver artifacts), and
+    merge application is a JVM-side aggregate fold over each word's
+    symbol array (exact greedy non-overlapping semantics: a freshly
+    merged symbol never re-matches the rule's left side because it is
+    strictly longer). Integer counts and strings only — nothing
+    float-hash-fragile; the DuckDB oracle replays the fold with
+    list_reduce over the same sentinel-initialized struct stream.
+
+    Early exit: a round with no pair (all words collapsed to single
+    symbols) stops the loop — callers at tiny ``rounds`` on natural
+    text never hit it."""
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    words = (
+        lower_terms(docs)
+        .groupBy(F.col("term").alias("word"))
+        .agg(F.count(F.lit(1)).alias("word_freq"))
+    )
+    cur = words.select(
+        "word_freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("syms"),
+    )
+    merges: list[tuple] = []
+    # Function-scoped persists: round r's argmax would otherwise
+    # re-execute every earlier round's merge fold (lazy chain — the
+    # trainer cost grows quadratically in rounds). Each round's symbol
+    # table is persisted; a generation is unpersisted only after its
+    # SUCCESSOR has been materialized by the next argmax job (dropping
+    # it earlier would force that argmax to recompute the whole
+    # chain). Nothing outlives the builder, so the no-unmanaged-cache
+    # contract for registered queries holds.
+    live_persist = None  # backs `cur`
+    prev_persist = None  # one generation older, still referenced by cur's plan
+    for r in range(1, rounds + 1):
+        pair_structs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("pa"),
+                    F.element_at("syms", i + 1).alias("pb"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pa:string,pb:string>>"))
+        top = (
+            cur.select("word_freq", F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.sum("word_freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pa"), F.asc("pb"))
+            .limit(1)
+            .collect()
+        )
+        # the argmax above materialized live_persist (if any), so the
+        # generation BEHIND it is no longer needed for recompute
+        if prev_persist is not None:
+            prev_persist.unpersist(blocking=False)
+            prev_persist = None
+        if not top:
+            break
+        pa, pb, cnt = top[0].pa, top[0].pb, top[0].cnt
+        merges.append((r, pa, pb, pa + pb, cnt))
+        merged_syms = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(pa))
+                & (s == F.lit(pb)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(pa + pb))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        cur = cur.select("word_freq", merged_syms.alias("syms")).persist()
+        prev_persist, live_persist = live_persist, cur
+    for h in (live_persist, prev_persist):
+        if h is not None:
+            h.unpersist(blocking=False)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    ).orderBy("merge_rank")

@@ -908,3 +908,92 @@ def sim_ann_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+_BPE_ROUNDS = 4
+
+
+def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """DuckDB replay of operators.text.bpe_train_merges, the loop
+    unrolled into per-round CTE triples (syms_i, pairs_i, top_i) — the
+    k-core unrolled-oracle discipline. Merge application mirrors the
+    Spark aggregate fold with list_reduce over single-element symbol
+    LISTS (accumulator and elements must share a type, and DuckDB
+    1.0's list_reduce silently NULLs STRUCT accumulator fields —
+    measured, so the fold carries plain VARCHAR[] state; the first
+    [s1] seeds the accumulator, matching Spark's empty-array init +
+    first append); the greedy left-to-right non-overlap semantics are
+    identical because both folds append-or-merge one symbol at a
+    time. Strings + integer counts only."""
+    parts = [
+        f"""
+    toks AS (SELECT lower(unnest({_SQL_TOKS})) AS word FROM documents),
+    wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS word_freq
+           FROM toks GROUP BY 1),
+    syms0 AS (
+      SELECT word_freq,
+             list_transform(generate_series(1, length(word)),
+                            i -> substr(word, i, 1)) AS syms
+      FROM wf
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        i, prev = r, r - 1
+        parts.append(f"""
+    pairs{i} AS (
+      SELECT p.pa, p.pb, CAST(SUM(word_freq) AS BIGINT) AS cnt FROM (
+        SELECT word_freq,
+               unnest(list_transform(
+                 generate_series(1, len(syms) - 1),
+                 j -> {{'pa': syms[j], 'pb': syms[j + 1]}})) AS p
+        FROM syms{prev} WHERE len(syms) >= 2
+      ) GROUP BY 1, 2
+    ),
+    top{i} AS (SELECT pa, pb, cnt FROM pairs{i}
+               ORDER BY cnt DESC, pa, pb LIMIT 1),
+    syms{i} AS (
+      SELECT word_freq,
+             list_reduce(
+               list_transform(syms, s -> [s]),
+               (a, b) -> CASE
+                 WHEN len(a) > 0 AND a[-1] = t.pa AND b[1] = t.pb
+                 THEN list_append(a[:len(a) - 1], t.pa || t.pb)
+                 ELSE list_concat(a, b)
+               END) AS syms
+      FROM syms{prev} CROSS JOIN top{i} t
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, pa AS left_sym, pb AS right_sym, "
+        f"pa || pb AS merged, cnt AS pair_count FROM top{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH {",".join(parts)}
+    SELECT CAST(merge_rank AS INTEGER) AS merge_rank, left_sym, right_sym,
+           merged, pair_count
+    FROM ({finals})
+    ORDER BY merge_rank
+    """
+
+
+@query("text_bpe_train_rounds", oracle=_bpe_train_oracle())
+def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL multi-round BPE merge-training loop
+    (operators/text.py bpe_train_merges, 4 rounds): count adjacent
+    symbol pairs over the vocabulary, pick the argmax pair
+    (count DESC, pair ASC — deterministic), apply the merge greedily
+    left-to-right to every word's symbol array, repeat.
+    text_bpe_pair_merge is this loop's round-1 counting stage; the
+    trainer is the iterative-algorithm form (per-round 1-row argmax
+    collect, the CC/codebook eager-build precedent) whose oracle
+    unrolls the rounds into CTEs and replays the merge fold with
+    list_reduce — strings and integer counts only, so the hash
+    compare is exact by construction.
+
+    Registered past-window (r6f/r7e precedent: gate-replica verified
+    this round, rotates into the driver window next round)."""
+    from ..operators.text import bpe_train_merges
+
+    return bpe_train_merges(
+        load_table(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )

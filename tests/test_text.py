@@ -134,3 +134,48 @@ def test_repetition_signals_keeps_short_docs(spark):
     assert rows[4].n_tokens is None and rows[4].distinct_tokens is None
     assert rows[4].repeat_token_frac is None
     assert rows[4].top_2gram_frac is None and rows[4].top_3gram_frac is None
+
+
+def test_bpe_train_merges_greedy_semantics(spark):
+    """Hand-computed 2-round BPE trainer run. Word freqs: aaab x3,
+    ab x1. Round 1: raw adjacent pair counts are (a,a)=2 per 'aaab'
+    (positions 1-2 and 2-3) so 6 total, (a,b)=4 -> merge ('a','a');
+    greedy left-to-right application turns [a,a,a,b] into [aa,a,b]
+    (non-overlapping: the second 'aa' window shares its first 'a').
+    Round 2 over merged symbols: (aa,a)=3, (a,b)=4 -> merge
+    ('a','b')."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab")], "doc_id long, text string"
+    )
+    rows = bpe_train_merges(docs, rounds=2).collect()
+    # word freqs: aaab=3, ab=1
+    # round 1 raw pair counts: (a,a): 2 per aaab * 3 = 6; (a,b): 3+1 = 4
+    r1 = rows[0]
+    assert (r1.left_sym, r1.right_sym, r1.merged, r1.pair_count) == (
+        "a", "a", "aa", 6
+    )
+    # greedy merge: [a,a,a,b] -> [aa,a,b]; ab -> [a,b]
+    # round 2 counts: (aa,a): 3, (a,b): 3+1=4 -> top is (a,b)
+    r2 = rows[1]
+    assert (r2.left_sym, r2.right_sym, r2.merged, r2.pair_count) == (
+        "a", "b", "ab", 4
+    )
+
+
+def test_bpe_train_merges_early_exit_on_single_symbols(spark):
+    """A corpus whose words collapse to single symbols stops the loop
+    instead of erroring — fewer merge rows than requested rounds."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    rows = bpe_train_merges(docs, rounds=4).collect()
+    # round 1 merges (a,b) -> every word becomes the single symbol 'ab';
+    # round 2 has no pairs -> loop stops with exactly one merge row
+    assert len(rows) == 1
+    assert rows[0].merged == "ab"
