@@ -154,6 +154,7 @@ _PAST_WINDOW = (
     "dedup_semantic_clusters",        # SemDeDup cluster-blocked cosine dedup
     "dedup_semantic_recall",          # its recall audit vs all-pairs baseline
     "text_bpe_train_rounds",          # k-round BPE trainer (round-1 = bpe_pair_merge)
+    "text_bpe_encode_counts",         # encode side of the trained merges
 )
 
 

@@ -368,6 +368,42 @@ def quality_classifier(
     )
 
 
+def merge_fold_expr(syms, pa: str, pb: str):
+    """Greedy left-to-right non-overlapping application of ONE BPE
+    merge rule (pa, pb) to a symbol-array column, as a pure aggregate
+    fold: append each symbol, or replace the accumulator's tail with
+    the merged symbol when it completes the pair. A freshly merged
+    symbol never re-matches pa (it is strictly longer), which is
+    exactly the non-overlap guarantee. Shared by the trainer loop and
+    the encode query so the two can never disagree on merge
+    semantics."""
+    from pyspark.sql import functions as F
+
+    c = F.col(syms) if isinstance(syms, str) else syms
+    return F.aggregate(
+        c,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(pa))
+            & (s == F.lit(pb)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(pa + pb))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def char_syms_expr(word):
+    """Initial BPE symbol array: one single-character symbol per
+    position (shared by the trainer's round-0 table and the encode
+    query's vocabulary segmentation)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(word) if isinstance(word, str) else word
+    return F.transform(
+        F.sequence(F.lit(1), F.length(c)), lambda i: c.substr(i, F.lit(1))
+    )
+
+
 def bpe_train_merges(
     docs, rounds: int = 4, text_col: str = "text"
 ):
@@ -402,13 +438,7 @@ def bpe_train_merges(
         .groupBy(F.col("term").alias("word"))
         .agg(F.count(F.lit(1)).alias("word_freq"))
     )
-    cur = words.select(
-        "word_freq",
-        F.transform(
-            F.sequence(F.lit(1), F.length("word")),
-            lambda i: F.col("word").substr(i, F.lit(1)),
-        ).alias("syms"),
-    )
+    cur = words.select("word_freq", char_syms_expr("word").alias("syms"))
     merges: list[tuple] = []
     # Function-scoped persists: round r's argmax would otherwise
     # re-execute every earlier round's merge fold (lazy chain — the
@@ -448,19 +478,9 @@ def bpe_train_merges(
             break
         pa, pb, cnt = top[0].pa, top[0].pb, top[0].cnt
         merges.append((r, pa, pb, pa + pb, cnt))
-        merged_syms = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(pa))
-                & (s == F.lit(pb)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(pa + pb))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        cur = cur.select("word_freq", merged_syms.alias("syms")).persist()
+        cur = cur.select(
+            "word_freq", merge_fold_expr("syms", pa, pb).alias("syms")
+        ).persist()
         prev_persist, live_persist = live_persist, cur
     for h in (live_persist, prev_persist):
         if h is not None:

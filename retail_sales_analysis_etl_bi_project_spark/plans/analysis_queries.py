@@ -913,25 +913,20 @@ def sim_ann_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 4
 
 
-def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
-    """DuckDB replay of operators.text.bpe_train_merges, the loop
-    unrolled into per-round CTE triples (syms_i, pairs_i, top_i) — the
-    k-core unrolled-oracle discipline. Merge application mirrors the
-    Spark aggregate fold with list_reduce over single-element symbol
-    LISTS (accumulator and elements must share a type, and DuckDB
-    1.0's list_reduce silently NULLs STRUCT accumulator fields —
-    measured, so the fold carries plain VARCHAR[] state; the first
-    [s1] seeds the accumulator, matching Spark's empty-array init +
-    first append); the greedy left-to-right non-overlap semantics are
-    identical because both folds append-or-merge one symbol at a
-    time. Strings + integer counts only."""
+def _bpe_rounds_ctes(rounds: int = _BPE_ROUNDS) -> str:
+    """The shared CTE chain of the BPE family: doc-aware tokens ->
+    word-frequency vocabulary -> per-round (pairs_i, top_i, syms_i)
+    triples, with ``word`` carried through every round so the encode
+    oracle can join final symbol counts back to documents. Ends after
+    syms{rounds} WITHOUT a closing comma."""
     parts = [
         f"""
-    toks AS (SELECT lower(unnest({_SQL_TOKS})) AS word FROM documents),
+    toksd AS (SELECT doc_id, lower(unnest({_SQL_TOKS})) AS word
+              FROM documents),
     wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS word_freq
-           FROM toks GROUP BY 1),
+           FROM toksd GROUP BY 1),
     syms0 AS (
-      SELECT word_freq,
+      SELECT word, word_freq,
              list_transform(generate_series(1, length(word)),
                             i -> substr(word, i, 1)) AS syms
       FROM wf
@@ -952,7 +947,7 @@ def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
     top{i} AS (SELECT pa, pb, cnt FROM pairs{i}
                ORDER BY cnt DESC, pa, pb LIMIT 1),
     syms{i} AS (
-      SELECT word_freq,
+      SELECT word, word_freq,
              list_reduce(
                list_transform(syms, s -> [s]),
                (a, b) -> CASE
@@ -962,13 +957,28 @@ def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
                END) AS syms
       FROM syms{prev} CROSS JOIN top{i} t
     )""")
+    return ",".join(parts)
+
+
+def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """DuckDB replay of operators.text.bpe_train_merges, the loop
+    unrolled into per-round CTE triples (_bpe_rounds_ctes — the k-core
+    unrolled-oracle discipline). Merge application mirrors the Spark
+    aggregate fold with list_reduce over single-element symbol LISTS
+    (accumulator and elements must share a type, and DuckDB 1.0's
+    list_reduce silently NULLs STRUCT accumulator fields — measured,
+    so the fold carries plain VARCHAR[] state; the first [s1] seeds
+    the accumulator, matching Spark's empty-array init + first
+    append); the greedy left-to-right non-overlap semantics are
+    identical because both folds append-or-merge one symbol at a
+    time. Strings + integer counts only."""
     finals = "\n    UNION ALL ".join(
         f"SELECT {r} AS merge_rank, pa AS left_sym, pb AS right_sym, "
         f"pa || pb AS merged, cnt AS pair_count FROM top{r}"
         for r in range(1, rounds + 1)
     )
     return f"""
-    WITH {",".join(parts)}
+    WITH {_bpe_rounds_ctes(rounds)}
     SELECT CAST(merge_rank AS INTEGER) AS merge_rank, left_sym, right_sym,
            merged, pair_count
     FROM ({finals})
@@ -996,4 +1006,74 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_train_merges(
         load_table(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )
+
+
+@query(
+    "text_bpe_encode_counts",
+    oracle=f"""
+    WITH {{ctes}},
+    pertf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toksd GROUP BY 1, 2
+    ),
+    vlen AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe FROM syms{{k}}
+    )
+    SELECT p.doc_id,
+           CAST(SUM(p.tf * v.n_bpe) AS BIGINT) AS n_tokens,
+           CAST(SUM(p.tf) AS BIGINT) AS n_words
+    FROM pertf p JOIN vlen v USING (word)
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """.format(ctes="__CTES__", k=_BPE_ROUNDS).replace("__CTES__", _bpe_rounds_ctes()),
+)
+def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of the BPE arc (train -> apply): segment every
+    document under the 4 merges text_bpe_train_rounds learns, and
+    report per-doc token counts under the learned vocabulary — the
+    budgeting number a packing/mixing stage consumes, now from the
+    REAL trained segmentation instead of the regex proxy
+    (text_profile's bpe_token_count_expr).
+
+    Scale shape: the merges are trained once (4 one-row argmax
+    collects — the eager-builder precedent); SEGMENTATION runs over
+    the VOCABULARY, never the corpus (one chained merge fold per
+    distinct word, operators/text.py merge_fold_expr — the same
+    expression the trainer applies, so train and encode can never
+    disagree); per-doc counts are one (doc, word) groupBy joined to
+    the vocabulary-sized symbol-length table. The oracle replays
+    training and segmentation through the shared _bpe_rounds_ctes
+    chain — integers only, hash-exact by construction.
+
+    Registered past-window (r6f/r7e precedent: gate-replica verified
+    this round, rotates into the driver window next round)."""
+    from ..operators.text import bpe_train_merges, char_syms_expr, merge_fold_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train_merges(docs, rounds=_BPE_ROUNDS).collect()
+    ]
+    pertf = (
+        lower_terms(docs)
+        .groupBy("doc_id", F.col("term").alias("word"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    syms = char_syms_expr("word")
+    for pa, pb in merges:
+        syms = merge_fold_expr(syms, pa, pb)
+    vlen = (
+        pertf.select("word")
+        .distinct()
+        .select("word", F.size(syms).cast("bigint").alias("n_bpe"))
+    )
+    return (
+        pertf.join(vlen, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("n_bpe")).cast("bigint").alias("n_tokens"),
+            F.sum("tf").cast("bigint").alias("n_words"),
+        )
+        .orderBy("doc_id")
     )

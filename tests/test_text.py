@@ -179,3 +179,44 @@ def test_bpe_train_merges_early_exit_on_single_symbols(spark):
     # round 2 has no pairs -> loop stops with exactly one merge row
     assert len(rows) == 1
     assert rows[0].merged == "ab"
+
+
+def test_bpe_encode_matches_hand_segmentation(spark):
+    """Train 2 merges on 'aaab aaab ab' + 'aaab', then encode: merges
+    are (a,a) then (a,b); 'aaab' segments [a,a,a,b]->[aa,a,b]->[aa,ab]
+    (2 tokens), 'ab' -> [ab] (1 token)."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.text import (
+        bpe_train_merges,
+        char_syms_expr,
+        lower_terms,
+        merge_fold_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab")], "doc_id long, text string"
+    )
+    merges = [
+        (r.left_sym, r.right_sym) for r in bpe_train_merges(docs, 2).collect()
+    ]
+    assert merges == [("a", "a"), ("a", "b")]
+    pertf = (
+        lower_terms(docs)
+        .groupBy("doc_id", F.col("term").alias("word"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    syms = char_syms_expr("word")
+    for pa, pb in merges:
+        syms = merge_fold_expr(syms, pa, pb)
+    vlen = pertf.select("word").distinct().select(
+        "word", F.size(syms).alias("n_bpe")
+    )
+    got = {
+        r.doc_id: r.n_tokens
+        for r in pertf.join(vlen, "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("n_bpe")).alias("n_tokens"))
+        .collect()
+    }
+    assert got == {1: 5, 2: 2}  # doc1: 2+2+1; doc2: 2
