@@ -148,9 +148,27 @@ _PAST_WINDOW = (
     "dedup_cluster_canonical",        # rank-readout of in-window
                                       # dedup_cluster_components; window-rank
                                       # mechanism as bi_pareto (in)
-    # r11b: new query registered PAST-window (r6f/r7e precedent:
-    # gate-replica verified at sf0.001+sf0.01+sf0.1 this round,
-    # rotates into the driver window next round)
+    # r12 spills (the four r11b queries rotate IN via _PROMOTED; each
+    # spill below has >=2 green driver rounds and an in-window
+    # mechanism sibling; ledger in COVERAGE.md §rotation r12)
+    "events_anomaly_daily",           # per-day z² flags; rolling day-stats
+                                      # mechanism as events_trailing_7d_value (in)
+    "events_cusum_drift",             # running-sum drift; cumulative window
+                                      # frame as events_trailing_7d_value (in)
+    "dedup_minhash_recall_tuning",    # banding ladder; the minhash-LSH path
+                                      # re-runs inside dedup_family_recall (in)
+    "graph_triangle_counts",          # degree-oriented iterative graph family,
+                                      # as graph_kcore_coreness (in)
+)
+
+# r12: queries promoted INTO the driver window regardless of natural
+# registration position (the BPE pair registers in analysis_queries at
+# natural position ~95, so merely not being in _PAST_WINDOW could not
+# place them inside the first 50). All four were registered r11b
+# past-window with gate-replica green at sf0.001+sf0.01+sf0.1; the
+# rotation policy's own standard (every new query gets in-window
+# driver rounds) brings them in now (r11 VERDICT item 1).
+_PROMOTED = (
     "dedup_semantic_clusters",        # SemDeDup cluster-blocked cosine dedup
     "dedup_semantic_recall",          # its recall audit vs all-pairs baseline
     "text_bpe_train_rounds",          # k-round BPE trainer (round-1 = bpe_pair_merge)
@@ -171,9 +189,20 @@ def _rotated(d: dict, strict: bool = False) -> dict:
         missing = [k for k in _PAST_WINDOW if k not in d]
         if missing:  # not assert: must survive python -O (r10 ADVICE)
             raise RuntimeError(f"_PAST_WINDOW names not in registry: {missing}")
-    head = {k: v for k, v in d.items() if k not in _PAST_WINDOW}
+        missing = [k for k in _PROMOTED if k not in d]
+        if missing:
+            raise RuntimeError(f"_PROMOTED names not in registry: {missing}")
+        overlap = [k for k in _PROMOTED if k in _PAST_WINDOW]
+        if overlap:
+            raise RuntimeError(f"_PROMOTED names also in _PAST_WINDOW: {overlap}")
+    front = {k: d[k] for k in _PROMOTED if k in d}
+    head = {
+        k: v
+        for k, v in d.items()
+        if k not in _PAST_WINDOW and k not in front
+    }
     tail = {k: d[k] for k in _PAST_WINDOW if k in d}
-    return head | tail
+    return front | head | tail
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -19,6 +19,18 @@ def test_window_composition():
     missing = [n for n in entrymod._PAST_WINDOW if n not in qs]
     assert not missing, f"_PAST_WINDOW names not in registry: {missing}"
 
+    # promoted names exist, are disjoint from the spill list, and all
+    # land inside the driver's 50-query window (r12: the BPE pair's
+    # natural registration position is past 50, so promotion is the
+    # only thing putting them in — a drift here silently loses their
+    # driver evidence)
+    missing = [n for n in entrymod._PROMOTED if n not in qs]
+    assert not missing, f"_PROMOTED names not in registry: {missing}"
+    assert not set(entrymod._PROMOTED) & set(entrymod._PAST_WINDOW)
+    assert set(entrymod._PROMOTED) <= set(names[:50]), (
+        "promoted queries fell outside the driver window"
+    )
+
     # the window holds exactly 50 queries; growth without rotation
     # (or over-rotation) fails here first
     in_window = [n for n in names if n not in entrymod._PAST_WINDOW]
@@ -26,8 +38,12 @@ def test_window_composition():
         f"{len(in_window)} in-window queries (driver checks 50): "
         "rotate _PAST_WINDOW"
     )
-    # rotation ordering: the dict must serve in-window names first
-    assert names[:50] == in_window
+    # rotation ordering: the dict must serve promoted names first,
+    # then the remaining in-window names in registration order
+    expected = [n for n in entrymod._PROMOTED] + [
+        n for n in in_window if n not in entrymod._PROMOTED
+    ]
+    assert names[:50] == expected
 
     # oracle discipline: every query has a DuckDB twin except the
     # documented sketch-family exceptions (DataSketches has no DuckDB
