@@ -349,7 +349,13 @@ def minhash_signatures(
     holding the persisted shingle table derives signatures from it
     instead of re-tokenizing the corpus. Identical output by
     construction (both paths explode the same distinct-shingle arrays;
-    pinned in tests/test_dedup.py)."""
+    pinned in tests/test_dedup.py). PRECEDENCE: when ``shingles`` is
+    given, ``n``/``text_col``/``id_col`` are IGNORED — the injected
+    relation fully determines shingle width and ids, and there is no
+    structural handle to cross-check the declared n against it, so a
+    caller injecting shingles built at a different width gets
+    signatures consistent with THOSE shingles, not with n (ADVICE
+    r11)."""
     from .partitioning import to_cluster_width
 
     if shingles is not None:
@@ -1541,6 +1547,7 @@ def semantic_dedup_flags(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = None,
+    n_assign: int = 1,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC dedup (Abbas et al., 2023 — cluster the
     embedding space, drop near-identical points within each cluster):
@@ -1567,12 +1574,25 @@ def semantic_dedup_flags(
     size at scale, and ``max_bucket`` drops degenerate mega-clusters
     before expansion, the _bucket_pairs discipline); norms ride the
     bucket items so verification is dot/(na*nb). The dropped-id set is
-    vector-count-bounded, and the final flag join is id-keyed."""
-    from .similarity import ivf_assignments
+    vector-count-bounded, and the final flag join is id-keyed.
 
-    assigned, _ = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    ``n_assign`` > 1 switches the PAIR stage to MULTI-assignment (each
+    vector joins its n_assign nearest clusters —
+    similarity.ivf_multi_assignments): the standard mitigation for the
+    cross-cluster miss, recovering boundary pairs at ≤ n_assign²× pair
+    cost; the drop rule is unchanged over the UNION of intra-cluster
+    pairs, and the reported centroid_id stays the rank-1 assignment —
+    identical to the single-assignment column."""
+    from .similarity import ivf_assignments, ivf_multi_assignments
+
+    assigned, cb = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    pair_src = assigned
+    if n_assign > 1:
+        pair_src, _ = ivf_multi_assignments(
+            emb, n_centroids, n_assign, id_col, vec_col, codebook=cb
+        )
     dropped = (
-        _semantic_cluster_pairs(assigned, threshold, id_col, vec_col, max_bucket)
+        _semantic_cluster_pairs(pair_src, threshold, id_col, vec_col, max_bucket)
         .select(F.col("vec_b").alias("_dropped_id"))
         .distinct()
     )
@@ -1596,13 +1616,21 @@ def _semantic_cluster_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = None,
+    dedup_pairs: bool = False,
 ) -> DataFrame:
     """Intra-cluster qualifying pairs (vec_a < vec_b, cosine >=
     threshold) over an ivf_assignments output — the pair stage shared
     by semantic_dedup_flags and its recall audit (the within-cluster
     restriction is exactly what the audit measures against the
     all-pairs baseline). Pre-joined norms, the
-    embedding_near_dup_pairs discipline."""
+    embedding_near_dup_pairs discipline.
+
+    ``dedup_pairs``: under MULTI-assignment the same pair can qualify
+    in every cluster both vectors share; pass True where the consumer
+    needs set semantics (the recall audit's full-outer pair compare).
+    semantic_dedup_flags skips it — its dropped-id projection is
+    DISTINCT anyway, and the extra pair-grain shuffle would be pure
+    cost there."""
     from .similarity import _dbl, dot_expr, norm_expr
 
     items = assigned.select(
@@ -1611,7 +1639,7 @@ def _semantic_cluster_pairs(
         norm_expr(_dbl(F.col(vec_col))).alias("nv"),
         "centroid_id",
     )
-    return (
+    pairs = (
         _bucket_pairs(items, ["centroid_id"], ["vid", "v", "nv"], max_bucket)
         .where(
             dot_expr(F.col("v_a"), F.col("v_b"))
@@ -1620,3 +1648,4 @@ def _semantic_cluster_pairs(
         )
         .select(F.col("vid_a").alias("vec_a"), F.col("vid_b").alias("vec_b"))
     )
+    return pairs.dropDuplicates(["vec_a", "vec_b"]) if dedup_pairs else pairs

@@ -184,6 +184,54 @@ def ivf_assignments(
     return emb.withColumn("centroid_id", best), codebook
 
 
+def ivf_multi_assignments(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[float]] | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Multi-assignment IVF quantization: every vector is assigned to
+    its ``n_assign`` NEAREST centroids (cosine desc, centroid_id asc on
+    ties) instead of only the argmax — the standard soft-assignment
+    mitigation for cluster-boundary misses in cluster-blocked dedup /
+    IVF probing (a near-dup pair split across two clusters is still
+    co-bucketed if either cluster is in both vectors' top-``n_assign``
+    lists). Returns (assignments, codebook) where assignments holds
+    ``n_assign`` rows per input row, each with a ``centroid_id``.
+
+    Rank-1 equals ivf_assignments' argmax exactly (same tie rule:
+    array_position takes the FIRST index of the max = smallest
+    centroid_id; here the (−sim, cid) struct sort breaks ties by cid
+    asc — pinned in tests/test_similarity.py), so n_assign=1
+    reproduces the single-assignment relation row-for-row.
+
+    Scale shape: same pure per-row expression against the broadcast
+    literal codebook — no join, no shuffle; the output is exactly
+    ``n_assign``× the input rows, so downstream per-cluster C(m,2)
+    costs scale by ≤ n_assign² in the worst case (in practice far
+    less: clusters grow by boundary vectors only)."""
+    if codebook is None:
+        rows = (
+            emb.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+        )
+        codebook = [[float(x) for x in r[0]] for r in rows]
+    sims_arr = centroid_sims_expr(_dbl(vec_col), codebook)
+    # (−sim, cid) structs sort ascending = cosine DESC, centroid ASC;
+    # slice the top n_assign and explode — one expression chain, no
+    # per-centroid window or join
+    ranked = F.transform(
+        sims_arr,
+        lambda s, i: F.struct((-s).alias("neg_sim"), i.cast("int").alias("cid")),
+    )
+    top = F.slice(F.array_sort(ranked), 1, n_assign)
+    assigned = emb.withColumn(
+        "centroid_id", F.explode(F.transform(top, lambda t: t["cid"]))
+    )
+    return assigned, codebook
+
+
 def kmedians_codebook(
     emb: DataFrame,
     n_centroids: int = 16,

@@ -1055,6 +1055,20 @@ def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.left_sym, r.right_sym)
         for r in bpe_train_merges(docs, rounds=_BPE_ROUNDS).collect()
     ]
+    if len(merges) < _BPE_ROUNDS:
+        # Fail loudly instead of hash-mismatching confusingly: the
+        # encode oracle unrolls exactly _BPE_ROUNDS CTE rounds and its
+        # `syms{r} = syms{prev} CROSS JOIN top{r}` goes EMPTY when a
+        # round learns no merge, so an early-exited training would
+        # yield a zero-row oracle against a populated Spark result.
+        # Never hit at 4 rounds on natural text; the TRAIN oracle's
+        # UNION-of-top{r} form matches on early exit, only the encode
+        # side breaks (ADVICE r11).
+        raise ValueError(
+            f"BPE training early-exited with {len(merges)} < "
+            f"{_BPE_ROUNDS} merges; the encode oracle cannot replay "
+            "a short merge table"
+        )
     pertf = (
         lower_terms(docs)
         .groupBy("doc_id", F.col("term").alias("word"))

@@ -1233,10 +1233,15 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_semantic_assign(n_centroids: int, suffix: str = "") -> str:
+def _sql_semantic_assign(
+    n_centroids: int, suffix: str = "", n_assign: int = 1
+) -> str:
     """cb/assign CTE fragments (comma-terminated) for the deterministic
     SemDeDup assignment — first-``n_centroids``-by-id codebook (the
-    _ivf_oracle init), argmax cosine with the first-index tie-break.
+    _ivf_oracle init), top-``n_assign`` cosine with the first-index
+    tie-break (rn = 1 is the argmax; rn <= k is the multi-assignment
+    of similarity.ivf_multi_assignments — same (cosine DESC,
+    centroid_id ASC) rank order on both engines).
     ONE definition serves both the flags oracle and every recall-ladder
     rung (review finding, r11: the duplicated copies could drift).
     ``suffix`` disambiguates CTE names when one query carries several
@@ -1254,7 +1259,7 @@ def _sql_semantic_assign(n_centroids: int, suffix: str = "") -> str:
                                   ORDER BY list_cosine_similarity(b.v, c.cvec) DESC,
                                            c.centroid_id) AS rn
         FROM base b CROSS JOIN cb{suffix} c
-      ) WHERE rn = 1
+      ) WHERE rn <= {n_assign}
     ),"""
 
 
@@ -1302,18 +1307,25 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_recall_oracle(threshold: float = 0.4) -> str:
-    """The two-rung n_centroids ladder (coarse k=4 vs production k=16
-    — the banding-ladder discipline applied to the SemDeDup knob) with
-    ONE shared all-pairs truth CTE: the quadratic cosine join is the
-    oracle's dominant cost and must be evaluated once for both rungs
-    (review finding, r11 — the per-rung form paid it twice), the same
+    """The three-rung SemDeDup ladder — n_centroids coarse k=4 vs
+    production k=16 (the banding-ladder discipline applied to the
+    cluster knob) plus the r12 MULTI-ASSIGNMENT rung k=16/p=2 (each
+    vector in its 2 nearest clusters; got-pairs deduplicated since a
+    pair can qualify in every shared cluster) — with ONE shared
+    all-pairs truth CTE: the quadratic cosine join is the oracle's
+    dominant cost and must be evaluated once for all rungs (review
+    finding, r11 — the per-rung form paid it twice), the same
     single-truth-evaluation discipline the Spark side's
     memo_persist("semantic_truth") applies."""
 
-    def rung(n_centroids: int, suffix: str) -> str:
+    def rung(n_centroids: int, suffix: str, n_assign: int = 1) -> str:
+        label = f"semantic_k{n_centroids:02d}" + (
+            f"_p{n_assign}" if n_assign > 1 else ""
+        )
+        distinct = "DISTINCT " if n_assign > 1 else ""
         return f"""
     got{suffix} AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      SELECT {distinct}a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM assign{suffix} a JOIN assign{suffix} b
         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
@@ -1324,7 +1336,7 @@ def _semantic_recall_oracle(threshold: float = 0.4) -> str:
         ON g.vec_a = t.vec_a AND g.vec_b = t.vec_b
     ),
     counts{suffix} AS (
-      SELECT 'semantic_k{n_centroids:02d}' AS family,
+      SELECT '{label}' AS family,
              CAST(count(CASE WHEN in_got THEN 1 END) AS BIGINT) AS n_method_pairs,
              CAST(count(CASE WHEN in_truth THEN 1 END) AS BIGINT) AS n_truth_pairs,
              CAST(count(CASE WHEN in_got AND in_truth THEN 1 END) AS BIGINT) AS hits,
@@ -1344,8 +1356,10 @@ def _semantic_recall_oracle(threshold: float = 0.4) -> str:
     ),
     {_sql_semantic_assign(4, "4")}{rung(4, "4")}
     {_sql_semantic_assign(16, "16")}{rung(16, "16")}
+    {_sql_semantic_assign(16, "16p2", n_assign=2)}{rung(16, "16p2", n_assign=2)}
     final AS (
       SELECT * FROM counts4 UNION ALL SELECT * FROM counts16
+      UNION ALL SELECT * FROM counts16p2
     )
     SELECT * FROM final ORDER BY family
     """
@@ -1362,19 +1376,21 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     two rungs pin the n_centroids recall/cost trade to verified values
     — coarse k=4 (bigger clusters: recall 0.39 at sf0.1, cost
     ~C(N/4,2) per cluster) vs the production k=16 (recall 0.20, cost
-    ~C(N/16,2)) at the corpus's near-dup threshold 0.4. Low absolute
-    recall at this threshold is the honest property of cluster
-    blocking on a moderate-similarity pair set — SemDeDup's own regime
-    is tight high-cosine duplicates, which concentrate inside single
-    clusters; the knob evidence (recall monotone in cluster size) is
-    what the ladder pins. Precision is 1.0 by construction. One
-    full-outer pass per rung, and the quadratic all-pairs truth is
-    evaluated ONCE for both rungs via the managed persist.
-
-    Registered past-window (r6f/r7e precedent: gate-replica verified
-    this round, rotates into the driver window next round)."""
+    ~C(N/16,2)) at the corpus's near-dup threshold 0.4, plus the r12
+    MULTI-ASSIGNMENT rung k=16/p=2 (r11 VERDICT item 3: each vector
+    assigned to its 2 nearest centroids, intra-cluster pairs unioned
+    and deduplicated — the standard boundary-miss mitigation at ≤4×
+    pair cost, same bucket machinery). Low absolute recall at this
+    threshold is the honest property of cluster blocking on a
+    moderate-similarity pair set — SemDeDup's own regime is tight
+    high-cosine duplicates, which concentrate inside single clusters;
+    the knob evidence (recall monotone in cluster size; the p=2 rung
+    above the p=1 rung at the same n_centroids) is what the ladder
+    pins. Precision is 1.0 by construction. One full-outer pass per
+    rung, and the quadratic all-pairs truth is evaluated ONCE for all
+    rungs via the managed persist."""
     from ..operators.dedup import _semantic_cluster_pairs
-    from ..operators.similarity import ivf_assignments
+    from ..operators.similarity import ivf_assignments, ivf_multi_assignments
 
     emb = load_table(spark, sf_dir, "embeddings")
     # ONE all-pairs truth evaluation shared by both rungs via the
@@ -1389,11 +1405,14 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn("_in_truth", F.lit(True))
 
-    def rung(n_centroids: int) -> DataFrame:
-        assigned, _ = ivf_assignments(emb, n_centroids)
-        got = _semantic_cluster_pairs(assigned, threshold=0.4).withColumn(
-            "_in_got", F.lit(True)
-        )
+    def rung(n_centroids: int, n_assign: int = 1) -> DataFrame:
+        if n_assign > 1:
+            assigned, _ = ivf_multi_assignments(emb, n_centroids, n_assign)
+        else:
+            assigned, _ = ivf_assignments(emb, n_centroids)
+        got = _semantic_cluster_pairs(
+            assigned, threshold=0.4, dedup_pairs=n_assign > 1
+        ).withColumn("_in_got", F.lit(True))
         merged = got.join(truth, ["vec_a", "vec_b"], "full_outer").select(
             F.coalesce("_in_got", F.lit(False)).alias("in_got"),
             F.coalesce("_in_truth", F.lit(False)).alias("in_truth"),
@@ -1415,7 +1434,10 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.when(F.col("in_truth"), F.lit(1))).cast("double")
             ).alias("pair_recall"),
         ).select(
-            F.lit(f"semantic_k{n_centroids:02d}").alias("family"),
+            F.lit(
+                f"semantic_k{n_centroids:02d}"
+                + (f"_p{n_assign}" if n_assign > 1 else "")
+            ).alias("family"),
             "n_method_pairs",
             "n_truth_pairs",
             "hits",
@@ -1423,4 +1445,9 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_recall",
         )
 
-    return rung(4).unionByName(rung(16)).orderBy("family")
+    return (
+        rung(4)
+        .unionByName(rung(16))
+        .unionByName(rung(16, n_assign=2))
+        .orderBy("family")
+    )

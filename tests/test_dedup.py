@@ -647,3 +647,46 @@ def test_semantic_dedup_flags_planted_dups(spark):
     assert got[4] == (1, False)
     # vec 5: cos to both dup groups < 0.95 -> keeps despite cluster 1
     assert got[5][1] is True
+
+
+def test_semantic_multi_assign_recovers_boundary_pair(spark):
+    """n_assign=2 recovers the documented cross-cluster miss: a
+    near-dup pair whose members argmax to DIFFERENT centroids is not
+    compared under single assignment (both keep) but IS compared once
+    each vector also joins its second-nearest cluster — the smaller id
+    keeps, the larger drops. centroid_id stays the rank-1 assignment
+    in both modes."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        semantic_dedup_flags,
+    )
+
+    # centroids = first 2 vectors: c0 ~ x-axis, c1 ~ y-axis. Vectors 2
+    # and 3 are near-identical but sit on opposite sides of the
+    # diagonal, so their argmax centroids differ; both have the other
+    # centroid as clear second-nearest.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.99, 0.0, 0.0]),  # argmax c0 (cos to c0 > c1)
+        (3, [0.99, 1.0, 0.0, 0.0]),  # argmax c1
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+    def flags(n_assign):
+        return {
+            r.vec_id: (r.centroid_id, r.keep)
+            for r in semantic_dedup_flags(
+                emb, threshold=0.99, n_centroids=2, n_assign=n_assign
+            ).collect()
+        }
+
+    single = flags(1)
+    assert single[2] == (0, True) and single[3] == (1, True)  # the miss
+    multi = flags(2)
+    assert multi[2] == (0, True)  # smaller id keeps
+    assert multi[3] == (1, False)  # recovered: dropped via shared cluster
+    # untouched vectors keep in both modes
+    assert single[0][1] and single[1][1] and multi[0][1] and multi[1][1]

@@ -31,6 +31,45 @@ def formatted_plan(df) -> str:
     return buf.getvalue()
 
 
+def scan_node_ids(plan: str) -> set:
+    """Distinct ``(N) Scan parquet`` node ids in a formatted explain.
+
+    THE plan-contract idiom (r11 lesson): the formatted tree line does
+    NOT carry the parquet path, so filters like
+    ``"Scan parquet" in ln and "documents" in ln`` are vacuously empty
+    — they can never fail. Counting distinct scan node ids is
+    path-blind but actually load-bearing: a shared cached-build scan
+    keeps ONE id however many InMemoryTableScans consume it, and every
+    un-shared re-scan adds an id. test_scan_node_ids_detects_scans is
+    the deliberate-failure self-check."""
+    import re
+
+    return set(re.findall(r"\((\d+)\) Scan parquet", plan))
+
+
+def test_scan_node_ids_detects_scans(spark):
+    """Self-check for the node-id idiom: a plain parquet read shows
+    exactly one scan node; a self-union of two reads shows two; and the
+    legacy line-filter idiom is CONFIRMED vacuous on the same plan (the
+    formatted tree line never carries the path, so it matches nothing
+    even though the scan is right there)."""
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    one = formatted_plan(docs)
+    assert len(scan_node_ids(one)) == 1, one[:1500]
+    two = formatted_plan(docs.unionAll(load_table(spark, SF_DIR, "documents").select("doc_id")))
+    assert len(scan_node_ids(two)) == 2, two[:1500]
+    # the old idiom cannot see the scan it claims to filter for
+    legacy = [
+        ln for ln in one.splitlines()
+        if "Scan parquet" in ln and "documents" in ln
+    ]
+    assert legacy == []  # vacuous — why the idiom was retired
+
+
 def test_memo_persist_returns_same_handle_and_evicts_old_key(spark):
     shared_cache.release("term_tf")
     a = _shared_tf(spark, SF_DIR)
@@ -52,16 +91,14 @@ def test_pipeline_plan_reuses_cache_single_corpus_scan(spark, qs):
     # every tf consumer (df derivation, tfidf join input, contrast
     # counts) reads the persisted table...
     assert plan.count("InMemoryTableScan") >= 3, plan[:2000]
-    # ...and the query plan contains NO parquet scan of the corpus at
-    # all — the only documents read happens once, inside the cached
-    # relation's build (formatted explain prints consumers, not the
-    # InMemoryRelation's child plan)
-    scans = [
-        ln
-        for ln in plan.splitlines()
-        if "Scan parquet" in ln and "documents" in ln
-    ]
-    assert scans == [], scans
+    # ...and the whole plan holds exactly ONE distinct parquet scan
+    # node: the single tokenize scan inside the cached relation's
+    # build, printed once per consumer but under the SAME node id.
+    # (Node-id idiom, r11 VERDICT item 6 — the old "no 'Scan parquet'
+    # + 'documents' on one line" filter was vacuous, and migrating it
+    # immediately exposed that formatted explain DOES print the
+    # InMemoryRelation's child scan, contrary to the old comment.)
+    assert len(scan_node_ids(plan)) == 1, plan[:2000]
     # the frame itself is correct-shaped: top-3 per doc + 15 contrast
     rows = df.collect()
     parts = {r.part for r in rows}
@@ -109,12 +146,10 @@ def test_fuzzy_names_served_from_managed_scope(spark, qs):
     # the persisted distinct-names table; no customer parquet scan in
     # the consumer plan (the one scan is the cached relation's build)
     assert plan.count("InMemoryTableScan") >= 3, plan[:2000]
-    scans = [
-        ln
-        for ln in plan.splitlines()
-        if "Scan parquet" in ln and "customer" in ln
-    ]
-    assert scans == [], scans
+    # exactly ONE distinct parquet scan node: the single customer scan
+    # inside the cached relation's build, shared by every consumer
+    # (node-id idiom, not the vacuous line filter; r11 VERDICT item 6)
+    assert len(scan_node_ids(plan)) == 1, plan[:2000]
     row = df.collect()[0]
     assert row.n_names > 0
     assert row.n_dup_pairs <= row.n_candidate_pairs
@@ -175,15 +210,6 @@ def test_tfidf_and_contrast_serve_tf_from_shared_persist(spark):
         text_corpus_contrast,
         text_tfidf_topterms,
     )
-
-    import re
-
-    def scan_node_ids(plan: str) -> set:
-        # formatted explain keeps the parquet path off the tree line;
-        # distinct "(N) Scan parquet" node ids count the scans (a
-        # shared cached-build scan keeps ONE id however many
-        # InMemoryTableScans consume it)
-        return set(re.findall(r"\((\d+)\) Scan parquet", plan))
 
     shared_cache.release("term_tf")
     plan = formatted_plan(text_tfidf_topterms(spark, SF_DIR))

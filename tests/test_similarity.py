@@ -108,6 +108,33 @@ def test_kmedians_codebook_deterministic_and_refines(spark, sf_dir):
     assert out and all(r.rank >= 1 for r in out)
 
 
+def test_ivf_multi_assignments_rank1_equals_argmax(spark, sf_dir):
+    """Multi-assignment contract: n_assign=1 reproduces ivf_assignments
+    row-for-row (same argmax + tie rule), and n_assign=2 emits exactly
+    two DISTINCT centroids per vector whose set CONTAINS the argmax."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_multi_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    single, cb = ivf_assignments(emb, n_centroids=8)
+    argmax = {r.vec_id: r.centroid_id for r in single.collect()}
+
+    m1, _ = ivf_multi_assignments(emb, n_centroids=8, n_assign=1, codebook=cb)
+    got1 = {r.vec_id: r.centroid_id for r in m1.collect()}
+    assert got1 == argmax
+
+    m2, _ = ivf_multi_assignments(emb, n_centroids=8, n_assign=2, codebook=cb)
+    by_vec: dict = {}
+    for r in m2.collect():
+        by_vec.setdefault(r.vec_id, []).append(r.centroid_id)
+    assert set(by_vec) == set(argmax)
+    for vid, cids in by_vec.items():
+        assert len(cids) == 2 and len(set(cids)) == 2
+        assert argmax[vid] in cids
+
+
 def test_ivf_queries_share_corpus_codebook(spark, sf_dir):
     """Regression for the round-1 advisor finding: queries that are NOT
     a prefix of the corpus must still be assigned against the CORPUS
