@@ -16,7 +16,7 @@ from ..functions.money import (
 )
 from ..sources.tables import load_table
 from .bi import REVENUE_SQL
-from .registry import query
+from .registry import banded_oracle, query
 
 
 @query(
@@ -119,6 +119,36 @@ def agg_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# Tolerance-banded exact twin (r11 VERDICT item 5): DuckDB computes
+# the EXACT per-priority percentiles (quantile_disc — element-valued,
+# like Spark's approx_percentile) and exact distinct customers; the
+# gate checks the sketch values land inside the documented bands.
+# Bands: approx_percentile at accuracy=10000 guarantees rank error
+# <= n/10000 — on this smooth price distribution a 2% relative VALUE
+# band is generous at every test SF; approx_count_distinct at rsd=1%
+# gets a 5-sigma 5% band. Keys and the exact n_orders must match
+# exactly.
+banded_oracle(
+    "agg_sketch_profile",
+    """
+    SELECT o_orderpriority,
+           CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90,
+           CAST(quantile_disc(o_totalprice, 0.99) AS DOUBLE) AS p99,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS approx_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+    {
+        "p50": ("rel", 0.02),
+        "p90": ("rel", 0.02),
+        "p99": ("rel", 0.02),
+        "approx_customers": ("rel", 0.05),
+    },
+)
 
 
 @query(
@@ -234,3 +264,22 @@ def agg_incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "month")
     )
+
+
+# Tolerance-banded exact twin (r11 VERDICT item 5): the union of the
+# history/delta branches is the whole orders table, so the exact
+# per-month distinct is one plain aggregate; DataSketches HLL at the
+# default lgK=12 has rse ~0.8% — a 5% band is >5 sigma. NULL months
+# group as NULL on both engines. The estimate is the only banded
+# column; year/month keys must match exactly.
+banded_oracle(
+    "agg_incremental_distinct_hll",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+           CAST(month(o_orderdate) AS INTEGER) AS month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_approx
+    FROM orders
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    {"n_customers_approx": ("rel", 0.05)},
+)

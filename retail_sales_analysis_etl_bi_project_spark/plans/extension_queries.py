@@ -408,7 +408,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ's 128x compression costs recall vs uncompressed IVF at equal
     probe count."""
     from .similarity_queries import (
-        sim_bruteforce_topk,
+        shared_ann_truth,
         sim_ivf_ann_topk,
         sim_ivf_kmedians_topk,
         sim_ivf_multiprobe_topk,
@@ -416,7 +416,10 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_lsh_ann_topk,
     )
 
-    bf = sim_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # managed ann_truth persist: the truth set is consumed twice below
+    # (hit join + totals) and again by sim_ann_recall_tuning — ONE
+    # brute-force evaluation serves all consumers (r11 VERDICT item 2)
+    bf = shared_ann_truth(spark, sf_dir)
     methods = [
         ("ivf_kmedians", sim_ivf_kmedians_topk),
         ("ivf_nprobe1", sim_ivf_ann_topk),

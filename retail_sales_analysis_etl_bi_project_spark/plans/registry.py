@@ -19,6 +19,19 @@ Builder = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, Builder] = {}
 ORACLES: dict[str, str] = {}
 
+# Tolerance-banded oracles for the sketch family (r11 VERDICT item 5):
+# DuckDB computes the EXACT statistic (exact percentiles / exact
+# distinct counts) with the same grouping keys and column names, and
+# the gate checks each approximate Spark value lands within the
+# sketch's documented error band instead of hash-matching. Shape:
+# name -> (exact_sql, {banded_col: ("rel", bound)}); columns NOT
+# listed in the band map (keys, exact counts) must match exactly.
+# These names stay OUT of ORACLES — the driver's hash compare would
+# red-flag approximate values — so the driver still records rows-only
+# while the local gate (tools/compare_oracle.py) applies the stronger
+# rows+schema+bounds check.
+BANDED_ORACLES: dict[str, tuple[str, dict[str, tuple[str, float]]]] = {}
+
 
 def query(name: str, oracle: str | None = None):
     """Decorator: register a (spark, sf_dir) -> DataFrame builder, with an
@@ -31,3 +44,13 @@ def query(name: str, oracle: str | None = None):
         return fn
 
     return wrap
+
+
+def banded_oracle(
+    name: str, sql: str, bands: dict[str, tuple[str, float]]
+) -> None:
+    """Attach a tolerance-banded exact oracle to an already-registered
+    sketch query (must NOT also have a hash oracle)."""
+    if name in ORACLES:
+        raise ValueError(f"{name} already has a hash oracle")
+    BANDED_ORACLES[name] = (sql, bands)

@@ -121,6 +121,26 @@ def _corpus_pq_index(spark: SparkSession, sf_dir: str):
     return codes, cbs, cb
 
 
+def shared_ann_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brute-force top-k truth set (query_id, neighbor_id) as a
+    MANAGED persist (memo_persist family "ann_truth") — the
+    single-truth-evaluation discipline the dedup family audits use
+    (r11 VERDICT item 2): both ANN recall audits (sim_ann_recall,
+    sim_ann_recall_tuning) consume the truth set TWICE each (hit join
+    + n_truth totals), and Spark recomputes unpersisted subtrees per
+    consumer, so without the persist the exact N×queries scoring ran
+    2× inside each audit and 4× across a cold composed run. Persist
+    returns the identical plan a rebuild would, so oracle hashes
+    cannot move."""
+    return memo_persist(
+        "ann_truth",
+        (spark.sparkContext.applicationId, sf_dir, _N_QUERIES, _K),
+        lambda: sim_bruteforce_topk(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+    )
+
+
 def plane_bits_sql(planes: list[list[float]], vec_expr: str) -> str:
     """Shared DuckDB builder for the sign-bit expressions of literal
     hyperplanes — single source of truth for every LSH oracle here and

@@ -160,3 +160,39 @@ def test_hll_incremental_merge_is_exactly_one_pass(spark, sf_dir):
     assert merged.keys() == exact.keys()
     for k, est in merged.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_banded_compare_detects_out_of_band_values():
+    """Deliberate-failure self-check for the gate's tolerance-banded
+    sketch verification (r11 VERDICT item 5): the band checker passes
+    in-band values, flags an out-of-band value, flags a key mismatch,
+    and the two sketch queries actually carry registered bands."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from compare_oracle import banded_compare
+
+    from retail_sales_analysis_etl_bi_project_spark.plans.registry import (
+        BANDED_ORACLES,
+        ORACLES,
+    )
+
+    assert set(BANDED_ORACLES) == {
+        "agg_sketch_profile",
+        "agg_incremental_distinct_hll",
+    }
+    assert not set(BANDED_ORACLES) & set(ORACLES)
+
+    cols = ["k", "v"]
+    bands = {"v": ("rel", 0.05)}
+    # in-band: 104 vs exact 100 at ±5%
+    assert banded_compare("x", cols, [("a", 104.0)], cols, [("a", 100.0)], bands) is None
+    # out-of-band: 106 vs 100
+    err = banded_compare("x", cols, [("a", 106.0)], cols, [("a", 100.0)], bands)
+    assert err and "outside" in err
+    # key mismatch is exact, never banded
+    err = banded_compare("x", cols, [("b", 100.0)], cols, [("a", 100.0)], bands)
+    assert err and "key" in err
+    # null agreement passes; null disagreement fails
+    assert banded_compare("x", cols, [("a", None)], cols, [("a", None)], bands) is None
+    assert banded_compare("x", cols, [("a", None)], cols, [("a", 1.0)], bands)

@@ -36,6 +36,47 @@ def norm_rows(cols, rows):
     return sorted(cols), out
 
 
+def banded_compare(name, scols, srows, dcols, drows, bands):
+    """Rows + schema + tolerance-band check for sketch queries (r11
+    VERDICT item 5): key/exact columns must string-match exactly; each
+    banded column's Spark value must land within the declared relative
+    band of the DuckDB EXACT value. Rows align by sorting on the
+    non-banded (key) columns. Returns None on pass, an error string on
+    the first violation."""
+    if sorted(scols) != sorted(dcols):
+        return f"column mismatch spark={sorted(scols)} duckdb={sorted(dcols)}"
+    if len(srows) != len(drows):
+        return f"rowcount spark={len(srows)} duckdb={len(drows)}"
+    keys = [c for c in sorted(scols) if c not in bands]
+    sidx = {c: scols.index(c) for c in scols}
+    didx = {c: dcols.index(c) for c in dcols}
+
+    def keyed(rows, idx):
+        return sorted(rows, key=lambda r: tuple(norm_cell(r[idx[c]]) for c in keys))
+
+    for srow, drow in zip(keyed(srows, sidx), keyed(drows, didx)):
+        for c in keys:
+            if norm_cell(srow[sidx[c]]) != norm_cell(drow[didx[c]]):
+                return (
+                    f"key/exact column {c!r} mismatch: "
+                    f"spark={srow[sidx[c]]!r} duckdb={drow[didx[c]]!r}"
+                )
+        for c, (kind, bound) in bands.items():
+            sv, dv = srow[sidx[c]], drow[didx[c]]
+            if sv is None or dv is None:
+                if sv is None and dv is None:
+                    continue
+                return f"banded column {c!r} null mismatch: {sv!r} vs {dv!r}"
+            sv, dv = float(sv), float(dv)
+            assert kind == "rel", kind
+            if abs(sv - dv) > bound * max(abs(dv), 1e-12):
+                return (
+                    f"banded column {c!r} outside ±{bound:.0%} of exact: "
+                    f"spark={sv} exact={dv}"
+                )
+    return None
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -59,6 +100,34 @@ def main():
             n_fail += 1
             continue
         if name not in oracles:
+            from retail_sales_analysis_etl_bi_project_spark.plans.registry import (
+                BANDED_ORACLES,
+            )
+
+            if name in BANDED_ORACLES:
+                sql, bands = BANDED_ORACLES[name]
+                try:
+                    res = con.execute(sql)
+                    dcols = [d[0] for d in res.description]
+                    drows = res.fetchall()
+                except Exception as e:
+                    print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+                    n_fail += 1
+                    continue
+                err = banded_compare(name, scols, srows, dcols, drows, bands)
+                if err:
+                    print(f"FAIL {name}: {err}")
+                    n_fail += 1
+                else:
+                    band_desc = ", ".join(
+                        f"{c} ±{b:.0%}" for c, (_, b) in bands.items()
+                    )
+                    print(
+                        f"PASS-BAND {name}: {len(srows)} rows "
+                        f"(exact keys; {band_desc} vs exact oracle)"
+                    )
+                    n_pass += 1
+                continue
             print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols}")
             n_rowsonly += 1
             continue
