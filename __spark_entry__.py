@@ -159,6 +159,11 @@ _PAST_WINDOW = (
                                       # re-runs inside dedup_family_recall (in)
     "graph_triangle_counts",          # degree-oriented iterative graph family,
                                       # as graph_kcore_coreness (in)
+    # r12b: new queries registered PAST-window (r6f/r11b precedent:
+    # gate-replica verified at sf0.001+sf0.01+sf0.1 this round,
+    # rotate into the driver window next round)
+    "sim_matryoshka_recall",          # MRL dim-budget ladder + 2-stage rerank
+    "corpus_pack_bpe_budget",         # train->encode->pack by trained-BPE counts
 )
 
 # r12: queries promoted INTO the driver window regardless of natural

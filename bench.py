@@ -136,12 +136,19 @@ HEADLINE = [
     "dedup_containment_pairs",
     "dedup_cluster_canonical",
     "dedup_semantic_clusters",
-    # sim_ann_recall_tuning, dedup_containment_recall, and
-    # dedup_minhash_recall_tuning are NOT headline, the sim_ann_recall
-    # / dedup_family_recall precedent: composed audits re-run member
-    # pipelines (and the recall audits' truth sides are quadratic
-    # all-pairs) and would dominate the total with redundant timings;
-    # BENCH_FULL.json records them.
+    "text_bpe_train_rounds",
+    "text_bpe_encode_counts",
+    "sim_matryoshka_recall",
+    "corpus_pack_bpe_budget",
+    # sim_ann_recall_tuning, dedup_containment_recall,
+    # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
+    # headline, the sim_ann_recall / dedup_family_recall precedent:
+    # composed audits re-run member pipelines (and the recall audits'
+    # truth sides are quadratic all-pairs) and would dominate the
+    # total with redundant timings; BENCH_FULL.json records them.
+    # sim_matryoshka_recall IS headline: its truth is the shared
+    # linear brute-force top-k (queries x corpus), not an all-pairs
+    # build, and its whole ladder is one scored pass.
 ]
 
 # Queries whose result is fact-sized: count() instead of collect() so the

@@ -115,6 +115,78 @@ def brute_force_topk(
     )
 
 
+def matryoshka_ranks(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: tuple[int, ...] = (16, 32),
+    rerank_from: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(query, neighbor) ranks under MATRYOSHKA dimension budgets
+    (Kusupati et al. 2022 — MRL embeddings are trained so PREFIXES of
+    the vector are themselves usable embeddings): full-dim rank, one
+    rank per truncated prefix width in ``dims``, and the two-stage
+    rank ``rank_rr`` (candidates = top-``rerank_from`` by the
+    SMALLEST prefix's cosine, reranked by full-dim cosine) — the
+    standard MRL serving pattern: cheap truncated dots shortlist,
+    exact full-dim dots rerank a bounded candidate set.
+
+    ONE broadcast pass computes every cosine (prefix dots reuse the
+    same row — no per-dim corpus rescans), and all ranks are windows
+    over the SAME query_id partitioning, so the whole ladder costs one
+    scored-row shuffle regardless of how many budgets are audited.
+    The rerank rank is computed windowed over all rows by sorting
+    shortlist members first (rank_d<dims[0]> <= rerank_from desc);
+    it is only MEANINGFUL on shortlist rows — consumers must pair
+    ``rank_rr <= k`` with ``rank_d{dims[0]} <= rerank_from``."""
+    d0 = dims[0]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dbl(vec_col).alias("qv")
+    )
+    c = _parallelize(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _dbl(vec_col).alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cos_full"),
+        *[
+            cosine_expr(
+                F.slice(F.col("qv"), 1, d), F.slice(F.col("cv"), 1, d)
+            ).alias(f"cos_d{d}")
+            for d in dims
+        ],
+    )
+
+    def w(*order):
+        return Window.partitionBy("query_id").orderBy(*order)
+
+    out = scored.withColumn(
+        "rank_full",
+        F.row_number().over(w(F.desc("cos_full"), F.asc("neighbor_id"))),
+    )
+    for d in dims:
+        out = out.withColumn(
+            f"rank_d{d}",
+            F.row_number().over(
+                w(F.desc(f"cos_d{d}"), F.asc("neighbor_id"))
+            ),
+        )
+    return out.withColumn(
+        "rank_rr",
+        F.row_number().over(
+            w(
+                F.desc(F.col(f"rank_d{d0}") <= rerank_from),
+                F.desc("cos_full"),
+                F.asc("neighbor_id"),
+            )
+        ),
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (fixed seed -> reproducible across
     runs and executors; shipped to the plan as literals, ~dim*n_planes

@@ -1057,6 +1057,14 @@ def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Registered past-window (r6f/r7e precedent: gate-replica verified
     this round, rotates into the driver window next round)."""
+    return _bpe_doc_token_counts(spark, sf_dir).orderBy("doc_id")
+
+
+def _bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, n_tokens, n_words) under the trained
+    _BPE_ROUNDS merges — the encode kernel shared by
+    text_bpe_encode_counts and corpus_pack_bpe_budget so the two can
+    never disagree on training or segmentation."""
     from ..operators.text import bpe_train_merges, char_syms_expr, merge_fold_expr
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1098,5 +1106,88 @@ def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("tf") * F.col("n_bpe")).cast("bigint").alias("n_tokens"),
             F.sum("tf").cast("bigint").alias("n_words"),
         )
-        .orderBy("doc_id")
     )
+
+
+_PACK_BPE_BUDGET = 512
+_PACK_BPE_BLOCK = 64
+
+
+@query(
+    "corpus_pack_bpe_budget",
+    oracle=f"""
+    WITH {{ctes}},
+    pertf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toksd GROUP BY 1, 2
+    ),
+    vlen AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe FROM syms{{k}}
+    ),
+    doccnt AS (
+      SELECT p.doc_id, CAST(SUM(p.tf * v.n_bpe) AS BIGINT) AS n_tokens
+      FROM pertf p JOIN vlen v USING (word)
+      GROUP BY p.doc_id
+    ),
+    kept AS (
+      SELECT d.doc_id, d.source, c.n_tokens
+      FROM doccnt c JOIN documents d USING (doc_id)
+      WHERE c.n_tokens > 0
+    ),
+    cum_t AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM kept
+    ),
+    spans AS (
+      SELECT source, doc_id, n_tokens, cum, cum - n_tokens AS strt,
+             unnest(generate_series(
+               CAST(FLOOR((cum - n_tokens) / {{budget}}) AS BIGINT),
+               CAST(FLOOR((cum - 1) / {{budget}}) AS BIGINT))) AS seq_id
+      FROM cum_t
+    )
+    SELECT source, seq_id, doc_id, n_tokens,
+           CAST(GREATEST(strt, seq_id * {{budget}})
+                - seq_id * {{budget}} AS BIGINT) AS tok_lo,
+           CAST(LEAST(cum, (seq_id + 1) * {{budget}})
+                - seq_id * {{budget}} AS BIGINT) AS tok_hi
+    FROM spans
+    ORDER BY source, seq_id, doc_id
+    """.format(
+        ctes="__CTES__", k=_BPE_ROUNDS, budget=_PACK_BPE_BUDGET
+    ).replace("__CTES__", _bpe_rounds_ctes()),
+)
+def corpus_pack_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer arc COMPLETED into a training-data artifact:
+    train the BPE merges (text_bpe_train_rounds), encode every doc
+    under them (text_bpe_encode_counts' shared kernel), then pack the
+    corpus into fixed 512-token training sequences using the REAL
+    trained-tokenizer counts — where corpus_pack_sharded packs by the
+    regex proxy count, this is the pipeline a production pretraining
+    job runs: sequence boundaries depend on the tokenizer actually
+    shipped. Same span schema/semantics as the verified packer
+    ((source, seq_id, doc_id, n_tokens, tok_lo, tok_hi) half-open
+    ranges, docs spanning sequences split exactly).
+
+    Scale shape: encoding is vocabulary-grain (the merge fold runs per
+    DISTINCT word, never per corpus row); packing is the two-phase
+    distributed prefix-sum (pack_sequences_sharded, bounded window
+    partitions via block_size); the oracle replays training,
+    segmentation, and the ONE-WINDOW packing spec through the shared
+    _bpe_rounds_ctes chain — integers only, hash-exact.
+
+    Registered past-window (r6f/r11b precedent: gate-replica verified
+    at sf0.001+sf0.01+sf0.1 this round, rotates into the driver
+    window next round)."""
+    from ..operators.curation import pack_sequences_sharded
+
+    counts = _bpe_doc_token_counts(spark, sf_dir).select("doc_id", "n_tokens")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return pack_sequences_sharded(
+        docs.join(counts, "doc_id"),
+        token_col="n_tokens",
+        budget=_PACK_BPE_BUDGET,
+        shard_col="source",
+        id_col="doc_id",
+        block_size=_PACK_BPE_BLOCK,
+    ).orderBy("source", "seq_id", "doc_id")

@@ -479,3 +479,149 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(
         emb, emb.filter(F.col("vec_id") < _N_QUERIES), dim=_DIM, k=_K, n_planes=_N_PLANES
     )
+
+
+_MRL_DIMS = (16, 32)
+_MRL_CAND = 50
+
+
+def _matryoshka_oracle() -> str:
+    """DuckDB replay of the MRL ladder: one scored CTE with full and
+    prefix cosines (list slices — prefix folds run in the same element
+    order on both engines, so the doubles are bit-identical), the same
+    four windowed ranks, and the hit aggregation unrolled into the
+    4-row ladder. The truth CTE (rank_full <= k) is definitionally the
+    brute-force top-k, so full64 recall is 1.0 by construction — the
+    ladder's self-check rung."""
+    d0, d1 = _MRL_DIMS
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS cos_full,
+             list_cosine_similarity(q.v[1:{d0}], c.v[1:{d0}]) AS cos_d{d0},
+             list_cosine_similarity(q.v[1:{d1}], c.v[1:{d1}]) AS cos_d{d1}
+      FROM base q JOIN base c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cos_full DESC, neighbor_id) AS rank_full,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cos_d{d0} DESC, neighbor_id) AS rank_d{d0},
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cos_d{d1} DESC, neighbor_id) AS rank_d{d1}
+      FROM scored
+    ),
+    rr AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY CASE WHEN rank_d{d0} <= {_MRL_CAND} THEN 0 ELSE 1 END,
+                   cos_full DESC, neighbor_id) AS rank_rr
+      FROM ranked
+    ),
+    joined AS (
+      SELECT r.*, (t.query_id IS NOT NULL) AS in_truth
+      FROM rr r LEFT JOIN (
+        SELECT query_id, neighbor_id FROM ranked WHERE rank_full <= {_K}
+      ) t ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN in_truth AND rank_full <= {_K} THEN 1 ELSE 0 END) AS BIGINT) AS h_full,
+        CAST(SUM(CASE WHEN in_truth AND rank_d{d0} <= {_K} THEN 1 ELSE 0 END) AS BIGINT) AS h_d{d0},
+        CAST(SUM(CASE WHEN in_truth AND rank_d{d1} <= {_K} THEN 1 ELSE 0 END) AS BIGINT) AS h_d{d1},
+        CAST(SUM(CASE WHEN in_truth AND rank_d{d0} <= {_MRL_CAND}
+                       AND rank_rr <= {_K} THEN 1 ELSE 0 END) AS BIGINT) AS h_rr,
+        CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth
+      FROM joined
+    )
+    SELECT method, hits, n_truth,
+           CAST(hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall_at_10
+    FROM (
+      SELECT 'full64' AS method, h_full AS hits, n_truth FROM agg
+      UNION ALL SELECT 'trunc{d0:02d}', h_d{d0}, n_truth FROM agg
+      UNION ALL SELECT 'trunc{d1:02d}', h_d{d1}, n_truth FROM agg
+      UNION ALL SELECT 'trunc{d0:02d}_rerank{_MRL_CAND}', h_rr, n_truth FROM agg
+    )
+    ORDER BY method
+    """
+
+
+@query("sim_matryoshka_recall", oracle=_matryoshka_oracle())
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) dimension-budget recall ladder — the embedding
+    analog of the ANN knob ladders: recall@10 vs the full-dim exact
+    top-k when scoring uses only the first 16 / 32 of 64 dims
+    (truncated prefix cosine, the MRL property), plus the production
+    TWO-STAGE rung — shortlist top-50 by 16-dim cosine, rerank the
+    shortlist by full-dim cosine (operators/similarity.py
+    matryoshka_ranks). What the ladder pins: direct truncation trades
+    recall for a 4x/2x dot-product budget; reranking a 50-candidate
+    shortlist recovers most of the loss while bounding full-dim work
+    to rerank_from per query — the standard MRL serving pattern
+    (Kusupati et al. 2022).
+
+    Scale shape: ONE queries-broadcast pass over the corpus computes
+    every cosine (prefix dots are slices of the same row — no per-rung
+    rescans), all four ranks are windows over the same query_id
+    partitioning (one shuffle for the whole ladder), and the hit
+    aggregation is a single pass with conditional sums unpivoted via
+    stack — cost is queries x corpus rows, linear in the corpus like
+    the registered brute-force baseline it extends. At 100 TB the
+    shortlist stage rides the IVF machinery over truncated vectors
+    (same codebook discipline); this audit is the recall evidence for
+    choosing the dim budget.
+
+    Registered past-window (r6f/r11b precedent: gate-replica verified
+    at sf0.001+sf0.01+sf0.1 this round, rotates into the driver
+    window next round)."""
+    from ..operators.similarity import matryoshka_ranks
+
+    d0, d1 = _MRL_DIMS
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranks = matryoshka_ranks(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        dims=_MRL_DIMS,
+        rerank_from=_MRL_CAND,
+    )
+    truth = shared_ann_truth(spark, sf_dir).withColumn("_t", F.lit(True))
+    j = ranks.join(truth, ["query_id", "neighbor_id"], "left")
+
+    def hits(cond):
+        return F.sum(
+            F.when(F.col("_t") & cond, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint")
+
+    agg = j.agg(
+        hits(F.col("rank_full") <= _K).alias("h_full"),
+        hits(F.col(f"rank_d{d0}") <= _K).alias("h_d0"),
+        hits(F.col(f"rank_d{d1}") <= _K).alias("h_d1"),
+        hits(
+            (F.col(f"rank_d{d0}") <= _MRL_CAND) & (F.col("rank_rr") <= _K)
+        ).alias("h_rr"),
+        F.sum(F.when(F.col("_t"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_truth"),
+    )
+    return (
+        agg.select(
+            F.expr(
+                f"stack(4, 'full64', h_full, 'trunc{d0:02d}', h_d0, "
+                f"'trunc{d1:02d}', h_d1, "
+                f"'trunc{d0:02d}_rerank{_MRL_CAND}', h_rr) AS (method, hits)"
+            ),
+            "n_truth",
+        )
+        .select(
+            "method",
+            "hits",
+            "n_truth",
+            (
+                F.col("hits").cast("double") / F.col("n_truth").cast("double")
+            ).alias("recall_at_10"),
+        )
+        .orderBy("method")
+    )

@@ -328,3 +328,57 @@ def test_embedding_pairs_prejoin_norms_match_naive(spark, sf_dir):
         for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
     }
     assert naive == fast
+
+
+def test_matryoshka_ladder_orderings(spark, sf_dir):
+    """The MRL ladder's VALUE claims (the oracle pins exact doubles;
+    this pins the orderings the docstring states): full-dim recall is
+    1.0 by construction, reranking a truncated shortlist never loses
+    to direct truncation at the same prefix width, wider prefixes
+    never lose to narrower ones, and every rung is a valid recall."""
+    import __spark_entry__ as entrymod
+
+    rows = {
+        r.method: r
+        for r in entrymod.queries()["sim_matryoshka_recall"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"full64", "trunc16", "trunc32", "trunc16_rerank50"}
+    assert rows["full64"].recall_at_10 == 1.0
+    assert (
+        rows["trunc16_rerank50"].recall_at_10 >= rows["trunc16"].recall_at_10
+    )
+    assert rows["trunc32"].recall_at_10 >= rows["trunc16"].recall_at_10
+    for r in rows.values():
+        assert r.n_truth == 50 and 0.0 <= r.recall_at_10 <= 1.0
+
+
+def test_matryoshka_ranks_rerank_contract(spark, sf_dir):
+    """matryoshka_ranks: rank_full is a permutation of 1..n per query;
+    the rerank window sorts shortlist members first, so every
+    rank_rr <= rerank_from row IS a shortlist row (the documented
+    consumer contract), and within the shortlist the rerank order is
+    the full-dim order."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+        matryoshka_ranks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    out = matryoshka_ranks(
+        emb, emb.filter(F.col("vec_id") < 2), dims=(16, 32), rerank_from=20
+    ).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 2
+    for rows in by_q.values():
+        n = len(rows)
+        assert sorted(r.rank_full for r in rows) == list(range(1, n + 1))
+        shortlist = {r.neighbor_id for r in rows if r.rank_d16 <= 20}
+        top_rr = {r.neighbor_id for r in rows if r.rank_rr <= 20}
+        assert top_rr == shortlist
+        # within the shortlist, rerank order == full-dim cosine order
+        sl = sorted((r for r in rows if r.rank_d16 <= 20), key=lambda r: r.rank_rr)
+        cosines = [r.cos_full for r in sl]
+        assert cosines == sorted(cosines, reverse=True)
