@@ -164,6 +164,8 @@ _PAST_WINDOW = (
     # rotate into the driver window next round)
     "sim_matryoshka_recall",          # MRL dim-budget ladder + 2-stage rerank
     "corpus_pack_bpe_budget",         # train->encode->pack by trained-BPE counts
+    "text_bm25_search",               # rational-idf BM25 ranked retrieval
+    "graph_pagerank_dupgraph",        # fixed-point PageRank over dup graph
 )
 
 # r12: queries promoted INTO the driver window regardless of natural

@@ -140,6 +140,8 @@ HEADLINE = [
     "text_bpe_encode_counts",
     "sim_matryoshka_recall",
     "corpus_pack_bpe_budget",
+    "text_bm25_search",
+    "graph_pagerank_dupgraph",
     # sim_ann_recall_tuning, dedup_containment_recall,
     # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
     # headline, the sim_ann_recall / dedup_family_recall precedent:

@@ -137,6 +137,96 @@ def connected_components(
     )
 
 
+def pagerank_fixed_point(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    rounds: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over the undirected dup graph in SCALED-INTEGER fixed
+    point — centrality for dup clusters (which document is the hub of
+    a near-dup family), the companion readout to components/coreness/
+    triangles. Returns one row per node appearing in any edge:
+    (doc_id, degree, pr_scaled, pr), where pr_scaled is the rank after
+    ``rounds`` synchronous iterations of
+
+        R_{t+1}(v) = TELEPORT + (damping_pct * Σ_{u~v} (R_t(u) div
+                     deg(u))) div 100
+
+    over BIGINTs, with R_0 = scale div N and TELEPORT =
+    (scale * (100 - damping_pct)) div (100 * N); pr is the single
+    final division pr_scaled / scale.
+
+    WHY integers: float PageRank sums per-neighbor double
+    contributions, and a distributed SUM's addition ORDER is
+    partition-dependent — the result would differ run to run and
+    engine to engine (un-hashable). Integer contributions (floor
+    division by degree) make every per-round sum exact and order-free,
+    so the whole iteration is deterministic and the DuckDB oracle
+    replays it bit-for-bit — the fixed-point-accumulator discipline of
+    functions/money.py applied to an iterative algorithm. The cost is
+    a bounded truncation: each node's outflow loses < deg(u) scale
+    units per round (< 1e-9 of total mass at the default scale), a
+    systematic rank DEFLATION, never an ordering flip between nodes
+    whose true ranks differ by more than the truncation envelope.
+
+    Scale shape: per round, one equi-join of edges to the rank table +
+    one groupBy(d) exact integer sum + one left join back to the node
+    table — all hash shuffles on long keys, no broadcast of anything
+    graph-proportional, no driver state beyond the one N count
+    (collected once, the CC/codebook eager-scalar precedent). Rounds
+    chain linearly; edges/degrees localCheckpoint once so the upstream
+    dedup pipeline materializes exactly once."""
+    e = pairs.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    )
+    edges = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=False)
+    deg = (
+        edges.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return deg.select(
+            F.col("s").alias("doc_id"),
+            F.col("deg").alias("degree"),
+            F.lit(0).cast("long").alias("pr_scaled"),
+            F.lit(0.0).alias("pr"),
+        )
+    r0 = scale // n_nodes
+    teleport = (scale * (100 - damping_pct)) // (100 * n_nodes)
+    r = deg.select("s", F.lit(r0).cast("long").alias("r"), "deg")
+    for _ in range(rounds):
+        contrib = r.select(
+            F.col("s").alias("cs"), F.expr("r div deg").alias("c")
+        )
+        inn = (
+            edges.join(contrib, F.col("s") == F.col("cs"))
+            .groupBy("d")
+            .agg(F.sum("c").cast("long").alias("t"))
+            .select(F.col("d").alias("s"), "t")
+        )
+        r = deg.join(inn, "s", "left").select(
+            "s",
+            F.expr(
+                f"CAST({teleport} AS BIGINT) + "
+                f"(({damping_pct} * coalesce(t, CAST(0 AS BIGINT))) div 100)"
+            ).alias("r"),
+            "deg",
+        )
+    return r.select(
+        F.col("s").alias("doc_id"),
+        F.col("deg").cast("bigint").alias("degree"),
+        F.col("r").alias("pr_scaled"),
+        (F.col("r").cast("double") / F.lit(scale).cast("double")).alias("pr"),
+    ).orderBy("doc_id")
+
+
 def _peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     """Fixed-round k-core peel of a SYMMETRIZED edge list (s, d): each
     round drops every node whose current degree is < k, plus all its

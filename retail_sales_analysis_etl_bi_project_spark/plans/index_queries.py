@@ -183,3 +183,161 @@ def etl_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# BM25 constants, computed ONCE in Python and injected as identical
+# repr() literals into BOTH engines — (k1 + 1) evaluated separately on
+# each side could round differently from a shared literal.
+_BM25_TERMS = ("window", "merge", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K1P1 = _BM25_K1 + 1.0
+_BM25_TOP = 20
+
+
+def _bm25_oracle() -> str:
+    # every numeric literal rides a CAST(... AS DOUBLE): DuckDB parses
+    # bare 0.5/1.2 as DECIMAL and decimal arithmetic rounds differently
+    # from IEEE doubles (measured: 2-ulp score drift) — the same
+    # decimal-literal trap the money oracles document
+    k1 = f"CAST({_BM25_K1!r} AS DOUBLE)"
+    b = f"CAST({_BM25_B!r} AS DOUBLE)"
+    k1p1 = f"CAST({_BM25_K1P1!r} AS DOUBLE)"
+    half = "CAST(0.5 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    per_term = ",\n             ".join(
+        f"COALESCE(SUM(CASE WHEN term = '{t}' THEN w END), "
+        f"CAST(0.0 AS DOUBLE)) AS s{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    score = " + ".join(f"s{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, lower(t) AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents)
+      GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    qtf AS (SELECT * FROM tf WHERE term IN ({terms})),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY 1),
+    w AS (
+      SELECT q.doc_id, q.term, d.dl,
+             (((s.n_docs - f.df) + {half}) / (f.df + {half}))
+             * ((q.tf * {k1p1})
+                / (q.tf + {k1} * (({one} - {b})
+                                  + (({b} * d.dl) / s.avgdl)))) AS w
+      FROM qtf q
+      JOIN df f USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(MAX(dl) AS BIGINT) AS dl,
+             CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+             {per_term}
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, dl, n_hit_terms, {score} AS score
+    FROM per_doc
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOP}
+    """
+
+
+@query("text_bm25_search", oracle=_bm25_oracle())
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Spärck Jones) for a literal
+    3-term query over the corpus — the scoring stage behind the
+    inverted index: per (doc, query term),
+    idf * tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl)) with k1=1.2,
+    b=0.75, summed over query terms in FIXED term order. IDF is the
+    RATIONAL form (N - df + 0.5)/(df + 0.5) — the same monotone
+    log-free substitution as text_tfidf_topterms (and it stays
+    positive where the classic ln form can go negative for
+    df > N/2), so every score is IEEE +,*,/ and hash-exact across
+    engines. N/avgdl derive from the tf table's doc set (docs with
+    at least one token).
+
+    Scale shape: term frequencies come from the managed term_tf
+    persist (one tokenize per application/corpus, shared with the
+    tfidf/contrast family); the query filter cuts tf to |terms|
+    postings BEFORE any join (at web scale this is the inverted-index
+    lookup — postings-sized, never corpus-sized); df over the
+    filtered postings is |terms| rows broadcast back; doc length and
+    the 1-row corpus stats join once; the per-doc term pivot is a
+    conditional aggregation (each term contributes exactly one row,
+    so SUM is order-free), and the fixed-order final addition keeps
+    the score deterministic. Top-20 is TakeOrderedAndProject with a
+    doc_id tiebreak — a deterministic cut.
+
+    Registered past-window (r6f/r11b precedent: gate-replica verified
+    at sf0.001+sf0.01+sf0.1 this round, rotates into the driver
+    window next round)."""
+    from .analysis_queries import _shared_tf
+
+    k1 = F.lit(_BM25_K1)
+    b = F.lit(_BM25_B)
+    k1p1 = F.lit(_BM25_K1P1)
+
+    tf = _shared_tf(spark, sf_dir).select("doc_id", "term", "tf")
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtf = tf.filter(F.col("term").isin(*_BM25_TERMS))
+    df = qtf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = (
+        qtf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            "dl",
+            (
+                (
+                    ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (
+                    (F.col("tf") * k1p1)
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (
+                            (F.lit(1.0) - b)
+                            + ((b * F.col("dl")) / F.col("avgdl"))
+                        )
+                    )
+                )
+            ).alias("w"),
+        )
+    )
+    per_doc = w.groupBy("doc_id").agg(
+        F.max("dl").cast("bigint").alias("dl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("w"))), F.lit(0.0)
+            ).alias(f"s{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    score = F.col("s0")
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + F.col(f"s{i}")
+    return (
+        per_doc.select("doc_id", "dl", "n_hit_terms", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOP)
+    )

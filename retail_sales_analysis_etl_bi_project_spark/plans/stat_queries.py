@@ -959,3 +959,81 @@ def cusum_flags(daily: DataFrame) -> DataFrame:
         .cast("int")
         .alias("drift_down"),
     ).orderBy("event_type", "day")
+
+
+_PR_ROUNDS = 3
+_PR_SCALE = 10**12
+_PR_DAMP = 85
+
+
+def _pagerank_oracle(
+    rounds: int = _PR_ROUNDS, scale: int = _PR_SCALE, damp: int = _PR_DAMP
+) -> str:
+    """DuckDB replay of operators.graph.pagerank_fixed_point: the same
+    symmetric edge build over the verified MinHash pairs, the same
+    scaled-BIGINT recurrence unrolled round by round (// is BIGINT
+    floor division on positives, identical to Spark's div and Python's
+    //), every CTE MATERIALIZED (the k-core lesson: DuckDB inlines
+    each reference, and round r reads round r-1 through both the
+    contribution join and the node table)."""
+    parts = [
+        f"WITH mh AS MATERIALIZED ({_minhash_lsh_oracle()}),",
+        "e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM mh"
+        " UNION ALL SELECT doc_b AS s, doc_a AS d FROM mh),",
+        "deg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS deg"
+        " FROM e GROUP BY s),",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),",
+        f"tele AS (SELECT CAST(({scale} * {100 - damp}) // (100 * n)"
+        " AS BIGINT) AS tele FROM nn),",
+        f"r0 AS MATERIALIZED (SELECT d.s, CAST({scale} // n.n AS BIGINT)"
+        " AS r, d.deg FROM deg d CROSS JOIN nn n),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED ("
+            " SELECT d.s,"
+            f" CAST(t.tele + (({damp} * COALESCE(i.t, 0)) // 100)"
+            " AS BIGINT) AS r, d.deg"
+            " FROM deg d CROSS JOIN tele t"
+            " LEFT JOIN (SELECT e.d AS s, CAST(SUM(c.r // c.deg) AS BIGINT)"
+            f" AS t FROM e JOIN r{k - 1} c ON e.s = c.s GROUP BY e.d) i"
+            " USING (s)),"
+        )
+    return (
+        "\n".join(parts).rstrip(",")
+        + f"""
+    SELECT s AS doc_id, deg AS degree, r AS pr_scaled,
+           CAST(r AS DOUBLE) / CAST({scale} AS DOUBLE) AS pr
+    FROM r{rounds} ORDER BY doc_id
+    """
+    )
+
+
+@query("graph_pagerank_dupgraph", oracle=_pagerank_oracle())
+def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash-verified near-dup graph
+    (operators/graph.py pagerank_fixed_point, 3 rounds, damping
+    85/100) — which document is the HUB of each near-dup family, the
+    canonical-selection signal that complements components (which
+    cluster), coreness (how tight), and triangles (how cliquey).
+    Computed in scaled-BIGINT fixed point so every per-round neighbor
+    sum is exact and order-free — a float PageRank's distributed sums
+    are partition-order-dependent and could not be hash-compared
+    across engines (see the operator docstring for the truncation
+    envelope). Consumes the same shared_minhash_pairs managed cache as
+    the rest of the graph family; the oracle unrolls the identical
+    recurrence over the identical verified pairs.
+
+    Registered past-window (r6f/r11b precedent: gate-replica verified
+    at sf0.001+sf0.01+sf0.1 this round, rotates into the driver
+    window next round)."""
+    from ..operators.graph import pagerank_fixed_point
+
+    return pagerank_fixed_point(
+        shared_minhash_pairs(spark, sf_dir),
+        src="doc_a",
+        dst="doc_b",
+        rounds=_PR_ROUNDS,
+        scale=_PR_SCALE,
+        damping_pct=_PR_DAMP,
+    )

@@ -93,3 +93,44 @@ def test_connected_components_lazy_form_matches_early_exit(spark):
     )
     lazy = sorted(map(tuple, connected_components(pairs).collect()))
     assert eager == lazy
+
+
+def test_pagerank_fixed_point_matches_python_reference(spark):
+    """Exact equality (not tolerance) against a pure-Python replay of
+    the scaled-integer recurrence on a hand-built graph — integer
+    fixed point means both sides compute the SAME numbers. Star graph
+    0-1,0-2,0-3 plus the 4-5 edge: the hub must outrank leaves, the
+    isolated pair sits at the two-regular fixpoint."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    edges = [(0, 1), (0, 2), (0, 3), (4, 5)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    rounds, scale, damp = 3, 10**12, 85
+    got = {
+        r.doc_id: (r.degree, r.pr_scaled)
+        for r in pagerank_fixed_point(
+            pairs, rounds=rounds, scale=scale, damping_pct=damp
+        ).collect()
+    }
+
+    # pure-Python replay
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    r = {v: scale // n for v in adj}
+    tele = (scale * (100 - damp)) // (100 * n)
+    for _ in range(rounds):
+        contrib = {v: r[v] // len(adj[v]) for v in adj}
+        r = {
+            v: tele + (damp * sum(contrib[u] for u in adj[v])) // 100
+            for v in adj
+        }
+    want = {v: (len(adj[v]), r[v]) for v in adj}
+    assert got == want
+    # the hub outranks its leaves; leaves are symmetric
+    assert got[0][1] > got[1][1] == got[2][1] == got[3][1]
+    assert got[4] == got[5]
