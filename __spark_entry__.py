@@ -166,6 +166,8 @@ _PAST_WINDOW = (
     "corpus_pack_bpe_budget",         # train->encode->pack by trained-BPE counts
     "text_bm25_search",               # rational-idf BM25 ranked retrieval
     "graph_pagerank_dupgraph",        # fixed-point PageRank over dup graph
+    "corpus_split_leakage_audit",     # near-dup pairs crossing train/val/test
+    "multimodal_frame_sample",        # video frame sampling through Arrow
 )
 
 # r12: queries promoted INTO the driver window regardless of natural

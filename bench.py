@@ -142,6 +142,8 @@ HEADLINE = [
     "corpus_pack_bpe_budget",
     "text_bm25_search",
     "graph_pagerank_dupgraph",
+    "corpus_split_leakage_audit",
+    "multimodal_frame_sample",
     # sim_ann_recall_tuning, dedup_containment_recall,
     # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
     # headline, the sim_ann_recall / dedup_family_recall precedent:

@@ -136,11 +136,17 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 meta = _decode_stub(payload, "video")
                 for f in range(0, meta["n_frames"], every_n):
+                    # frame fingerprint = sha256(payload ++ ':' ++
+                    # ascii(frame_idx)) — the ASCII suffix (instead of
+                    # raw BE bytes) keeps the stub replayable by the
+                    # DuckDB oracle, whose sha256 only takes VARCHAR
                     rows.append(
                         (
                             int(mid),
                             f,
-                            hashlib.sha256(payload + f.to_bytes(4, "big")).digest(),
+                            hashlib.sha256(
+                                payload + b":" + str(f).encode()
+                            ).digest(),
                         )
                     )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])

@@ -577,3 +577,137 @@ def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_a", "doc_b"],
     )
     return emb.unionByName(txt).orderBy("family")
+
+
+# The audit deliberately runs a COARSER 80/10/10 split than
+# corpus_split_assignment's production 98/1/1: with 1% eval slices the
+# test corpus produces zero cross-split near-dup pairs and the
+# is_leakage arm would never be exercised by the gate; same split
+# expression, different thresholds — production passes its own cuts.
+_LEAK_TRAIN_CUT = 800
+_LEAK_VAL_CUT = 900
+
+
+def _split_leakage_oracle() -> str:
+    from .dedup_queries import _hex60, _minhash_lsh_oracle
+
+    split_case = (
+        f"CASE WHEN bucket < {_LEAK_TRAIN_CUT} THEN 'train' "
+        f"WHEN bucket < {_LEAK_VAL_CUT} THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+    WITH mh AS MATERIALIZED ({_minhash_lsh_oracle()}),
+    s AS (
+      SELECT doc_id, {split_case} AS split FROM (
+        SELECT doc_id,
+               {_hex60("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+        FROM documents
+      )
+    ),
+    p AS (
+      SELECT LEAST(sa.split, sb.split) AS split_a,
+             GREATEST(sa.split, sb.split) AS split_b,
+             m.doc_a, m.doc_b
+      FROM mh m
+      JOIN s sa ON m.doc_a = sa.doc_id
+      JOIN s sb ON m.doc_b = sb.doc_id
+    ),
+    pair_counts AS (
+      SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM p GROUP BY 1, 2
+    ),
+    doc_counts AS (
+      SELECT split_a, split_b,
+             CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+      FROM (SELECT split_a, split_b, unnest([doc_a, doc_b]) AS doc FROM p)
+      GROUP BY 1, 2
+    )
+    SELECT split_a, split_b, n_pairs, n_docs,
+           (split_a != split_b) AS is_leakage
+    FROM pair_counts JOIN doc_counts USING (split_a, split_b)
+    ORDER BY split_a, split_b
+    """
+
+
+@query("corpus_split_leakage_audit", oracle=_split_leakage_oracle())
+def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test CONTAMINATION audit — the reason dedup and split
+    assignment must be designed jointly: a near-dup pair whose members
+    land in DIFFERENT splits leaks evaluation data into training (the
+    benchmark-contamination failure mode, here measured on the
+    corpus's own splits). Joins the verified MinHash near-dup pairs
+    (the shared managed cache every graph/dedup query consumes)
+    against corpus_split_assignment's deterministic hash-bucket split
+    EXPRESSION — at the audit's own coarser 80/10/10 cuts (see
+    _LEAK_TRAIN_CUT: 1% eval slices produce zero cross pairs at test
+    scale and the leakage arm would go unexercised) — and reports,
+    per unordered split pair, the number of crossing near-dup pairs
+    and distinct documents involved, with cross-split rows flagged
+    is_leakage (8 leaking pairs flagged at sf0.01).
+
+    Scale shape: two id-keyed equi-joins of the pair relation to the
+    per-doc split projection (a pure hash60 expression — no shuffle to
+    build), one groupBy at (split_a, split_b) grain (≤6 rows), and the
+    distinct-doc count via explode of the 2-element id array — pair-
+    proportional work end to end; nothing corpus-quadratic beyond the
+    already-verified pair pipeline.
+
+    Registered past-window (r6f/r11b precedent: gate-replica verified
+    at sf0.001+sf0.01+sf0.1 this round, rotates into the driver
+    window next round)."""
+    from ..operators.dedup import hash60_expr
+    from .dedup_queries import shared_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash60_expr(F.col("doc_id").cast("string")) % 1000
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < _LEAK_TRAIN_CUT, "train")
+        .when(bucket < _LEAK_VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = shared_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    p = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    pair_counts = p.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    doc_counts = (
+        p.select(
+            "split_a",
+            "split_b",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.countDistinct("doc").cast("bigint").alias("n_docs"))
+    )
+    return (
+        pair_counts.join(doc_counts, ["split_a", "split_b"])
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            "n_docs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
+        )
+        .orderBy("split_a", "split_b")
+    )

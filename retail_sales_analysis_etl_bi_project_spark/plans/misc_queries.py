@@ -146,3 +146,74 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select(
         "media_id", "kind", "n_bytes", "sha256", "width", "height", "n_frames"
     )
+
+
+_FRAME_EVERY_N = 50
+
+
+def _frame_sample_oracle() -> str:
+    """DuckDB replay of sample_frames over documents-as-media: video
+    rows are doc_id % 3 = 2, the stub frame count derives from sha256
+    digest byte 4 (same as _multimodal_oracle), the sampled indices
+    are generate_series(0, n_frames-1, every_n), and each frame
+    fingerprint is sha256(payload ++ ':' ++ ascii(idx)) — VARCHAR-only
+    on purpose (DuckDB 1.0's sha256 has no BLOB overload; the kernel's
+    fingerprint suffix is ASCII so the oracle can replay it)."""
+    b4 = _hexbyte("sha", 4)
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text, sha256(text) AS sha
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    meta AS (
+      SELECT media_id, text, 24 + {b4} % 240 AS n_frames FROM m
+    ),
+    frames AS (
+      SELECT media_id, text,
+             unnest(generate_series(0, n_frames - 1, {_FRAME_EVERY_N}))
+               AS frame_idx
+      FROM meta
+    )
+    SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           sha256(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sha
+    FROM frames
+    ORDER BY media_id, frame_idx
+    """
+
+
+@query("multimodal_frame_sample", oracle=_frame_sample_oracle())
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sampling arm of the multimodal family
+    (operators/multimodal.py sample_frames): filter media to videos,
+    decode frame counts (stub — real impl: pyav in the same
+    mapInPandas iterator), emit one row per every-50th frame with a
+    deterministic frame fingerprint, keeping payloads binary
+    end-to-end. Completes the registered multimodal surface: decode/
+    feature (multimodal_feature_extract, in-window r6+) + frame
+    sampling here; resize stays pytest-pinned (its scaled dimensions
+    are already covered by the decode oracle's width/height replay).
+
+    Hash-verified through the Arrow boundary: the kernel's per-frame
+    sha256 fingerprints are replayed by the SQL oracle, so the
+    mapInPandas batch plumbing (explode-shaped output, one input row
+    to many output rows) must deliver exactly the kernel's rows.
+
+    Scale shape: videos filter BEFORE the Python stage (scan-fused,
+    so the Arrow transfer carries only video rows); the kernel is
+    batch-amortized Arrow, one output row per sampled frame — output
+    grain is frames, the natural parallel unit for any downstream
+    per-frame model scoring; no shuffle anywhere (the orderBy is the
+    gate's determinism sort).
+
+    Registered past-window (r6f/r11b precedent: gate-replica verified
+    at sf0.001+sf0.01+sf0.1 this round, rotates into the driver
+    window next round)."""
+    from ..operators.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n=_FRAME_EVERY_N)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.lower(F.hex("frame")).alias("frame_sha"),
+    ).orderBy("media_id", "frame_idx")
