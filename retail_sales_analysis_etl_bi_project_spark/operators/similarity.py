@@ -292,10 +292,29 @@ def ivf_multi_assignments(
     sims_arr = centroid_sims_expr(_dbl(vec_col), codebook)
     # (−sim, cid) structs sort ascending = cosine DESC, centroid ASC;
     # slice the top n_assign and explode — one expression chain, no
-    # per-centroid window or join
+    # per-centroid window or join. Degenerate cosines — a zero-norm
+    # vector or codebook entry makes Spark's double division return
+    # NULL (measured; a NULL struct field would sort FIRST and win
+    # every rank) — map to +inf so they sort LAST, matching
+    # ivf_assignments' array_max, which SKIPS nulls and therefore
+    # never argmaxes a degenerate centroid while any finite cosine
+    # exists (review finding, r12). Real cosines are in [−1, 1], so no
+    # collision. A row whose EVERY cosine is degenerate (zero-norm
+    # input vector) is outside the rank-1==argmax contract: the argmax
+    # is NULL there, while this form emits the n_assign smallest
+    # centroid ids — the registered corpora cannot produce it (no
+    # zero-norm embeddings), and the planted-input test pins the
+    # any-finite-cosine behavior.
     ranked = F.transform(
         sims_arr,
-        lambda s, i: F.struct((-s).alias("neg_sim"), i.cast("int").alias("cid")),
+        lambda s, i: F.struct(
+            F.when(
+                s.isNull() | F.isnan(s), F.lit(float("inf"))
+            )
+            .otherwise(-s)
+            .alias("neg_sim"),
+            i.cast("int").alias("cid"),
+        ),
     )
     top = F.slice(F.array_sort(ranked), 1, n_assign)
     assigned = emb.withColumn(

@@ -520,7 +520,7 @@ def bpe_train_merges_batched(
     ("ab","c") from one snapshot) — see the same counts the sequential
     trainer would, and the chained fold applies them in the same rank
     order. On such corpora batched == sequential EXACTLY (pinned in
-    tests/test_text_ops.py). In general a merge can create NEW pairs
+    tests/test_text.py). In general a merge can create NEW pairs
     (x, merged) that outrank a later selected rule; batched training
     is then the standard industrial approximation (one count snapshot
     per batch), and the knob is ``batch`` — batch=1 degrades to the

@@ -48,7 +48,7 @@ from ..functions.money import revenue_expr, sum_money
 from ..operators.text import lower_terms
 from ..sources.tables import load_table
 from .registry import query
-from .shared_cache import memo_persist
+from .shared_cache import memo_artifact, memo_persist
 from .text_queries import _SQL_TOKS
 
 _TFIDF_TOP = 3
@@ -1011,10 +1011,38 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Registered past-window (r6f/r7e precedent: gate-replica verified
     this round, rotates into the driver window next round)."""
+    return spark.createDataFrame(
+        _shared_bpe_merges(spark, sf_dir), _BPE_MERGE_SCHEMA
+    ).orderBy("merge_rank")
+
+
+_BPE_MERGE_SCHEMA = (
+    "merge_rank int, left_sym string, right_sym string, "
+    "merged string, pair_count bigint"
+)
+
+
+def _shared_bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The trained merge table as a memoized DRIVER ARTIFACT
+    (shared_cache.memo_artifact — the fitted-codebook posture): the
+    4-round trainer is eager (one vocabulary-wide count job + 1-row
+    argmax per round), and three queries consume it
+    (text_bpe_train_rounds, text_bpe_encode_counts,
+    corpus_pack_bpe_budget), so without the memo a composed run
+    re-trained the identical merges three times (~12 cluster jobs for
+    one KB-sized table; review finding, r12). Rows are plain tuples;
+    rebuilding the tiny DataFrame per consumer is free."""
     from ..operators.text import bpe_train_merges
 
-    return bpe_train_merges(
-        load_table(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    return memo_artifact(
+        "bpe_merges",
+        (spark.sparkContext.applicationId, sf_dir, _BPE_ROUNDS),
+        lambda: [
+            tuple(r)
+            for r in bpe_train_merges(
+                load_table(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+            ).collect()
+        ],
     )
 
 
@@ -1064,13 +1092,15 @@ def _bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc (doc_id, n_tokens, n_words) under the trained
     _BPE_ROUNDS merges — the encode kernel shared by
     text_bpe_encode_counts and corpus_pack_bpe_budget so the two can
-    never disagree on training or segmentation."""
-    from ..operators.text import bpe_train_merges, char_syms_expr, merge_fold_expr
+    never disagree on training or segmentation. Merges come from the
+    memoized artifact (_shared_bpe_merges): one training run serves
+    every consumer."""
+    from ..operators.text import char_syms_expr, merge_fold_expr
 
     docs = load_table(spark, sf_dir, "documents")
     merges = [
-        (r.left_sym, r.right_sym)
-        for r in bpe_train_merges(docs, rounds=_BPE_ROUNDS).collect()
+        (left, right)
+        for _, left, right, _, _ in _shared_bpe_merges(spark, sf_dir)
     ]
     if len(merges) < _BPE_ROUNDS:
         # Fail loudly instead of hash-mismatching confusingly: the

@@ -245,31 +245,55 @@ def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_split_assignment",
-    oracle="""
-    WITH h AS (
-      SELECT doc_id, source,
-             CAST(list_sum(list_transform(generate_series(1,15),
-               i -> CAST(strpos('0123456789abcdef',
-                          substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
-                    << (4*(15-i)))) AS BIGINT) % 1000 AS bucket
-      FROM documents
-    ),
-    s AS (
-      SELECT source,
-             CASE WHEN bucket < 980 THEN 'train'
-                  WHEN bucket < 990 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM h
+# ONE split-rule definition per engine, parameterized by the cuts —
+# corpus_split_assignment (production 98/1/1) and the leakage audit
+# (audit-grain 80/10/10) must never drift apart on the hash or the
+# CASE shape (review finding, r12; the _sql_semantic_assign precedent).
+_SPLIT_TRAIN_CUT = 980
+_SPLIT_VAL_CUT = 990
+
+
+def _split_col(train_cut: int, val_cut: int):
+    """Spark split expression: hash60(doc_id) % 1000 vs integer cuts."""
+    from ..operators.dedup import hash60_expr
+
+    bucket = hash60_expr(F.col("doc_id").cast("string")) % 1000
+    return (
+        F.when(bucket < train_cut, "train")
+        .when(bucket < val_cut, "val")
+        .otherwise("test")
     )
+
+
+def _sql_split_cte(train_cut: int, val_cut: int) -> str:
+    """DuckDB twin of _split_col as a (doc_id, source, split) CTE
+    body, sharing the _hex60 hash builder with the dedup oracles."""
+    from .dedup_queries import _hex60
+
+    return f"""
+      SELECT doc_id, source,
+             CASE WHEN bucket < {train_cut} THEN 'train'
+                  WHEN bucket < {val_cut} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, source,
+               {_hex60("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+        FROM documents
+      )"""
+
+
+def _split_assignment_oracle() -> str:
+    return f"""
+    WITH s AS ({_sql_split_cte(_SPLIT_TRAIN_CUT, _SPLIT_VAL_CUT)})
     SELECT source, split,
            CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM s
     GROUP BY 1, 2
     ORDER BY 1, 2
-    """,
-)
+    """
+
+
+@query("corpus_split_assignment", oracle=_split_assignment_oracle())
 def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (98/1/1) — the split
     every training-data pipeline needs, done the only way that survives
@@ -290,13 +314,8 @@ def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     The registered query returns the per-source split counts (the
     audit a pipeline actually records); the row-level assignment is the
     obvious projection of the same expression."""
-    from ..operators.dedup import hash60_expr
-
     docs = load_table(spark, sf_dir, "documents")
-    bucket = hash60_expr(F.col("doc_id").cast("string")) % 1000
-    split = (
-        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
-    )
+    split = _split_col(_SPLIT_TRAIN_CUT, _SPLIT_VAL_CUT)
     return (
         docs.select("source", split.alias("split"))
         .groupBy("source", "split")
@@ -589,21 +608,11 @@ _LEAK_VAL_CUT = 900
 
 
 def _split_leakage_oracle() -> str:
-    from .dedup_queries import _hex60, _minhash_lsh_oracle
+    from .dedup_queries import _minhash_lsh_oracle
 
-    split_case = (
-        f"CASE WHEN bucket < {_LEAK_TRAIN_CUT} THEN 'train' "
-        f"WHEN bucket < {_LEAK_VAL_CUT} THEN 'val' ELSE 'test' END"
-    )
     return f"""
     WITH mh AS MATERIALIZED ({_minhash_lsh_oracle()}),
-    s AS (
-      SELECT doc_id, {split_case} AS split FROM (
-        SELECT doc_id,
-               {_hex60("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
-        FROM documents
-      )
-    ),
+    s AS ({_sql_split_cte(_LEAK_TRAIN_CUT, _LEAK_VAL_CUT)}),
     p AS (
       SELECT LEAST(sa.split, sb.split) AS split_a,
              GREATEST(sa.split, sb.split) AS split_b,
@@ -655,17 +664,12 @@ def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registered past-window (r6f/r11b precedent: gate-replica verified
     at sf0.001+sf0.01+sf0.1 this round, rotates into the driver
     window next round)."""
-    from ..operators.dedup import hash60_expr
     from .dedup_queries import shared_minhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = hash60_expr(F.col("doc_id").cast("string")) % 1000
     splits = docs.select(
         "doc_id",
-        F.when(bucket < _LEAK_TRAIN_CUT, "train")
-        .when(bucket < _LEAK_VAL_CUT, "val")
-        .otherwise("test")
-        .alias("split"),
+        _split_col(_LEAK_TRAIN_CUT, _LEAK_VAL_CUT).alias("split"),
     )
     pairs = shared_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     p = (

@@ -382,3 +382,38 @@ def test_matryoshka_ranks_rerank_contract(spark, sf_dir):
         sl = sorted((r for r in rows if r.rank_d16 <= 20), key=lambda r: r.rank_rr)
         cosines = [r.cos_full for r in sl]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_multi_assignments_degenerate_cosine_matches_argmax(spark):
+    """Degenerate-input contract (review finding, r12): a zero-norm
+    CODEBOOK vector makes Spark's double division return NULL cosines;
+    array_max SKIPS nulls, so the argmax never picks the degenerate
+    centroid while a finite cosine exists — the multi-assignment sort
+    key must push those centroids LAST to agree (a bare negation would
+    sort the NULL struct field first and hand every vector to the
+    broken centroid). The all-degenerate row (vec 0 itself) is outside
+    the contract: argmax is NULL there, documented in the operator."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_multi_assignments,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),  # zero-norm codebook vector -> NULL cosine
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    single, cb = ivf_assignments(emb, n_centroids=2)
+    argmax = {r.vec_id: r.centroid_id for r in single.collect()}
+    assert argmax[0] is None  # all-null sims: argmax yields NULL
+    assert argmax[1] == argmax[2] == argmax[3] == 1  # finite wins
+    m1, _ = ivf_multi_assignments(emb, n_centroids=2, n_assign=1, codebook=cb)
+    got1 = {r.vec_id: r.centroid_id for r in m1.collect()}
+    # rank-1 equals the argmax wherever the argmax is defined
+    assert {k: v for k, v in got1.items() if k != 0} == {
+        k: v for k, v in argmax.items() if k != 0
+    }

@@ -39,20 +39,32 @@ def main() -> None:
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
     import __spark_entry__ as entry
+    from bench import COUNT_ONLY_PREFIXES
 
     qs = entry.queries()
     if name not in qs:
         raise SystemExit(f"unknown query {name!r}")
     spark = get_spark()
 
+    # Same timed ACTION as bench.py, or the numbers aren't comparable:
+    # fact-sized results are count()ed there (COUNT_ONLY_PREFIXES), so
+    # collect()ing here would both blow driver memory at sf0.1 and
+    # time a different operation than the BENCH entry this tool exists
+    # to be compared against (review finding, r12).
+    count_only = name.startswith(COUNT_ONLY_PREFIXES)
+
+    def action() -> int:
+        df = qs[name](spark, sf_dir)
+        return df.count() if count_only else len(df.collect())
+
     t0 = time.perf_counter()
-    rows = len(qs[name](spark, sf_dir).collect())
+    rows = action()
     cold = time.perf_counter() - t0
 
     warms = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
+        action()
         warms.append(time.perf_counter() - t0)
 
     head = subprocess.run(

@@ -68,7 +68,11 @@ def banded_compare(name, scols, srows, dcols, drows, bands):
                     continue
                 return f"banded column {c!r} null mismatch: {sv!r} vs {dv!r}"
             sv, dv = float(sv), float(dv)
-            assert kind == "rel", kind
+            if kind != "rel":
+                # explicit error, not assert: must survive python -O
+                # (the __spark_entry__ guard precedent) and record as a
+                # per-query FAIL instead of crashing the whole gate
+                return f"unknown band kind {kind!r} for column {c!r}"
             if abs(sv - dv) > bound * max(abs(dv), 1e-12):
                 return (
                     f"banded column {c!r} outside ±{bound:.0%} of exact: "
