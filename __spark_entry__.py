@@ -168,6 +168,7 @@ _PAST_WINDOW = (
     "graph_pagerank_dupgraph",        # fixed-point PageRank over dup graph
     "corpus_split_leakage_audit",     # near-dup pairs crossing train/val/test
     "multimodal_frame_sample",        # video frame sampling through Arrow
+    "corpus_source_tv_drift",         # exact-integer TV distribution drift
 )
 
 # r12: queries promoted INTO the driver window regardless of natural

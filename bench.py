@@ -144,6 +144,7 @@ HEADLINE = [
     "graph_pagerank_dupgraph",
     "corpus_split_leakage_audit",
     "multimodal_frame_sample",
+    "corpus_source_tv_drift",
     # sim_ann_recall_tuning, dedup_containment_recall,
     # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
     # headline, the sim_ann_recall / dedup_family_recall precedent:

@@ -1221,3 +1221,119 @@ def corpus_pack_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         block_size=_PACK_BPE_BLOCK,
     ).orderBy("source", "seq_id", "doc_id")
+
+
+def _tv_drift_oracle() -> str:
+    """DuckDB replay of corpus_source_tv_drift in HUGEINT (the twin of
+    Spark's DECIMAL(38,0) — both hold the exact integers, and both
+    engines' integer→double cast rounds the same value to the same
+    double, so the single final division is bit-identical)."""
+    return f"""
+    WITH st AS (
+      SELECT source, lower(t) AS term, CAST(count(*) AS BIGINT) AS n_st
+      FROM (SELECT source, unnest({_SQL_TOKS}) AS t FROM documents)
+      GROUP BY 1, 2
+    ),
+    ct AS (SELECT term, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+    ns AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_tokens,
+                  CAST(COUNT(*) AS BIGINT) AS n_terms
+           FROM st GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS big_n FROM ct),
+    present AS (
+      SELECT s.source,
+             SUM(ABS(CAST(s.n_st AS HUGEINT) * t.big_n
+                     - CAST(c.n_t AS HUGEINT) * n.n_tokens)) AS num_present,
+             SUM(CAST(c.n_t AS HUGEINT)) AS nt_present
+      FROM st s
+      JOIN ct c USING (term)
+      JOIN ns n USING (source)
+      CROSS JOIN tot t
+      GROUP BY s.source
+    )
+    SELECT n.source, n.n_tokens, n.n_terms,
+           CAST(p.num_present
+                + CAST(n.n_tokens AS HUGEINT) * (t.big_n - p.nt_present)
+                AS DOUBLE)
+           / CAST(2 * CAST(n.n_tokens AS HUGEINT) * t.big_n AS DOUBLE)
+             AS tv_drift
+    FROM ns n JOIN present p USING (source) CROSS JOIN tot t
+    ORDER BY n.source
+    """
+
+
+@query("corpus_source_tv_drift", oracle=_tv_drift_oracle())
+def corpus_source_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DISTRIBUTION DRIFT: the total-variation distance
+    ½·Σ_t |p(t|source) − p(t|corpus)| between each source's term
+    distribution and the corpus-wide one — the domain-drift monitor a
+    corpus mix audit runs per ingest batch (the events family's
+    anomaly/CUSUM discipline applied to text composition; the contrast
+    query ranks individual terms, this is the one-number summary per
+    source).
+
+    Determinism the fixed-point way (the PageRank discipline applied
+    to a statistic): the naive Σ|p−q| sums doubles in partition order
+    — unhashable. Here every per-term contribution is the exact
+    integer |n_st·N − n_t·N_s| (DECIMAL(38,0) products: exact up to
+    ~1e13-token sources, far past 100 TB cell counts), the per-source
+    sum is exact decimal addition (order-free), terms ABSENT from a
+    source fold in CLOSED-FORM as N_s·(N − Σ_present n_t) — no
+    source×vocabulary grid materializes — and the ONE final division
+    by 2·N_s·N happens in doubles on both engines' identically-rounded
+    cast of the same exact integer.
+
+    Scale shape: one corpus tokenize → groupBy(source, term) with
+    map-side combine (the heavy-hitter shuffle); corpus term totals
+    derive from that table (vocabulary-grain, never a second corpus
+    scan); the term join is vocabulary-sized; per-source totals
+    broadcast. Output is one row per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    st = (
+        lower_terms(docs, "source")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_st"))
+    )
+    ct = st.groupBy("term").agg(F.sum("n_st").cast("bigint").alias("n_t"))
+    ns = st.groupBy("source").agg(
+        F.sum("n_st").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+    tot = ct.agg(F.sum("n_t").cast("bigint").alias("big_n"))
+    present = (
+        st.join(ct, "term")
+        .join(ns.select("source", "n_tokens"), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_st").cast(dec) * F.col("big_n").cast(dec)
+                    - F.col("n_t").cast(dec) * F.col("n_tokens").cast(dec)
+                )
+            ).alias("num_present"),
+            F.sum(F.col("n_t").cast(dec)).alias("nt_present"),
+        )
+    )
+    return (
+        ns.join(present, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "n_terms",
+            (
+                (
+                    F.col("num_present")
+                    + F.col("n_tokens").cast(dec)
+                    * (F.col("big_n").cast(dec) - F.col("nt_present"))
+                ).cast("double")
+                / (
+                    F.lit(2).cast(dec)
+                    * F.col("n_tokens").cast(dec)
+                    * F.col("big_n").cast(dec)
+                ).cast("double")
+            ).alias("tv_drift"),
+        )
+        .orderBy("source")
+    )

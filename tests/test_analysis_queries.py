@@ -223,3 +223,28 @@ def test_cube_planes_consistent(spark, sf_dir):
     assert detail_sum == pytest.approx(grand[0].revenue, rel=1e-12)
     assert year_margin_sum == pytest.approx(grand[0].revenue, rel=1e-12)
     assert status_margin_sum == pytest.approx(grand[0].revenue, rel=1e-12)
+
+
+def test_tv_drift_hand_computed(spark, tmp_path):
+    """Exact-fraction check of the integer TV-distance form on a
+    2-source corpus: s1='a a b', s2='b c' -> corpus (a:2,b:2,c:1,N=5);
+    TV(s1) = ½(|2/3−2/5|+|1/3−2/5|+|0−1/5|) = 4/15, TV(s2) = 8/20.
+    The integer form must land on the same doubles: (Σ|n_st·N−n_t·Ns|
+    + Ns·(N−Σ present n_t)) / (2·Ns·N)."""
+    import __spark_entry__ as entrymod
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en", "s1"), (2, "b c", "en", "s2")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = str(tmp_path / "documents.parquet")
+    docs.write.parquet(out)
+    # the loader reads <sf_dir>/documents.parquet
+    got = {
+        r.source: (r.n_tokens, r.n_terms, r.tv_drift)
+        for r in entrymod.queries()["corpus_source_tv_drift"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["s1"] == (3, 2, 8 / 30)
+    assert got["s2"] == (2, 2, 8 / 20)
