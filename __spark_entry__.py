@@ -39,6 +39,7 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.stat_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.index_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.basket_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.signal_queries",
     ):
         try:
             __import__(mod)
@@ -169,6 +170,11 @@ _PAST_WINDOW = (
     "corpus_split_leakage_audit",     # near-dup pairs crossing train/val/test
     "multimodal_frame_sample",        # video frame sampling through Arrow
     "corpus_source_tv_drift",         # exact-integer TV distribution drift
+    # r12c: same precedent — registered past-window, gate-replica
+    # verified at sf0.001+sf0.01+sf0.1 this round, rotate in next round
+    "events_value_ks_drift",          # exact-integer two-sample KS per type
+    "bi_copurchase_linkpred",         # common-neighbor Jaccard link prediction
+    "corpus_ngram_novelty",           # first-occurrence shingle novelty per doc
 )
 
 # r12: queries promoted INTO the driver window regardless of natural
