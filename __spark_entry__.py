@@ -40,6 +40,7 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.index_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.basket_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.signal_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.eval_queries",
     ):
         try:
             __import__(mod)
@@ -175,6 +176,11 @@ _PAST_WINDOW = (
     "events_value_ks_drift",          # exact-integer two-sample KS per type
     "bi_copurchase_linkpred",         # common-neighbor Jaccard link prediction
     "corpus_ngram_novelty",           # first-occurrence shingle novelty per doc
+    # r12d: same precedent — registered past-window, gate-replica
+    # verified at sf0.001+sf0.01+sf0.1 this round, rotate in next round
+    "text_domain_prototype_classifier",  # nearest-prototype confusion matrix
+    "events_markov_eval",             # Markov next-event top-1 accuracy
+    "corpus_pps_systematic_sample",   # token-weighted Madow PPS draw
 )
 
 # r12: queries promoted INTO the driver window regardless of natural

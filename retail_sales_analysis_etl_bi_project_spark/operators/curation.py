@@ -306,3 +306,78 @@ def stratified_sample(
         )
         .orderBy(*strata, "rn")
     )
+
+
+def pps_systematic_sample(
+    docs: DataFrame,
+    n: int,
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    block_size: int = 1 << 20,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling (Madow's
+    method): walk the corpus token stream in ``id_col`` order and pick
+    the document under every (total/n)-th token — each doc's expected
+    sample count is exactly n * w_d / total, the design every
+    PPS-sampled eval/calibration subset wants, with ZERO randomness
+    (the deterministic skip interval replaces the usual random start,
+    the same determinism trade temperature_sample makes).
+
+    Emits the selected docs with ``multiplicity`` = how many stream
+    strata land inside the doc's token span (a doc longer than
+    total/n tokens is drawn more than once — sampling WITH
+    multiplicity, the with-replacement analogue); sum(multiplicity)
+    is exactly n by telescoping. Zero/NULL-weight docs can never be
+    selected (their cumulative span is empty).
+
+    Exactness: the token stream positions are exact BIGINT prefix sums
+    and the stratum index of position c is the integer division
+    (c * n) div total — no float boundary anywhere in the operator.
+    Range bound (the ks_num discipline): c * n must fit in int64, i.e.
+    total_tokens < 2^63 / n (~3.7e15 tokens at n=50 — multiple PB of
+    text); past that the two products go DECIMAL(38,0) with the same
+    div, nothing else changes.
+
+    Scale shape (100 TB): the global cumsum uses the SAME two-phase
+    distributed prefix sum as pack_sequences_sharded — contiguous
+    id blocks (bounded window partitions), per-block totals (tiny),
+    an exclusive prefix over the totals broadcast back as offsets —
+    so no single-task window exists at any corpus size; the 1-row
+    grand total broadcasts into the per-row stratum arithmetic."""
+    live = docs.filter(F.col(weight_col) > 0).withColumn(
+        "_blk", F.floor(F.col(id_col) / F.lit(block_size)).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("_blk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = live.withColumn(
+        "cum_local", F.sum(weight_col).over(w_local).cast("long")
+    )
+    totals = live.groupBy("_blk").agg(
+        F.sum(weight_col).cast("long").alias("_blk_total")
+    )
+    w_prefix = Window.orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_blk",
+        F.coalesce(F.sum("_blk_total").over(w_prefix), F.lit(0))
+        .cast("long")
+        .alias("_offset"),
+    )
+    grand = totals.agg(F.sum("_blk_total").cast("long").alias("_total"))
+    cum = (
+        local.join(F.broadcast(offsets), "_blk")
+        .withColumn("cum", (F.col("_offset") + F.col("cum_local")).cast("long"))
+        .crossJoin(F.broadcast(grand))
+    )
+    hi = F.expr(f"cum * {int(n)} div _total")
+    lo = F.expr(f"(cum - {weight_col}) * {int(n)} div _total")
+    return (
+        cum.withColumn("multiplicity", (hi - lo).cast("long"))
+        .filter(F.col("multiplicity") >= 1)
+        .drop("_blk", "cum_local", "_offset", "_total")
+        .withColumnRenamed("cum", "cum_tokens")
+    )
