@@ -181,6 +181,10 @@ _PAST_WINDOW = (
     "text_domain_prototype_classifier",  # nearest-prototype confusion matrix
     "events_markov_eval",             # Markov next-event top-1 accuracy
     "corpus_pps_systematic_sample",   # token-weighted Madow PPS draw
+    # r12e: same precedent
+    "text_langid_kappa",              # chance-corrected lang-ID agreement
+    "dedup_minhash_auc",              # exact midrank AUC of the sig estimate
+    "bi_revenue_backtest_mase",       # walk-forward MAE/MASE backtest
 )
 
 # r12: queries promoted INTO the driver window regardless of natural

@@ -362,3 +362,421 @@ def corpus_pps_systematic_sample(
     return samp.select(
         "doc_id", "source", "n_tokens", "cum_tokens", "multiplicity"
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------------ r12e
+# Second eval batch: chance-corrected agreement (Cohen's kappa) for the
+# language-ID heuristic, exact-integer ROC AUC for the MinHash
+# similarity estimator, and a walk-forward forecast backtest (MAE/MASE)
+# over the daily revenue series. Same registration precedent
+# (past-window, gate-verified at all three SFs this round).
+
+from ..operators.dedup import (  # noqa: E402
+    BAND_MASK,
+    P31,
+    minhash_candidate_pairs,
+    minhash_params,
+)
+from .dedup_queries import _hex60, _sql_shingles  # noqa: E402
+from .dedup_queries import shared_minhash_signatures  # noqa: E402
+from .dedup_queries import _shared_shingles  # noqa: E402
+from .text_queries import _SQL_NSTOP, _SQL_NTOK  # noqa: E402
+
+_DEC = "decimal(38,0)"
+
+# DuckDB twin of operators.text.predicted_lang_expr (threshold 0.12) —
+# the same CASE text_profile's oracle embeds (hash-proven there).
+_SQL_PRED_LANG = f"""
+    CASE WHEN (CASE WHEN {_SQL_NTOK} > 0
+               THEN CAST({_SQL_NSTOP} AS DOUBLE) / CAST({_SQL_NTOK} AS DOUBLE)
+               ELSE 0.0 END) >= 0.12
+         THEN 'en' ELSE 'other' END
+"""
+
+
+@query(
+    "text_langid_kappa",
+    oracle=f"""
+    WITH cls AS (
+      SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS truth,
+             {_SQL_PRED_LANG} AS pred
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN truth = pred THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(SUM(CASE WHEN truth = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS r_en,
+             CAST(SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_en
+      FROM cls
+    )
+    SELECT n AS n_docs, a AS n_agree, r_en AS n_true_en, c_en AS n_pred_en,
+           CAST(CAST(n AS HUGEINT) * a
+                - (CAST(r_en AS HUGEINT) * c_en
+                   + CAST(n - r_en AS HUGEINT) * (n - c_en))
+                AS BIGINT) AS kappa_num,
+           CAST(CAST(n AS HUGEINT) * n
+                - (CAST(r_en AS HUGEINT) * c_en
+                   + CAST(n - r_en AS HUGEINT) * (n - c_en))
+                AS BIGINT) AS kappa_den,
+           CAST(a AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+           CAST(CAST(r_en AS HUGEINT) * c_en
+                + CAST(n - r_en AS HUGEINT) * (n - c_en) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+           CAST(CAST(n AS HUGEINT) * a
+                - (CAST(r_en AS HUGEINT) * c_en
+                   + CAST(n - r_en AS HUGEINT) * (n - c_en)) AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * n
+                    - (CAST(r_en AS HUGEINT) * c_en
+                       + CAST(n - r_en AS HUGEINT) * (n - c_en)) AS DOUBLE)
+             AS kappa
+    FROM agg
+    """,
+)
+def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA — chance-corrected agreement between the stopword
+    language-ID heuristic (operators/text.predicted_lang_expr, the same
+    expression text_profile hash-verifies per doc) and the ground-truth
+    lang column binarized to en/other. Raw accuracy po overstates a
+    classifier on imbalanced labels; kappa = (po − pe)/(1 − pe)
+    discounts the agreement expected by chance from the marginals — the
+    standard annotator/classifier agreement statistic, and a distinct
+    mechanism from the confusion matrix (which reports WHERE the
+    classifier errs, not whether it beats chance).
+
+    Exactness: with two classes, pe·n² = r_en·c_en + (n−r_en)(n−c_en),
+    so kappa = (n·a − Σrc) / (n² − Σrc) is a ratio of EXACT integers —
+    computed in DECIMAL(38,0)/HUGEINT products (n² overflows int64 past
+    ~3e9 docs), shipped as BIGINT numerator/denominator (lossless at
+    any feasible corpus since num/den ≤ n²; documented range bound) and
+    ONE final double division. po and pe divide the same exact integers
+    by IEEE double products.
+
+    Scale shape (100 TB): one corpus scan fused with the two CASE
+    expressions, one 4-cell groupBy (map-side combined), constant
+    arithmetic on a 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.text import predicted_lang_expr
+
+    cls = docs.select(
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("truth"),
+        predicted_lang_expr("text").alias("pred"),
+    )
+    agg = cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("truth") == F.col("pred"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("truth") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("r_en"),
+        F.sum(F.when(F.col("pred") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_en"),
+    )
+    rc = F.col("r_en").cast(_DEC) * F.col("c_en").cast(_DEC) + (
+        F.col("n") - F.col("r_en")
+    ).cast(_DEC) * (F.col("n") - F.col("c_en")).cast(_DEC)
+    num = F.col("n").cast(_DEC) * F.col("a").cast(_DEC) - rc
+    den = F.col("n").cast(_DEC) * F.col("n").cast(_DEC) - rc
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("a").alias("n_agree"),
+        F.col("r_en").alias("n_true_en"),
+        F.col("c_en").alias("n_pred_en"),
+        num.cast("bigint").alias("kappa_num"),
+        den.cast("bigint").alias("kappa_den"),
+        (F.col("a").cast("double") / F.col("n").cast("double")).alias("po"),
+        (
+            rc.cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        ).alias("pe"),
+        (num.cast("double") / den.cast("double")).alias("kappa"),
+    )
+
+
+def _minhash_auc_oracle(
+    num_hashes: int = 64, bands: int = 32, docs_sql: str = "documents"
+) -> str:
+    """DuckDB replay of dedup_minhash_auc: the _minhash_lsh_oracle
+    signature/band CTEs (plans/dedup_queries.py) with an AUC tail —
+    per-pair signature-agreement score m, exact-Jaccard label at
+    t=0.7 via the integer form 10·|∩| ≥ 7·|∪|, then the midrank
+    Mann–Whitney AUC aggregated at SCORE grain (m has only
+    num_hashes+1 values)."""
+    rpb = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN(({a} * hb + {b}) % {P31}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+
+    def band_select(i: int) -> str:
+        expr = f"h{i * rpb}"
+        for j in range(1, rpb):
+            expr = f"((({expr}) * 31 + h{i * rpb + j}) & {BAND_MASK})"
+        return f"SELECT doc_id, {i} AS band_idx, {expr} AS band_hash FROM sig"
+
+    bands_sql = "\n      UNION ALL ".join(band_select(i) for i in range(bands))
+    sig_arr = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
+    return f"""
+    WITH sh AS ({_sql_shingles(docs_sql)}),
+    tall AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    hb_t AS (SELECT doc_id, {_hex60('shingle')} % {P31} AS hb FROM tall),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM hb_t GROUP BY doc_id),
+    siga AS (SELECT doc_id, {sig_arr} AS s FROM sig),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT CAST(len(list_filter(range(1, {num_hashes + 1}),
+                                  i -> sa.s[i] = sb.s[i])) AS BIGINT) AS m,
+             (len(list_distinct(list_concat(ha.sh, hb.sh))) > 0
+              AND 10 * len(list_intersect(ha.sh, hb.sh))
+                  >= 7 * len(list_distinct(list_concat(ha.sh, hb.sh)))) AS pos
+      FROM cand
+      JOIN siga sa ON sa.doc_id = cand.doc_a
+      JOIN siga sb ON sb.doc_id = cand.doc_b
+      JOIN sh ha ON ha.doc_id = cand.doc_a
+      JOIN sh hb ON hb.doc_id = cand.doc_b
+    ),
+    per_m AS (
+      SELECT m,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      FROM scored GROUP BY 1
+    ),
+    cum AS (
+      SELECT m, n_pos, n_neg,
+             COALESCE(CAST(SUM(n_neg) OVER (
+               ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cum_neg
+      FROM per_m
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+             CAST(SUM(n_neg) AS BIGINT) AS nn,
+             SUM(CAST(n_pos AS HUGEINT)
+                 * (2 * CAST(cum_neg AS HUGEINT) + CAST(n_neg AS HUGEINT)))
+               AS num2
+      FROM cum
+    )
+    SELECT CAST(p + nn AS BIGINT) AS n_candidates, p AS n_pos, nn AS n_neg,
+           CAST(num2 AS BIGINT) AS auc_num2,
+           CAST(num2 AS DOUBLE)
+             / ((CAST(2 AS DOUBLE) * CAST(p AS DOUBLE)) * CAST(nn AS DOUBLE))
+             AS auc
+    FROM tot
+    """
+
+
+@query("dedup_minhash_auc", oracle=_minhash_auc_oracle())
+def dedup_minhash_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the MinHash SIMILARITY ESTIMATOR — the ranking-quality
+    eval of the dedup pipeline's cheap score: over the LSH candidate
+    pairs of the candidate-RICH 32×2 banding (2 rows/band admits
+    lower-similarity pairs on purpose — the production 16×4 config is
+    so precise on this corpus that every candidate is a true positive
+    and there is nothing to rank, measured n_neg=0), score each pair by
+    signature agreement m ∈ 0..64 and label it with the EXACT 3-gram
+    Jaccard at t=0.7 (the allpairs-join threshold), then compute the
+    Mann–Whitney AUC with midrank tie handling: AUC = P(m_pos > m_neg)
+    + ½·P(m_pos = m_neg) — how well the O(1)-per-pair estimate ranks
+    true near-dups above false candidates (recall audits measure what
+    banding FINDS; this measures how well the estimate ORDERS it).
+
+    Measured finding, stated so the 1.0 is not mistaken for a bug: on
+    the synthetic corpus the separation is PERFECT at all three SFs
+    (auc_num2 == 2·P·N; even a 4-component prefix separates) — the
+    generator's near-dups sit far above t while band-collision noise
+    sits far below. The query's value is the exact distributed-AUC
+    harness itself: pytest pins it against an independent pure-Python
+    midrank AUC on a graded-overlap corpus where the ranking is NOT
+    trivially perfect.
+
+    Exactness end to end: m is an integer component count; the label
+    avoids the Jaccard division entirely (j ≥ 0.7 ⟺ 10·|∩| ≥ 7·|∪| on
+    exact set sizes); doubling the midrank identity clears the ½, so
+    2·AUC·P·N = Σ_m n_pos(m)·(2·cum_neg(<m) + n_neg(m)) is an exact
+    integer (DECIMAL(38,0)/HUGEINT; shipped BIGINT — lossless while
+    P·N < 2^62, i.e. ~2e9 candidates per class) and AUC is ONE double
+    division by the IEEE product (2·P)·N.
+
+    Scale shape (100 TB): signatures come from the managed
+    minhash_sigs persist (shared with the whole banding family);
+    candidates are the banding shuffle (never a cross join); scoring
+    joins signatures and shingles candidate-proportionally; the AUC
+    reduction aggregates at SCORE grain first (≤ 65 rows — a map-side
+    combined groupBy), so the cumulative window runs over 65 rows, not
+    per-pair ranks (the classic distributed-AUC trick)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = shared_minhash_signatures(spark, sf_dir)
+    sh = _shared_shingles(spark, sf_dir)
+    cand = minhash_candidate_pairs(docs, bands=32, signatures=sigs)
+    sig_a = sigs.select(F.col("doc_id_").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id_").alias("doc_b"), F.col("sig").alias("sig_b"))
+    sh_a = sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    scored = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            .cast("bigint")
+            .alias("m"),
+            ((uni > 0) & (inter * 10 >= uni * 7)).alias("pos"),
+        )
+    )
+    per_m = scored.groupBy("m").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("n_neg"),
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_m.withColumn(
+        "cum_neg", F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("bigint")
+    )
+    contrib = F.col("n_pos").cast(_DEC) * (
+        F.col("cum_neg").cast(_DEC) * 2 + F.col("n_neg").cast(_DEC)
+    )
+    tot = cum.agg(
+        F.sum("n_pos").cast("bigint").alias("p"),
+        F.sum("n_neg").cast("bigint").alias("nn"),
+        F.sum(contrib).alias("num2"),
+    )
+    return tot.select(
+        (F.col("p") + F.col("nn")).cast("bigint").alias("n_candidates"),
+        F.col("p").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.col("num2").cast("bigint").alias("auc_num2"),
+        (
+            F.col("num2").cast("double")
+            / (
+                (F.lit(2.0) * F.col("p").cast("double"))
+                * F.col("nn").cast("double")
+            )
+        ).alias("auc"),
+    )
+
+
+@query(
+    "bi_revenue_backtest_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY 1),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    cal AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                               CAST(hi AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS day
+            FROM b),
+    dense AS (
+      SELECT cal.day, coalesce(rev, CAST(0 AS DECIMAL(18,4))) AS v
+      FROM cal LEFT JOIN daily USING (day)),
+    idx AS (
+      SELECT day, v,
+             row_number() OVER (ORDER BY day) AS rn,
+             SUM(v) OVER (ORDER BY day
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sum7,
+             lag(v) OVER (ORDER BY day) AS prev
+      FROM dense),
+    err AS (
+      SELECT abs(7 * v - sum7) AS e7, abs(v - prev) AS e1
+      FROM idx WHERE rn > 7)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(SUM(e7) AS DOUBLE) AS total_err7,
+           CAST(SUM(e1) AS DOUBLE) AS total_err1,
+           CAST(SUM(e7) AS DOUBLE)
+             / (CAST(7 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS mae_ma7,
+           CAST(SUM(e1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mae_naive,
+           CAST(SUM(e7) AS DOUBLE)
+             / (CAST(7 AS DOUBLE) * CAST(SUM(e1) AS DOUBLE)) AS mase
+    FROM err
+    """,
+)
+def bi_revenue_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward FORECAST BACKTEST of the daily revenue series — the
+    time-series analogue of the classifier evals: for every day after a
+    full 7-day warmup on the gapfilled calendar (the
+    bi_daily_revenue_gapfill dense-series spec), forecast with the
+    trailing-7-day mean, score MAE, and report MASE = MAE_model /
+    MAE_naive against the one-day-persistence baseline (Hyndman &
+    Koehler 2006) — MASE < 1 means the model beats naive; an
+    unconditioned MAE alone is unitful and uninterpretable.
+
+    Exactness (the sum_money discipline applied to an eval metric):
+    revenue stays DECIMAL end to end — per-day sums, the 7-day window
+    sum, and the scaled residual |7·v_d − Σv_{d−7..d−1}| are all exact
+    decimal arithmetic (scaling by 7 clears the mean's division), the
+    residual totals are exact decimal sums (order-free, unlike float
+    sums), and the three output ratios are single double divisions of
+    identically-cast exact totals.
+
+    Scale shape (100 TB): the fact table collapses to day grain FIRST
+    (partial-aggregated groupBy — the only corpus-sized pass); the
+    calendar explode, fill join, ordered window, and residual agg all
+    run at day-count grain (the gapfill precedent: a single-partition
+    window over aggregate-grain rows, with the banded swap documented
+    in SCALE.md §Events for series past ~10^7 days)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    b = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = b.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    dense = cal.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(
+            F.col("rev").cast("decimal(30,4)"),
+            F.lit(0).cast("decimal(30,4)"),
+        ).alias("v"),
+    )
+    w_ord = Window.orderBy("day")
+    idx = dense.select(
+        "v",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("v").over(w_ord.rowsBetween(-7, -1)).alias("sum7"),
+        F.lag("v").over(w_ord).alias("prev"),
+    ).filter(F.col("rn") > 7)
+    err = idx.select(
+        F.abs(F.col("v") * 7 - F.col("sum7")).alias("e7"),
+        F.abs(F.col("v") - F.col("prev")).alias("e1"),
+    )
+    return err.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("e7").alias("_s7"),
+        F.sum("e1").alias("_s1"),
+    ).select(
+        "n_days",
+        F.col("_s7").cast("double").alias("total_err7"),
+        F.col("_s1").cast("double").alias("total_err1"),
+        (
+            F.col("_s7").cast("double")
+            / (F.lit(7.0) * F.col("n_days").cast("double"))
+        ).alias("mae_ma7"),
+        (F.col("_s1").cast("double") / F.col("n_days").cast("double")).alias(
+            "mae_naive"
+        ),
+        (
+            F.col("_s7").cast("double")
+            / (F.lit(7.0) * F.col("_s1").cast("double"))
+        ).alias("mase"),
+    )

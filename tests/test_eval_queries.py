@@ -180,3 +180,157 @@ def test_pps_query_multiplicity_sums_to_n(spark, tmp_path):
     assert 3 not in {r.doc_id for r in rows}
     assert sum(r.multiplicity for r in rows) == _PPS_N
     assert max(r.multiplicity for r in rows) > 1
+
+
+# ------------------------------------------------------------------ r12e
+
+
+def test_kappa_chance_level_and_perfect(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        text_langid_kappa,
+    )
+
+    # predicted_lang is 'en' iff stopword ratio >= 0.12: "the the the"
+    # -> en, "zzz yyy" -> other. 2x2 with every cell = 1: po = 1/2 and
+    # pe = (2*2 + 2*2)/16 = 1/2 -> kappa exactly 0 (chance-level).
+    rows = [
+        (1, "the the the", "en", "s", 11),  # truth en,    pred en
+        (2, "zzz yyy", "en", "s", 7),       # truth en,    pred other
+        (3, "the the the", "fr", "s", 11),  # truth other, pred en
+        (4, "zzz yyy", "fr", "s", 7),       # truth other, pred other
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    row = text_langid_kappa(spark, str(tmp_path)).collect()[0]
+    assert (row.n_docs, row.n_agree, row.n_true_en, row.n_pred_en) == (4, 2, 2, 2)
+    assert (row.kappa_num, row.kappa_den) == (0, 8)
+    assert row.kappa == 0.0 and row.po == 0.5 and row.pe == 0.5
+
+
+def test_kappa_perfect_agreement_is_one(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        text_langid_kappa,
+    )
+
+    spark.createDataFrame(
+        [
+            (1, "the the the", "en", "s", 11),
+            (2, "zzz yyy", "fr", "s", 7),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    row = text_langid_kappa(spark, str(tmp_path)).collect()[0]
+    assert row.kappa == 1.0 and (row.kappa_num, row.kappa_den) == (2, 2)
+
+
+def test_minhash_auc_matches_python_midrank_reference(spark, tmp_path):
+    """Exact-equality pin of the distributed score-grain AUC reduction
+    against an independent pure-Python midrank implementation (the
+    PageRank-vs-Python precedent), on a graded-overlap corpus where
+    both classes are populated."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_analysis_etl_bi_project_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        shingle_relation,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        dedup_minhash_auc,
+    )
+
+    # graded near-dup ladder: each pair (2k, 2k+1) shares a prefix of a
+    # common word stream and diverges afterwards, so exact Jaccard
+    # spans both sides of t=0.7 and signature agreement is imperfect
+    base = [f"w{i}" for i in range(40)]
+    rows = []
+    for k in range(8):
+        keep = 40 - 3 * k
+        a = " ".join(base)
+        b = " ".join(base[:keep] + [f"x{k}_{i}" for i in range(40 - keep)])
+        rows.append((2 * k, a, "s"))
+        rows.append((2 * k + 1, b, "s"))
+    sf = _write_docs(spark, tmp_path, [(i, t, s) for i, t, s in rows])
+
+    got = dedup_minhash_auc(spark, str(tmp_path)).collect()[0]
+
+    # independent reference: rebuild (m, pos) via the operators, then
+    # per-pair midrank AUC in plain Python
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sigs = minhash_signatures(docs)
+    cand = minhash_candidate_pairs(docs, bands=32, signatures=sigs)
+    sh = shingle_relation(docs)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    scored = (
+        cand.join(sigs.select(F.col("doc_id_").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sigs.select(F.col("doc_id_").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
+        .join(sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            F.size(
+                F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+            ).alias("m"),
+            ((uni > 0) & (inter * 10 >= uni * 7)).alias("pos"),
+        )
+        .collect()
+    )
+    pos = sorted(r.m for r in scored if r.pos)
+    neg = sorted(r.m for r in scored if not r.pos)
+    assert pos and neg, "graded corpus must populate both classes"
+    num2 = sum(
+        2 * sum(1 for n in neg if n < p) + sum(1 for n in neg if n == p)
+        for p in pos
+    )
+    assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+    assert got.auc_num2 == num2
+    assert got.auc == num2 / (2.0 * len(pos) * len(neg))
+
+
+def test_backtest_hand_computed_series(spark, tmp_path):
+    import datetime as dt
+
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        bi_revenue_backtest_mase,
+    )
+
+    # 9 consecutive days, revenue = 10,20,...,90: days 8 and 9 evaluate.
+    # day8: |7*80 - (10+..+70)| = |560-280| = 280 ; e1 = |80-70| = 10
+    # day9: |7*90 - (20+..+80)| = |630-350| = 280 ; e1 = 10
+    rows = [
+        (i, float((i + 1) * 10), dt.datetime(2024, 1, 1) + dt.timedelta(days=i))
+        for i in range(9)
+    ]
+    spark.createDataFrame(
+        rows, ["o_orderkey", "o_totalprice", "o_orderdate"]
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    row = bi_revenue_backtest_mase(spark, str(tmp_path)).collect()[0]
+    assert row.n_days == 2
+    assert row.total_err7 == 560.0 and row.total_err1 == 20.0
+    assert row.mae_ma7 == 560.0 / 14.0 and row.mae_naive == 10.0
+    assert row.mase == 560.0 / 140.0
+
+
+def test_backtest_gap_days_fill_zero(spark, tmp_path):
+    import datetime as dt
+
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        bi_revenue_backtest_mase,
+    )
+
+    # 9-day calendar with days 2..8 missing: dense series is
+    # 10,0,0,0,0,0,0,0,90 and days 8,9 evaluate (rn > 7):
+    # day8: e7 = |7*0 - 10| = 10, e1 = |0-0| = 0
+    # day9: e7 = |7*90 - 0| = 630, e1 = |90-0| = 90
+    spark.createDataFrame(
+        [
+            (1, 10.0, dt.datetime(2024, 1, 1)),
+            (2, 90.0, dt.datetime(2024, 1, 9)),
+        ],
+        ["o_orderkey", "o_totalprice", "o_orderdate"],
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    row = bi_revenue_backtest_mase(spark, str(tmp_path)).collect()[0]
+    assert row.n_days == 2
+    assert row.total_err7 == 640.0 and row.total_err1 == 90.0
+    assert row.mase == 640.0 / (7.0 * 90.0)
