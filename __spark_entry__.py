@@ -185,6 +185,10 @@ _PAST_WINDOW = (
     "text_langid_kappa",              # chance-corrected lang-ID agreement
     "dedup_minhash_auc",              # exact midrank AUC of the sig estimate
     "bi_revenue_backtest_mase",       # walk-forward MAE/MASE backtest
+    # r12f: same precedent
+    "text_countmin_heavyhitters",     # deterministic CMS, exact replay
+    "text_langid_threshold_sweep",    # P/R/F1 operating characteristic
+    "text_sparse_cosine_pairs",       # df-capped sparse tf cosine pairs
 )
 
 # r12: queries promoted INTO the driver window regardless of natural

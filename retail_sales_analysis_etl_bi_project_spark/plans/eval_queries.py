@@ -379,7 +379,7 @@ from ..operators.dedup import (  # noqa: E402
 )
 from .dedup_queries import _hex60, _sql_shingles  # noqa: E402
 from .dedup_queries import shared_minhash_signatures  # noqa: E402
-from .dedup_queries import _shared_shingles  # noqa: E402
+from .dedup_queries import _sql_docs, _truth_docs, _truth_shingles  # noqa: E402
 from .text_queries import _SQL_NSTOP, _SQL_NTOK  # noqa: E402
 
 _DEC = "decimal(38,0)"
@@ -577,7 +577,7 @@ def _minhash_auc_oracle(
     """
 
 
-@query("dedup_minhash_auc", oracle=_minhash_auc_oracle())
+@query("dedup_minhash_auc", oracle=_minhash_auc_oracle(docs_sql=_sql_docs()))
 def dedup_minhash_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC AUC of the MinHash SIMILARITY ESTIMATOR — the ranking-quality
     eval of the dedup pipeline's cheap score: over the LSH candidate
@@ -616,9 +616,14 @@ def dedup_minhash_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction aggregates at SCORE grain first (≤ 65 rows — a map-side
     combined groupBy), so the cumulative window runs over 65 rows, not
     per-pair ranks (the classic distributed-AUC trick)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # sampled-truth-mode aware on BOTH sides (the dedup-family
+    # convention): the shared signature persist is built over
+    # _truth_docs, so the oracle must replay the same scope — a
+    # full-corpus oracle against sampled signatures hash-mismatches
+    # (measured in the r12 sf0.1 replica run)
+    docs = _truth_docs(spark, sf_dir)
     sigs = shared_minhash_signatures(spark, sf_dir)
-    sh = _shared_shingles(spark, sf_dir)
+    sh = _truth_shingles(spark, sf_dir)
     cand = minhash_candidate_pairs(docs, bands=32, signatures=sigs)
     sig_a = sigs.select(F.col("doc_id_").alias("doc_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("doc_id_").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -779,4 +784,368 @@ def bi_revenue_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_s7").cast("double")
             / (F.lit(7.0) * F.col("_s1").cast("double"))
         ).alias("mase"),
+    )
+
+
+
+# ------------------------------------------------------------------ r12f
+# Third batch: a DETERMINISTIC Count-Min sketch with exact cross-engine
+# replay (the sketch family's first hash-verified member — HLL and the
+# percentile sketches are tolerance-banded; CMS under pinned universal
+# hash functions is exactly reproducible), an operating-characteristic
+# threshold sweep for the language-ID heuristic (the hyperparameter-
+# selection artifact), and df-capped sparse TF-IDF cosine pairs (the
+# sparse-vector similarity primitive the dense embedding family lacks).
+
+from ..operators.dedup import hash60_expr  # noqa: E402
+from ..operators.text import lower_terms  # noqa: E402
+from .dedup_queries import _hex60  # noqa: E402
+
+# Count-Min geometry: d=4 universal-family rows x w=1024 columns. The
+# sketch is 4096 BIGINT cells at ANY corpus size — bounded memory is
+# the entire point of CMS (Cormode & Muthukrishnan 2005). Hash rows are
+# the shared md5-derived hash60 base under the same (a,b) universal
+# family MinHash uses, so DuckDB replays every cell exactly.
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_TOPK = 20
+
+
+def _cms_oracle() -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT term, tf, {j} AS r,"
+        f" (({a} * hb + {b}) % {P31}) % {_CMS_W} AS c FROM termhash"
+        for j, (a, b) in enumerate(minhash_params(_CMS_D))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT lower(unnest({_SQL_TOKS})) AS term FROM documents
+    ),
+    tc AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1),
+    termhash AS (SELECT term, tf, {_hex60('term')} % {P31} AS hb FROM tc),
+    entries AS ({rows}),
+    cell AS (SELECT r, c, CAST(SUM(tf) AS BIGINT) AS n
+             FROM entries GROUP BY 1, 2),
+    top AS (SELECT term, tf FROM tc ORDER BY tf DESC, term LIMIT {_CMS_TOPK})
+    SELECT t.term, t.tf AS exact_tf,
+           CAST(MIN(cl.n) AS BIGINT) AS cms_est,
+           CAST(MIN(cl.n) - t.tf AS BIGINT) AS overcount
+    FROM top t
+    JOIN entries e USING (term)
+    JOIN cell cl ON cl.r = e.r AND cl.c = e.c
+    GROUP BY t.term, t.tf
+    ORDER BY exact_tf DESC, term
+    """
+
+
+@query("text_countmin_heavyhitters", oracle=_cms_oracle())
+def text_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC Count-Min sketch, audited on the exact heavy
+    hitters: build a d=4 × w=1024 CMS over the corpus term stream
+    (cell(j, h_j(t)) accumulates tf; h_j = the shared universal family
+    over the md5-derived hash60 base), then for the top-20 exact terms
+    report exact_tf, the CMS point estimate min_j cell(j, h_j(t)), and
+    the overcount — which the CMS one-sided guarantee proves is ≥ 0
+    ALWAYS and ≤ εN with probability 1−δ (ε = e/w, δ = e^−d). The
+    sketch family's first HASH-verified member: with pinned hash
+    functions every cell is an exact integer both engines reproduce
+    bit-for-bit (HLL/KLL randomize internally and stay banded).
+
+    Scale shape (100 TB): term counts are THE corpus-sized pass (one
+    map-side-combined groupBy, shared spec with the whole term-stats
+    family); the sketch build is a 4×-fanout projection into a
+    4096-cell groupBy — the sketch is KBs at any corpus size, the
+    mergeable-summary property that makes CMS the streaming/partial-agg
+    heavy-hitter structure; the top-K is TakeOrderedAndProject; the
+    audit join touches K·d rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        lower_terms(docs)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    hb = (hash60_expr("term") % P31).alias("hb")
+    termhash = tc.select("term", "tf", hb)
+    entries = termhash.select(
+        "term",
+        "tf",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("r"),
+                        (
+                            (F.lit(a).cast("bigint") * F.col("hb") + F.lit(b))
+                            % P31
+                            % _CMS_W
+                        ).alias("c"),
+                    )
+                    for j, (a, b) in enumerate(minhash_params(_CMS_D))
+                ]
+            )
+        ).alias("rc"),
+    ).select("term", "tf", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    cell = entries.groupBy("r", "c").agg(
+        F.sum("tf").cast("bigint").alias("n")
+    )
+    top = tc.orderBy(F.col("tf").desc(), "term").limit(_CMS_TOPK)
+    return (
+        top.join(entries.select("term", "r", "c"), "term")
+        .join(cell, ["r", "c"])
+        .groupBy("term", "tf")
+        .agg(F.min("n").cast("bigint").alias("cms_est"))
+        .select(
+            "term",
+            F.col("tf").alias("exact_tf"),
+            "cms_est",
+            (F.col("cms_est") - F.col("tf")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.col("exact_tf").desc(), "term")
+    )
+
+
+# Operating-characteristic sweep grid for the language-ID threshold.
+# Literals are embedded with identical repr() in both engines (the BM25
+# literal discipline); 0.12 — the production threshold — is on the grid.
+_LANGID_GRID = [0.04, 0.08, 0.12, 0.16, 0.2, 0.24, 0.28, 0.32]
+
+
+@query(
+    "text_langid_threshold_sweep",
+    oracle=f"""
+    WITH ratio AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+             CASE WHEN {_SQL_NTOK} > 0
+                  THEN CAST({_SQL_NSTOP} AS DOUBLE)
+                       / CAST({_SQL_NTOK} AS DOUBLE)
+                  ELSE 0.0 END AS r
+      FROM documents
+    ),
+    sweep AS (
+      SELECT CAST(g.t AS DOUBLE) AS threshold,
+             CAST(SUM(CASE WHEN r >= g.t AND is_en = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN r >= g.t AND is_en = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN r < g.t AND is_en = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN r < g.t AND is_en = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM ratio
+      CROSS JOIN (SELECT CAST(unnest({_LANGID_GRID!r}) AS DOUBLE) AS t) g
+      GROUP BY 1
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision_,
+           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall_,
+           CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
+    FROM sweep
+    ORDER BY threshold
+    """,
+)
+def text_langid_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPERATING CHARACTERISTIC of the language-ID heuristic: sweep the
+    stopword-ratio threshold over an 8-point grid (the production 0.12
+    included) and report the full confusion counts plus precision /
+    recall / F1 per operating point — the hyperparameter-selection
+    artifact behind every 'where do we set the filter' decision, one
+    tier past the kappa query (which scores ONE operating point).
+
+    Exactness: the ratio is the same per-doc IEEE division the
+    text_profile oracle hash-proves; grid literals are embedded with
+    identical repr() in both engines and CAST to DOUBLE in the oracle
+    (bare SQL literals parse as DECIMAL in DuckDB — the BM25 lesson);
+    every confusion cell is an exact BIGINT; precision/recall/F1 are
+    single divisions of exact integers (F1 via 2TP/(2TP+FP+FN) — one
+    division, no nested rounding). Zero-denominator points yield NULL
+    on both engines (no en-predictions at the top threshold is honest,
+    not an error).
+
+    Scale shape (100 TB): ONE corpus scan computes the ratio; the
+    8-point grid is a broadcast CROSS JOIN (8× row fanout of a 2-column
+    projection, not of the corpus); the sweep is a map-side-combined
+    8-group aggregate. Column names precision_/recall_ carry the
+    trailing underscore because bare 'precision' is a DuckDB keyword."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.text import stopword_count_expr
+
+    n_tok = token_count_expr("text").cast("double")
+    n_stop = stopword_count_expr("text").cast("double")
+    ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    base = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        ratio.alias("r"),
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in _LANGID_GRID], ["t"]
+    ).select(F.col("t").cast("double").alias("t"))
+    sweep = (
+        base.crossJoin(F.broadcast(grid))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when((F.col("r") >= F.col("t")) & (F.col("is_en") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when((F.col("r") >= F.col("t")) & (F.col("is_en") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.when((F.col("r") < F.col("t")) & (F.col("is_en") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fn"),
+            F.sum(F.when((F.col("r") < F.col("t")) & (F.col("is_en") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tn"),
+        )
+        .withColumnRenamed("t", "threshold")
+    )
+    return sweep.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")).alias("precision_"),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")).alias("recall_"),
+        (
+            (F.col("tp") * 2).cast("double")
+            / (F.col("tp") * 2 + F.col("fp") + F.col("fn")).cast("double")
+        ).alias("f1"),
+    ).orderBy("threshold")
+
+
+# Sparse-cosine knobs: terms with df above the cap are pruned from the
+# vector space (the standard postings-join bound — Σ df² over kept
+# terms); pairs below the cosine floor are dropped. The cap is
+# CORPUS-PROPORTIONAL — max(floor, n_docs div 10), i.e. 'a term in more
+# than ~10% of docs is stop-like' — because a FIXED cap silently empties
+# the vector space as the corpus grows (measured: cap=100 at sf0.1
+# pruned every shared term and the result went to 0 rows); both engines
+# derive the cap from the same count, so it is still hash-exact.
+_SPARSE_DF_FLOOR = 100
+_SPARSE_COS_MIN = 0.6
+
+
+@query(
+    "text_sparse_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest({_SQL_TOKS})) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    cap AS (
+      SELECT GREATEST({_SPARSE_DF_FLOOR},
+                      CAST(count(*) AS BIGINT) // 10) AS c
+      FROM documents
+    ),
+    kept AS (
+      SELECT term FROM tf CROSS JOIN cap GROUP BY term, cap.c
+      HAVING count(*) <= cap.c
+    ),
+    v AS (SELECT tf.* FROM tf JOIN kept USING (term)),
+    norms AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(tf AS HUGEINT) * tf) AS BIGINT) AS n2
+      FROM v GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(a.tf AS HUGEINT) * b.tf) AS BIGINT) AS dot
+      FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, dot, na.n2 AS norm2_a, nb.n2 AS norm2_b,
+           CAST(dot AS DOUBLE)
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+             AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = dots.doc_a
+    JOIN norms nb ON nb.doc_id = dots.doc_b
+    WHERE CAST(dot AS DOUBLE)
+          / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+          >= CAST({_SPARSE_COS_MIN!r} AS DOUBLE)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE tf-vector cosine near-dup pairs — the sparse-vector
+    similarity primitive next to the dense embedding family: documents
+    as tf vectors over the df-capped vocabulary (terms with df >
+    max(100, n_docs/10) pruned — the classic postings bound:
+    pair-generation work is Σ_term df², so the hot stopword tail must
+    not expand; the cap scales with the corpus because a fixed cap
+    empties the space as n grows, see the knob comment), pairs
+    scored cos = Σ tf_a·tf_b / √(Σtf_a² · Σtf_b²) and kept at ≥ 0.6.
+    Distinct mechanism from the Jaccard family (set overlap ignores
+    term FREQUENCY; cosine weights it) and from embedding cosine
+    (learned dense vs exact sparse lexical).
+
+    Exactness: dot and both squared norms are exact integers
+    (HUGEINT/DECIMAL(38,0) products, BIGINT shipped); the cosine is
+    computed as ONE double division by sqrt of the double product of
+    the two exact norms — IEEE sqrt is correctly rounded, so both
+    engines produce the identical double (the temperature_sample sqrt
+    precedent); the threshold literal is repr()-embedded and CAST to
+    DOUBLE.
+
+    Scale shape (100 TB): tf comes from the managed term_tf persist;
+    the df cap bounds every posting list before the self-join (the
+    pair shuffle is Σ df² over KEPT terms only); norms are a doc-grain
+    map-side-combined aggregate over the capped vectors (definition:
+    cosine IN THE CAPPED SPACE — self-consistent, documented); the
+    dot groupBy aggregates pair-proportionally."""
+    tf = _shared_tf(spark, sf_dir).select("doc_id", "term", "tf")
+    cap = load_table(spark, sf_dir, "documents").agg(
+        F.greatest(
+            F.lit(_SPARSE_DF_FLOOR).cast("bigint"),
+            F.expr("count(1) div 10"),
+        ).alias("c")
+    )
+    kept = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("df") <= F.col("c"))
+        .select("term")
+    )
+    v = tf.join(kept, "term")
+    norms = v.groupBy("doc_id").agg(
+        F.sum(F.col("tf").cast(_DEC) * F.col("tf").cast(_DEC))
+        .cast("bigint")
+        .alias("n2")
+    )
+    a = v.select(
+        F.col("term"), F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = v.select(
+        F.col("term"), F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("tf_a").cast(_DEC) * F.col("tf_b").cast(_DEC))
+            .cast("bigint")
+            .alias("dot")
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("norm2_a").cast("double") * F.col("norm2_b").cast("double")
+    )
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("norm2_a")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("norm2_b")),
+            "doc_b",
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(_SPARSE_COS_MIN))
+        .select("doc_a", "doc_b", "dot", "norm2_a", "norm2_b", "cosine")
+        .orderBy("doc_a", "doc_b")
     )

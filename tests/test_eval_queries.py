@@ -334,3 +334,94 @@ def test_backtest_gap_days_fill_zero(spark, tmp_path):
     assert row.n_days == 2
     assert row.total_err7 == 640.0 and row.total_err1 == 90.0
     assert row.mase == 640.0 / (7.0 * 90.0)
+
+
+# ------------------------------------------------------------------ r12f
+
+
+def test_countmin_one_sided_and_exact_on_lone_term(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        text_countmin_heavyhitters,
+    )
+
+    # CMS guarantee: estimate >= exact always; with a single term in
+    # the corpus there is nothing to collide with -> estimate == exact.
+    sf = _write_docs(spark, tmp_path, [(1, "zz zz zz", "s"), (2, "zz", "s")])
+    rows = text_countmin_heavyhitters(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].term == "zz" and rows[0].exact_tf == 4
+    assert rows[0].cms_est == 4 and rows[0].overcount == 0
+
+
+def test_countmin_guarantee_on_mixed_corpus(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        text_countmin_heavyhitters,
+    )
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(i, " ".join(f"w{j}" for j in range(i + 1)), "s") for i in range(30)],
+    )
+    rows = text_countmin_heavyhitters(spark, sf).collect()
+    assert rows, "top-k must be non-empty"
+    assert all(r.cms_est >= r.exact_tf for r in rows)  # one-sided
+    assert all(r.overcount == r.cms_est - r.exact_tf for r in rows)
+    # w0 appears once per doc -> the heaviest hitter
+    assert rows[0].term == "w0" and rows[0].exact_tf == 30
+
+
+def test_threshold_sweep_hand_confusion(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        _LANGID_GRID,
+        text_langid_threshold_sweep,
+    )
+
+    # ratios: stopwordy docs 1.0, stopword-free docs 0.0 -> identical
+    # confusion at every grid point: tp=1 fp=1 fn=1 tn=1, f1=0.5
+    spark.createDataFrame(
+        [
+            (1, "the the the", "en", "s", 11),
+            (2, "zzz yyy", "en", "s", 7),
+            (3, "the the the", "fr", "s", 11),
+            (4, "zzz yyy", "fr", "s", 7),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = text_langid_threshold_sweep(spark, str(tmp_path)).collect()
+    assert [r.threshold for r in rows] == sorted(_LANGID_GRID)
+    for r in rows:
+        assert (r.tp, r.fp, r.fn, r.tn) == (1, 1, 1, 1)
+        assert r.precision_ == 0.5 and r.recall_ == 0.5 and r.f1 == 0.5
+
+
+def test_sparse_cosine_hand_computed_pair(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        text_sparse_cosine_pairs,
+    )
+
+    # doc1 = (x:2, y:1), doc2 = (x:1, y:2): dot = 4, norms 5 and 5,
+    # cosine = 4/5 = 0.8 >= 0.6; doc3 shares no term -> no pair rows
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "x x y", "s"), (2, "x y y", "s"), (3, "q r s", "s")],
+    )
+    rows = text_sparse_cosine_pairs(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert (r.dot, r.norm2_a, r.norm2_b) == (4, 5, 5)
+    assert r.cosine == 4.0 / 5.0
+
+
+def test_sparse_cosine_identical_docs_score_one(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        text_sparse_cosine_pairs,
+    )
+
+    sf = _write_docs(
+        spark, tmp_path, [(1, "a a b c", "s"), (2, "a a b c", "s")]
+    )
+    rows = text_sparse_cosine_pairs(spark, sf).collect()
+    assert len(rows) == 1 and rows[0].cosine == 1.0
