@@ -601,3 +601,65 @@ def bpe_train_merges_batched(
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, pair_count bigint",
     ).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------- r12f
+# Count-Min sketch primitives, shared between the batch audit query
+# (plans/eval_queries.text_countmin_heavyhitters) and the streaming
+# maintenance sink (streaming/sketch.py) so the two can never diverge:
+# the sketch is a mergeable summary (cells ADD), which is exactly what
+# makes it maintainable under foreachBatch at delta cost.
+CMS_D = 4
+CMS_W = 1024
+
+
+def term_counts(docs) -> "DataFrame":
+    """(term, tf) corpus term frequencies over the shared lower_terms
+    tokenization — one map-side-combined groupBy."""
+    return lower_terms(docs).groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+
+
+def countmin_entries(tc) -> "DataFrame":
+    """(term, tf, r, c) sketch coordinates for a (term, tf) relation:
+    row r hashes the term with the shared hash60 universal family
+    ((a_r·hb + b_r) mod P31) mod CMS_W — pure per-row expressions, a
+    CMS_D-fold fanout of the term-grain relation."""
+    from .dedup import P31, hash60_expr, minhash_params
+
+    hb = (hash60_expr("term") % P31).alias("hb")
+    return (
+        tc.select("term", "tf", hb)
+        .select(
+            "term",
+            "tf",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("r"),
+                            (
+                                (F.lit(a).cast("bigint") * F.col("hb") + F.lit(b))
+                                % P31
+                                % CMS_W
+                            ).alias("c"),
+                        )
+                        for j, (a, b) in enumerate(minhash_params(CMS_D))
+                    ]
+                )
+            ).alias("rc"),
+        )
+        .select("term", "tf", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    )
+
+
+def countmin_cells(tc) -> "DataFrame":
+    """(r, c, n) sketch cells for a (term, tf) relation — at most
+    CMS_D × CMS_W rows regardless of corpus size. Cells are ADDITIVE:
+    countmin_cells(a ∪ b) == cellwise-sum(countmin_cells(a),
+    countmin_cells(b)), the mergeable-summary property the streaming
+    sink relies on (pinned in tests/test_streaming_sketch.py)."""
+    return countmin_entries(tc).groupBy("r", "c").agg(
+        F.sum("tf").cast("bigint").alias("n")
+    )

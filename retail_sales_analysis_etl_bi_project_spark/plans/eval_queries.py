@@ -797,8 +797,6 @@ def bi_revenue_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # selection artifact), and df-capped sparse TF-IDF cosine pairs (the
 # sparse-vector similarity primitive the dense embedding family lacks).
 
-from ..operators.dedup import hash60_expr  # noqa: E402
-from ..operators.text import lower_terms  # noqa: E402
 from .dedup_queries import _hex60  # noqa: E402
 
 # Count-Min geometry: d=4 universal-family rows x w=1024 columns. The
@@ -806,8 +804,13 @@ from .dedup_queries import _hex60  # noqa: E402
 # the entire point of CMS (Cormode & Muthukrishnan 2005). Hash rows are
 # the shared md5-derived hash60 base under the same (a,b) universal
 # family MinHash uses, so DuckDB replays every cell exactly.
-_CMS_D = 4
-_CMS_W = 1024
+# Geometry lives in operators/text.py (CMS_D/CMS_W) — shared with the
+# streaming maintenance sink (streaming/sketch.py) so the batch audit
+# and the maintained sketch can never diverge.
+from ..operators.text import CMS_D as _CMS_D  # noqa: E402
+from ..operators.text import CMS_W as _CMS_W  # noqa: E402
+from ..operators.text import countmin_entries, term_counts  # noqa: E402
+
 _CMS_TOPK = 20
 
 
@@ -859,32 +862,8 @@ def text_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-hitter structure; the top-K is TakeOrderedAndProject; the
     audit join touches K·d rows."""
     docs = load_table(spark, sf_dir, "documents")
-    tc = (
-        lower_terms(docs)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    hb = (hash60_expr("term") % P31).alias("hb")
-    termhash = tc.select("term", "tf", hb)
-    entries = termhash.select(
-        "term",
-        "tf",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("r"),
-                        (
-                            (F.lit(a).cast("bigint") * F.col("hb") + F.lit(b))
-                            % P31
-                            % _CMS_W
-                        ).alias("c"),
-                    )
-                    for j, (a, b) in enumerate(minhash_params(_CMS_D))
-                ]
-            )
-        ).alias("rc"),
-    ).select("term", "tf", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    tc = term_counts(docs)
+    entries = countmin_entries(tc)
     cell = entries.groupBy("r", "c").agg(
         F.sum("tf").cast("bigint").alias("n")
     )
