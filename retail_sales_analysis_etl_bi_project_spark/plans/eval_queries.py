@@ -797,8 +797,6 @@ def bi_revenue_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # selection artifact), and df-capped sparse TF-IDF cosine pairs (the
 # sparse-vector similarity primitive the dense embedding family lacks).
 
-from .dedup_queries import _hex60  # noqa: E402
-
 # Count-Min geometry: d=4 universal-family rows x w=1024 columns. The
 # sketch is 4096 BIGINT cells at ANY corpus size — bounded memory is
 # the entire point of CMS (Cormode & Muthukrishnan 2005). Hash rows are
@@ -809,7 +807,7 @@ from .dedup_queries import _hex60  # noqa: E402
 # and the maintained sketch can never diverge.
 from ..operators.text import CMS_D as _CMS_D  # noqa: E402
 from ..operators.text import CMS_W as _CMS_W  # noqa: E402
-from ..operators.text import countmin_entries, term_counts  # noqa: E402
+from ..operators.text import countmin_cells, countmin_entries  # noqa: E402
 
 _CMS_TOPK = 20
 
@@ -854,19 +852,23 @@ def text_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions every cell is an exact integer both engines reproduce
     bit-for-bit (HLL/KLL randomize internally and stay banded).
 
-    Scale shape (100 TB): term counts are THE corpus-sized pass (one
-    map-side-combined groupBy, shared spec with the whole term-stats
-    family); the sketch build is a 4×-fanout projection into a
+    Scale shape (100 TB): term counts come from the managed term_tf
+    persist (ONE tokenize for the whole term-stats family — summing
+    its per-doc tf at term grain is arithmetic-identical to a fresh
+    corpus count, the analysis_queries precedent; review finding,
+    r12f); the sketch build is a 4×-fanout projection into a
     4096-cell groupBy — the sketch is KBs at any corpus size, the
     mergeable-summary property that makes CMS the streaming/partial-agg
-    heavy-hitter structure; the top-K is TakeOrderedAndProject; the
-    audit join touches K·d rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    tc = term_counts(docs)
-    entries = countmin_entries(tc)
-    cell = entries.groupBy("r", "c").agg(
-        F.sum("tf").cast("bigint").alias("n")
+    heavy-hitter structure (the streaming sink, streaming/sketch.py,
+    shares the countmin_* primitives via operators/text.py); the top-K
+    is TakeOrderedAndProject; the audit join touches K·d rows."""
+    tc = (
+        _shared_tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("tf"))
     )
+    entries = countmin_entries(tc)
+    cell = countmin_cells(tc)
     top = tc.orderBy(F.col("tf").desc(), "term").limit(_CMS_TOPK)
     return (
         top.join(entries.select("term", "r", "c"), "term")

@@ -26,7 +26,6 @@ algebra: the maintained table equals the full recompute bit-for-bit
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,9 +33,13 @@ from pyspark.sql import functions as F
 
 from ..functions.money import fixed_point_partial
 from .events import _await_or_raise
-from .swap import atomic_swap_write, reap_stale_tmp_dirs, restore_prev
-
-_SIDECAR = "_last_batch.json"
+from .swap import (
+    already_applied,
+    atomic_swap_write,
+    batch_sidecar_writer,
+    reap_stale_tmp_dirs,
+    restore_prev,
+)
 
 
 def kpi_partials(
@@ -53,14 +56,6 @@ def kpi_partials(
     )
 
 
-def _last_applied(target: str) -> int:
-    try:
-        with open(os.path.join(target, _SIDECAR)) as f:
-            return int(json.load(f)["batch_id"])
-    except (OSError, ValueError, KeyError):
-        return -1
-
-
 def apply_kpi_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -73,7 +68,7 @@ def apply_kpi_batch(
     spark = batch_df.sparkSession
     reap_stale_tmp_dirs(target)
     restore_prev(target)
-    if os.path.exists(target) and batch_id <= _last_applied(target):
+    if already_applied(target, batch_id):
         return  # crash-replayed batch: already folded in
     new = kpi_partials(batch_df, ts_col, amount_col)
     if os.path.exists(target):
@@ -88,12 +83,7 @@ def apply_kpi_batch(
         )
     else:
         merged = new
-
-    def write_sidecar(tmp: str) -> None:
-        with open(os.path.join(tmp, _SIDECAR), "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-
-    atomic_swap_write(merged, target, finish_tmp=write_sidecar)
+    atomic_swap_write(merged, target, finish_tmp=batch_sidecar_writer(batch_id))
 
 
 def maintain_kpi_stream(

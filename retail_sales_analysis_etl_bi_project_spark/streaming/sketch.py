@@ -26,35 +26,30 @@ one tokenize + term-grain combine of the DELTA plus a merge over the
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.text import CMS_D, CMS_W, countmin_cells, countmin_entries, term_counts
+from ..operators.text import countmin_cells, countmin_entries, term_counts
 from .events import _await_or_raise
-from .swap import atomic_swap_write, reap_stale_tmp_dirs, restore_prev
-
-_SIDECAR = "_last_batch.json"
-
-
-def _last_applied(target: str) -> int:
-    try:
-        with open(os.path.join(target, _SIDECAR)) as f:
-            return int(json.load(f)["batch_id"])
-    except (OSError, ValueError, KeyError):
-        return -1
+from .swap import (
+    already_applied,
+    atomic_swap_write,
+    batch_sidecar_writer,
+    reap_stale_tmp_dirs,
+    restore_prev,
+)
 
 
 def apply_sketch_batch(batch_df: DataFrame, batch_id: int, target: str) -> None:
     """Fold one document micro-batch's CMS cells into the stored grid.
     Replay-safe: a batch_id at or below the committed sidecar id is
-    skipped."""
+    skipped (swap.already_applied — the shared additive-sink protocol)."""
     spark = batch_df.sparkSession
     reap_stale_tmp_dirs(target)
     restore_prev(target)
-    if os.path.exists(target) and batch_id <= _last_applied(target):
+    if already_applied(target, batch_id):
         return  # crash-replayed batch: already folded in
     new = countmin_cells(term_counts(batch_df))
     if os.path.exists(target):
@@ -66,12 +61,7 @@ def apply_sketch_batch(batch_df: DataFrame, batch_id: int, target: str) -> None:
         )
     else:
         merged = new
-
-    def write_sidecar(tmp: str) -> None:
-        with open(os.path.join(tmp, _SIDECAR), "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-
-    atomic_swap_write(merged, target, finish_tmp=write_sidecar)
+    atomic_swap_write(merged, target, finish_tmp=batch_sidecar_writer(batch_id))
 
 
 def maintain_sketch_stream(
@@ -105,14 +95,26 @@ def cms_estimate(spark: SparkSession, target: str, terms: DataFrame) -> DataFram
     CMS_D-fanout broadcast-able join against the ≤ 4096-row grid.
     Terms absent from every stream document estimate 0 (their cells
     may not exist in the stored grid — COALESCE keeps the probe
-    honest rather than dropping the row)."""
+    honest rather than dropping the row). Probes hash the LOWERCASED
+    form: the grid is built over lower_terms' lowercased stream, so a
+    raw-case probe would hash to foreign cells and silently
+    under-estimate — violating the one-sided guarantee (review
+    finding, r12f). The caller's original term is preserved in the
+    output; case-variants of one canonical term share its estimate."""
+    canon = terms.select(
+        F.col("term").alias("orig"), F.lower("term").alias("term")
+    )
     probes = countmin_entries(
-        terms.select("term", F.lit(0).cast("bigint").alias("tf"))
+        canon.select("term")
+        .distinct()
+        .withColumn("tf", F.lit(0).cast("bigint"))
     ).select("term", "r", "c")
     cells = read_sketch_cells(spark, target)
     return (
         probes.join(cells, ["r", "c"], "left")
         .groupBy("term")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("cms_est"))
+        .join(canon, "term")
+        .select(F.col("orig").alias("term"), "cms_est")
         .orderBy("term")
     )

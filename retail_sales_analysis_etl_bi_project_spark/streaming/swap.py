@@ -108,3 +108,43 @@ def atomic_swap_write(
     shutil.move(tmp, target)
     if os.path.exists(prev):
         shutil.rmtree(prev)
+
+
+# Exactly-once sidecar protocol for ADDITIVE foreachBatch sinks
+# (hoisted from kpi.py when sketch.py became its second user — one
+# implementation of the replay-safety mechanism, not two drifting
+# copies): additive merges are not idempotent, so the last applied
+# batch_id commits atomically with the data (sidecar written into the
+# tmp dir before the swap; parquet readers ignore ``_``-files) and a
+# replayed id is a no-op. One target binds to one checkpoint lineage —
+# a fresh checkpoint restarts ids at 0 and needs a fresh target.
+BATCH_SIDECAR = "_last_batch.json"
+
+
+def last_applied_batch(target: str) -> int:
+    """The committed batch id, or -1 for a missing/unreadable sidecar."""
+    import json
+
+    try:
+        with open(os.path.join(target, BATCH_SIDECAR)) as f:
+            return int(json.load(f)["batch_id"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return -1
+
+
+def already_applied(target: str, batch_id: int) -> bool:
+    """True when ``batch_id`` was already folded into ``target`` — the
+    crash-replay guard every additive sink checks before merging."""
+    return os.path.exists(target) and batch_id <= last_applied_batch(target)
+
+
+def batch_sidecar_writer(batch_id: int) -> Callable[[str], None]:
+    """finish_tmp hook for atomic_swap_write: commit ``batch_id``
+    atomically with the swapped data."""
+    import json
+
+    def write(tmp: str) -> None:
+        with open(os.path.join(tmp, BATCH_SIDECAR), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+
+    return write
