@@ -145,6 +145,21 @@ HEADLINE = [
     "corpus_split_leakage_audit",
     "multimodal_frame_sample",
     "corpus_source_tv_drift",
+    # session-4 additions (r12c signals + the r12d/e/f eval batches):
+    # every one is scale-path-shaped (no quadratic truth member), so
+    # all twelve join the headline
+    "events_value_ks_drift",
+    "bi_copurchase_linkpred",
+    "corpus_ngram_novelty",
+    "text_domain_prototype_classifier",
+    "events_markov_eval",
+    "corpus_pps_systematic_sample",
+    "text_langid_kappa",
+    "dedup_minhash_auc",
+    "bi_revenue_backtest_mase",
+    "text_countmin_heavyhitters",
+    "text_langid_threshold_sweep",
+    "text_sparse_cosine_pairs",
     # sim_ann_recall_tuning, dedup_containment_recall,
     # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
     # headline, the sim_ann_recall / dedup_family_recall precedent:
