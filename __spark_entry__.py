@@ -41,6 +41,7 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.basket_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.signal_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.eval_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.trend_queries",
     ):
         try:
             __import__(mod)
@@ -189,6 +190,10 @@ _PAST_WINDOW = (
     "text_countmin_heavyhitters",     # deterministic CMS, exact replay
     "text_langid_threshold_sweep",    # P/R/F1 operating characteristic
     "text_sparse_cosine_pairs",       # df-capped sparse tf cosine pairs
+    # r12g: same precedent
+    "bi_revenue_trend_ols",           # exact fixed-point OLS trend
+    "bi_revenue_gini_customers",      # Lorenz-rank Gini concentration
+    "bi_basket_triples",              # A-priori 3-itemsets + lift
 )
 
 # r12: queries promoted INTO the driver window regardless of natural

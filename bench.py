@@ -160,6 +160,9 @@ HEADLINE = [
     "text_countmin_heavyhitters",
     "text_langid_threshold_sweep",
     "text_sparse_cosine_pairs",
+    "bi_revenue_trend_ols",
+    "bi_revenue_gini_customers",
+    "bi_basket_triples",
     # sim_ann_recall_tuning, dedup_containment_recall,
     # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
     # headline, the sim_ann_recall / dedup_family_recall precedent:

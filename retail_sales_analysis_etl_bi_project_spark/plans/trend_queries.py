@@ -1,0 +1,321 @@
+"""Round-12g statistics over the retail star (registered PAST the
+driver window per the r6f..r12f precedent: gate-replica verified at
+sf0.001+sf0.01+sf0.1 this round, rotate into the driver window next
+round — see __spark_entry__._PAST_WINDOW).
+
+Three statistical mechanisms the BI surface still lacked:
+
+- bi_revenue_trend_ols : exact-integer ordinary-least-squares trend
+        of daily revenue — slope/intercept as single divisions of
+        exact fixed-point sums (the engine's first REGRESSION
+        surface; every other trend artifact is a moving average)
+- bi_revenue_gini_customers : Gini concentration of revenue across
+        customers via Lorenz ranks — the inequality measure next to
+        HHI (share-of-squares) with a genuinely different mechanism
+        (rank-weighted sums over the sorted distribution)
+- bi_basket_triples : A-priori 3-itemsets over the co-purchase
+        baskets with triple lift — one tier past the pair miner
+        (bi_market_basket_pairs), work bounded by Σ C(basket, 3)
+
+Numeric discipline (REQUIREMENTS.md): money converts ONCE to exact
+fixed-point integers (×10⁴, the functions/money.py scale), every sum
+and product stays exact integer (BIGINT→DECIMAL(38,0) in Spark,
+HUGEINT in DuckDB), and each output statistic is a single IEEE
+division (or a pinned chain of double *,/ over exact-integer casts —
+the bigram-PMI convention). No float accumulates anywhere.
+
+Reference scope: the reference's analytics stop at groupBy aggregates
+(/root/reference/etl/etl.py:220-306); regression, concentration, and
+itemset mining are extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+from .shared_cache import memo_persist
+
+_DEC = "decimal(38,0)"
+
+
+@query(
+    "bi_revenue_trend_ols",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice * 10000 AS HUGEINT)) AS HUGEINT)
+               AS y4
+      FROM orders GROUP BY 1),
+    b AS (SELECT min(day) AS lo FROM daily),
+    xy AS (
+      SELECT CAST(datediff('day', b.lo, d.day) AS HUGEINT) AS x, d.y4
+      FROM daily d CROSS JOIN b),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y4) AS HUGEINT) AS sy4,
+             CAST(SUM(x * y4) AS HUGEINT) AS sxy4,
+             CAST(SUM(y4 * y4) AS HUGEINT) AS syy4
+      FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy4 - sx * sy4 AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(10000 AS DOUBLE))
+             AS slope_per_day,
+           CAST(sy4 * sxx - sx * sxy4 AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(10000 AS DOUBLE))
+             AS intercept,
+           (CAST(n * sxy4 - sx * sy4 AS DOUBLE)
+            * CAST(n * sxy4 - sx * sy4 AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy4 - sy4 * sy4 AS DOUBLE)) AS r2
+    FROM s
+    """,
+)
+def bi_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer ORDINARY LEAST SQUARES trend of daily revenue —
+    the engine's first regression artifact (the gapfill query smooths;
+    this FITS): x = days since the first order date, y = daily revenue
+    in exact ×10⁴ fixed point (functions/money.py scale), and the
+    closed forms
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+        R² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    where EVERY sum and product is an exact integer
+    (DECIMAL(38,0)/HUGEINT; y4² ≈ 10²⁶ per day forces the decimal
+    widening before squaring), and each output is one division — R²'s
+    numerator square would exceed 10³⁸, so it is a pinned chain of
+    double *,/ over the exact-integer casts (the bigram-PMI
+    convention). The 10⁴ fixed-point scale divides out once in the
+    slope/intercept denominators.
+
+    Scale shape (100 TB): the fact collapses to day grain FIRST (one
+    map-side-combined groupBy — the only corpus-sized pass); the 1-row
+    min-date broadcasts; the five sums are a second 1-row aggregate
+    over day-count rows. No window, no sort, no quadratic term."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("y4")
+    )
+    lo = daily.agg(F.min("day").alias("lo"))
+    xy = daily.crossJoin(F.broadcast(lo)).select(
+        F.datediff("day", "lo").cast("bigint").alias("x"), "y4"
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").cast(_DEC).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast(_DEC).alias("sxx"),
+        F.sum("y4").cast(_DEC).alias("sy4"),
+        F.sum(F.col("x").cast(_DEC) * F.col("y4").cast(_DEC)).alias("sxy4"),
+        F.sum(F.col("y4").cast(_DEC) * F.col("y4").cast(_DEC)).alias("syy4"),
+    )
+    num = F.col("n") * F.col("sxy4") - F.col("sx") * F.col("sy4")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    inum = F.col("sy4") * F.col("sxx") - F.col("sx") * F.col("sxy4")
+    ydev = F.col("n") * F.col("syy4") - F.col("sy4") * F.col("sy4")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        (
+            num.cast("double") / (den.cast("double") * F.lit(10000.0))
+        ).alias("slope_per_day"),
+        (
+            inum.cast("double") / (den.cast("double") * F.lit(10000.0))
+        ).alias("intercept"),
+        (
+            (num.cast("double") * num.cast("double"))
+            / (den.cast("double") * ydev.cast("double"))
+        ).alias("r2"),
+    )
+
+
+@query(
+    "bi_revenue_gini_customers",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice * 10000 AS HUGEINT)) AS HUGEINT)
+               AS y4
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT y4,
+             CAST(row_number() OVER (ORDER BY y4, o_custkey) AS HUGEINT)
+               AS i
+      FROM cust),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(y4) AS HUGEINT) AS sy,
+             CAST(SUM(i * y4) AS HUGEINT) AS siy
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(CAST(sy AS DECIMAL(38,0)) AS DOUBLE) / 10000.0
+             AS total_revenue,
+           CAST(2 * siy - (n + 1) * sy AS DOUBLE)
+             / CAST(n * sy AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def bi_revenue_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI concentration of revenue across customers via Lorenz
+    ranks: sort customers by revenue (custkey tie-break — the rank is
+    deterministic), weight each by its rank, and apply the closed form
+    G = (2·Σ i·y_i − (n+1)·Σy) / (n·Σy) — the inequality coefficient
+    next to bi_revenue_hhi_by_type with a genuinely different
+    mechanism (HHI is share-of-squares, order-free; Gini is
+    rank-weighted and needs the sorted distribution). All sums are
+    exact ×10⁴ fixed-point integers; the 10⁴ scale cancels in G; ONE
+    double division.
+
+    Scale shape (100 TB): the fact collapses to customer grain first
+    (map-side-combined); the global rank is a single-partition window
+    over CUSTOMER-grain rows — fine to ~10⁷ customers, and past that
+    the documented swap is the two-phase distributed rank (range
+    partition + per-partition offsets, the pps/pack prefix-sum
+    discipline, SCALE.md §Curation); the final reduction is one row."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("y4")
+    )
+    w = Window.orderBy("y4", "o_custkey")
+    ranked = cust.select(
+        "y4", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("y4").cast(_DEC).alias("sy"),
+        F.sum(F.col("i").cast(_DEC) * F.col("y4").cast(_DEC)).alias("siy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        (F.col("sy").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        (
+            (F.lit(2).cast(_DEC) * F.col("siy") - (F.col("n") + 1) * F.col("sy"))
+            .cast("double")
+            / (F.col("n") * F.col("sy")).cast("double")
+        ).alias("gini"),
+    )
+
+
+_TRIPLE_MIN_SUPPORT = 2
+
+
+@query(
+    "bi_basket_triples",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+              AS n_orders FROM li),
+    item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+             FROM li GROUP BY 1),
+    tri AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             c.l_partkey AS part_c, CAST(count(*) AS BIGINT) AS n_abc
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+      JOIN li c ON b.l_orderkey = c.l_orderkey
+                AND b.l_partkey < c.l_partkey
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= {_TRIPLE_MIN_SUPPORT}
+    )
+    SELECT t.part_a, t.part_b, t.part_c, t.n_abc,
+           CAST(CAST(t.n_abc AS HUGEINT) * tot.n_orders * tot.n_orders
+                AS DOUBLE)
+             / CAST(CAST(ia.n_item AS HUGEINT) * ib.n_item * ic.n_item
+                    AS DOUBLE) AS lift3
+    FROM tri t
+    JOIN item ia ON ia.l_partkey = t.part_a
+    JOIN item ib ON ib.l_partkey = t.part_b
+    JOIN item ic ON ic.l_partkey = t.part_c
+    CROSS JOIN tot
+    ORDER BY n_abc DESC, part_a, part_b, part_c
+    """,
+)
+def bi_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori 3-ITEMSETS over the co-purchase baskets: every part
+    triple bought together in ≥ 2 orders, with the three-way lift
+    P(abc)/(P(a)P(b)P(c)) = n_abc·N² / (n_a·n_b·n_c) — one tier past
+    bi_market_basket_pairs (pairs) and bi_copurchase_linkpred
+    (predicted pairs): the bundle-detection signal. Lift is a single
+    double division of exact-integer products (numerator/denominator
+    each one DECIMAL(38,0)/HUGEINT product chain).
+
+    Scale shape (100 TB): baskets collapse to DISTINCT (order, part)
+    ONCE via the managed basket_li persist (shared with the whole
+    basket family); triple generation is the order-keyed double
+    self-join a<b<c — work is Σ C(basket, 3), bounded by the
+    basket-size cap (13 here; carts are O(10-100)), never
+    part-cubic — and the support filter prunes before the three item-
+    support joins. A production A-priori adds the candidate-pruning
+    round (only triples whose three pairs are frequent); at this
+    basket bound the direct join is cheaper than the extra shuffle,
+    documented trade.
+
+    Measured corpus property (stated so the sf0.1 emptiness is not
+    mistaken for a bug): support-2 triples number 94 / 12 / 0 at
+    sf0.001 / sf0.01 / sf0.1 — the generator grows the part space
+    faster than baskets repeat, so bundle signals thin with scale
+    and the honest answer at sf0.1 is empty (the linkpred
+    empty-substrate precedent); the mechanism is exercised by the
+    smaller SFs and the engineered-basket pytest."""
+    li = memo_persist(
+        "basket_li",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+    )
+    tot = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    c = li.select("l_orderkey", F.col("l_partkey").alias("part_c"))
+    tri = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .join(c, "l_orderkey")
+        .where(F.col("part_b") < F.col("part_c"))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_abc"))
+        .where(F.col("n_abc") >= _TRIPLE_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb"))
+    ic = item.select(F.col("l_partkey").alias("part_c"), F.col("n_item").alias("nc"))
+    lift = (
+        F.col("n_abc").cast(_DEC)
+        * F.col("n_orders").cast(_DEC)
+        * F.col("n_orders").cast(_DEC)
+    ).cast("double") / (
+        F.col("na").cast(_DEC) * F.col("nb").cast(_DEC) * F.col("nc").cast(_DEC)
+    ).cast(
+        "double"
+    )
+    return (
+        tri.join(ia, "part_a")
+        .join(ib, "part_b")
+        .join(ic, "part_c")
+        .crossJoin(F.broadcast(tot))
+        .select("part_a", "part_b", "part_c", "n_abc", lift.alias("lift3"))
+        .orderBy(F.col("n_abc").desc(), "part_a", "part_b", "part_c")
+    )

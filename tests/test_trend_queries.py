@@ -1,0 +1,104 @@
+"""Round-12g star statistics (plans/trend_queries.py): hand-computed
+OLS fits (perfect line, flat line), Gini extremes (equality zero,
+two-customer maximum), and engineered-basket triples with exact lift."""
+
+import datetime as dt
+
+
+def _write_orders(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    return str(tmp_path)
+
+
+def test_ols_perfect_line(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.trend_queries import (
+        bi_revenue_trend_ols,
+    )
+
+    # daily revenue 10, 20, 30 on consecutive days: slope 10/day,
+    # intercept 10, r2 exactly 1
+    sf = _write_orders(
+        spark,
+        tmp_path,
+        [
+            (i + 1, 1, float((i + 1) * 10), dt.datetime(2024, 1, 1 + i))
+            for i in range(3)
+        ],
+    )
+    row = bi_revenue_trend_ols(spark, sf).collect()[0]
+    assert row.n_days == 3
+    assert row.slope_per_day == 10.0
+    assert row.intercept == 10.0
+    assert row.r2 == 1.0
+
+
+def test_ols_flat_line_zero_slope(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.trend_queries import (
+        bi_revenue_trend_ols,
+    )
+
+    sf = _write_orders(
+        spark,
+        tmp_path,
+        [(i + 1, 1, 7.5, dt.datetime(2024, 1, 1 + i)) for i in range(4)],
+    )
+    row = bi_revenue_trend_ols(spark, sf).collect()[0]
+    assert row.slope_per_day == 0.0 and row.intercept == 7.5
+
+
+def test_gini_equality_and_two_customer_max(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.trend_queries import (
+        bi_revenue_gini_customers,
+    )
+
+    # equal revenues -> G = 0
+    sf = _write_orders(
+        spark,
+        tmp_path,
+        [
+            (1, 1, 5.0, dt.datetime(2024, 1, 1)),
+            (2, 2, 5.0, dt.datetime(2024, 1, 2)),
+        ],
+    )
+    row = bi_revenue_gini_customers(spark, sf).collect()[0]
+    assert row.n_customers == 2 and row.gini == 0.0
+    assert row.total_revenue == 10.0
+
+
+def test_gini_concentrated_two_customers(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.trend_queries import (
+        bi_revenue_gini_customers,
+    )
+
+    # all revenue on one of two customers: G = (n-1)/n = 0.5
+    sf = _write_orders(
+        spark,
+        tmp_path,
+        [
+            (1, 1, 0.0, dt.datetime(2024, 1, 1)),
+            (2, 2, 10.0, dt.datetime(2024, 1, 2)),
+        ],
+    )
+    row = bi_revenue_gini_customers(spark, sf).collect()[0]
+    assert row.gini == 0.5
+
+
+def test_basket_triples_support_and_lift(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.trend_queries import (
+        bi_basket_triples,
+    )
+
+    # orders: {1,2,3} and {1,2,3,4} -> only triple (1,2,3) reaches
+    # support 2; lift = 2 * 2^2 / (2*2*2) = 1.0. Write a minimal
+    # lineitem with the two columns the query reads.
+    rows = [(100, p) for p in (1, 2, 3)] + [(200, p) for p in (1, 2, 3, 4)]
+    spark.createDataFrame(rows, ["l_orderkey", "l_partkey"]).write.parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    out = bi_basket_triples(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b, r.part_c, r.n_abc) == (1, 2, 3, 2)
+    assert r.lift3 == 1.0
