@@ -194,6 +194,7 @@ _PAST_WINDOW = (
     "bi_revenue_trend_ols",           # exact fixed-point OLS trend
     "bi_revenue_gini_customers",      # Lorenz-rank Gini concentration
     "bi_basket_triples",              # A-priori 3-itemsets + lift
+    "bi_reorder_hazard",              # censored life-table hazard
 )
 
 # r12: queries promoted INTO the driver window regardless of natural

@@ -319,3 +319,137 @@ def bi_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_a", "part_b", "part_c", "n_abc", lift.alias("lift3"))
         .orderBy(F.col("n_abc").desc(), "part_a", "part_b", "part_c")
     )
+
+
+# Week cap for the reorder life table: intervals longer than the cap
+# collapse into the open tail bucket (documented in the docstring).
+_HAZARD_WEEK_CAP = 26
+
+
+@query(
+    "bi_reorder_hazard",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             lead(CAST(o_orderdate AS DATE)) OVER
+               (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
+                o_orderkey) AS nxt
+      FROM orders),
+    horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+    iv AS (
+      SELECT CASE WHEN nxt IS NOT NULL THEN datediff('day', d, nxt)
+                  ELSE datediff('day', d, hi) END AS gap,
+             (nxt IS NOT NULL) AS is_event
+      FROM o CROSS JOIN horizon),
+    wk AS (
+      SELECT LEAST(gap // 7, {_HAZARD_WEEK_CAP}) AS week,
+             CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events,
+             CAST(SUM(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_censored
+      FROM iv GROUP BY 1),
+    grid AS (
+      SELECT unnest(generate_series(0, {_HAZARD_WEEK_CAP})) AS week),
+    dense AS (
+      SELECT g.week, COALESCE(n_events, 0) AS n_events,
+             COALESCE(n_censored, 0) AS n_censored
+      FROM grid g LEFT JOIN wk USING (week)),
+    risk AS (
+      SELECT week, n_events, n_censored,
+             CAST(SUM(n_events + n_censored) OVER (
+               ORDER BY week ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk
+      FROM dense)
+    SELECT CAST(week AS BIGINT) AS week, n_at_risk, n_events, n_censored,
+           CASE WHEN n_at_risk > 0
+                THEN CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+                END AS hazard
+    FROM risk
+    ORDER BY week
+    """,
+)
+def bi_reorder_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time RE-ORDER HAZARD with right-censoring — the
+    engine's first survival-analysis artifact (retention cohorts count
+    returns; this measures time-to-next-order as a censored duration,
+    the life-table every churn model starts from): each consecutive
+    order pair is an EVENT interval (gap in days), each customer's
+    last order is a CENSORED interval ending at the corpus horizon
+    (max order date); intervals bucket into weeks (capped at
+    26 — longer ones collapse into the open tail, documented);
+    the week-t risk set is every interval still unresolved at t
+    (Σ_{{u≥t}} events_u + censored_u — the standard actuarial life
+    table) and hazard_t = events_t / at_risk_t. The Kaplan–Meier
+    curve is the running product of (1 − hazard); the query emits the
+    exact INGREDIENTS and leaves the product to the consumer — a
+    float product chain is partition-order-dependent and would break
+    the hash discipline (the PageRank fixed-point lesson applied by
+    NOT emitting the unstable form).
+
+    Exactness: every count is an exact BIGINT (the risk set is a
+    reverse cumulative sum of exact integers — order-free); hazard is
+    ONE double division per row; empty risk sets yield NULL on both
+    engines.
+
+    Scale shape (100 TB): one customer-partitioned window builds the
+    intervals (customer-grain tasks); the 1-row horizon broadcasts;
+    the life table aggregates to week grain (map-side combined,
+    ≤ 27 rows) and the reverse-cumulative window runs over those
+    rows only."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    o = orders.select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("nxt"),
+    )
+    horizon = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("hi")
+    )
+    iv = o.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("nxt").isNotNull(), F.datediff("nxt", "d")
+        )
+        .otherwise(F.datediff("hi", "d"))
+        .alias("gap"),
+        F.col("nxt").isNotNull().alias("is_event"),
+    )
+    wk = iv.groupBy(
+        F.least(
+            F.expr("gap div 7"), F.lit(_HAZARD_WEEK_CAP).cast("bigint")
+        ).alias("week")
+    ).agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_events"),
+        F.sum(F.when(F.col("is_event"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_censored"),
+    )
+    grid = spark.range(0, _HAZARD_WEEK_CAP + 1).select(
+        F.col("id").alias("week")
+    )
+    dense = grid.join(wk, "week", "left").na.fill(
+        {"n_events": 0, "n_censored": 0}
+    )
+    w_risk = Window.orderBy("week").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = dense.withColumn(
+        "n_at_risk",
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .over(w_risk)
+        .cast("bigint"),
+    )
+    return risk.select(
+        F.col("week").cast("bigint").alias("week"),
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.when(
+            F.col("n_at_risk") > 0,
+            F.col("n_events").cast("double")
+            / F.col("n_at_risk").cast("double"),
+        ).alias("hazard"),
+    ).orderBy("week")

@@ -102,3 +102,33 @@ def test_basket_triples_support_and_lift(spark, tmp_path):
     r = out[0]
     assert (r.part_a, r.part_b, r.part_c, r.n_abc) == (1, 2, 3, 2)
     assert r.lift3 == 1.0
+
+
+def test_reorder_hazard_hand_life_table(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.trend_queries import (
+        bi_reorder_hazard,
+    )
+
+    # customer 1 orders on days 0, 7, 28 -> event gaps 7d (week 1) and
+    # 21d (week 3); customer 2 orders once on day 21 -> censored at the
+    # horizon (day 28), gap 7d (week 1). Customer 1's last order is
+    # censored with gap 0 (week 0).
+    # intervals: week0 censored(c1), week1 event + week1 censored(c2),
+    # week3 event.
+    # risk sets (reverse cumsum): w0=4, w1=3, w2=1, w3=1.
+    # hazards: w0 0/4, w1 1/3, w2 0/1, w3 1/1.
+    rows = [
+        (1, 1, 1.0, dt.datetime(2024, 1, 1)),
+        (2, 1, 1.0, dt.datetime(2024, 1, 8)),
+        (3, 1, 1.0, dt.datetime(2024, 1, 29)),
+        (4, 2, 1.0, dt.datetime(2024, 1, 22)),
+    ]
+    sf = _write_orders(spark, tmp_path, rows)
+    got = {r.week: r for r in bi_reorder_hazard(spark, sf).collect()}
+    assert got[0].n_at_risk == 4 and got[0].n_events == 0
+    assert got[0].n_censored == 1 and got[0].hazard == 0.0
+    assert (got[1].n_at_risk, got[1].n_events, got[1].n_censored) == (3, 1, 1)
+    assert got[1].hazard == 1.0 / 3.0
+    assert (got[2].n_at_risk, got[2].n_events) == (1, 0)
+    assert (got[3].n_at_risk, got[3].n_events, got[3].hazard) == (1, 1, 1.0)
+    assert got[4].n_at_risk == 0 and got[4].hazard is None
