@@ -145,9 +145,9 @@ HEADLINE = [
     "corpus_split_leakage_audit",
     "multimodal_frame_sample",
     "corpus_source_tv_drift",
-    # session-4 additions (r12c signals + the r12d/e/f eval batches):
-    # every one is scale-path-shaped (no quadratic truth member), so
-    # all twelve join the headline
+    # session-4 additions (r12c signals + the r12d/e/f eval batches +
+    # the r12g star statistics): every one is scale-path-shaped (no
+    # quadratic truth member), so all sixteen join the headline
     "events_value_ks_drift",
     "bi_copurchase_linkpred",
     "corpus_ngram_novelty",

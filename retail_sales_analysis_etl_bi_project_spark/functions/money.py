@@ -117,3 +117,19 @@ def fixed_point_final(acc: Column | str, scale: int = 6) -> Column:
     c = F.col(acc) if isinstance(acc, str) else acc
     factor = float(10**scale)
     return F.sum(c).cast("double") / F.lit(factor)
+
+
+def fixed4_expr(col: Column | str) -> Column:
+    """Money → exact ×10⁴ fixed-point BIGINT (the trend/Gini statistics
+    quantization, hoisted here so the convention has ONE Spark home
+    next to its DuckDB twin fixed4_sql — review finding, r12g). The
+    decimal(18,4) cast is exact for any 2-decimal money column; the
+    ×10⁴ then lands on an integer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(18,4)") * 10000).cast("bigint")
+
+
+def fixed4_sql(col: str) -> str:
+    """DuckDB twin of fixed4_expr (HUGEINT so downstream products never
+    overflow int64)."""
+    return f"CAST({col} * 10000 AS HUGEINT)"

@@ -3,7 +3,7 @@ driver window per the r6f..r12f precedent: gate-replica verified at
 sf0.001+sf0.01+sf0.1 this round, rotate into the driver window next
 round — see __spark_entry__._PAST_WINDOW).
 
-Three statistical mechanisms the BI surface still lacked:
+Four statistical mechanisms the BI surface still lacked:
 
 - bi_revenue_trend_ols : exact-integer ordinary-least-squares trend
         of daily revenue — slope/intercept as single divisions of
@@ -16,6 +16,9 @@ Three statistical mechanisms the BI surface still lacked:
 - bi_basket_triples : A-priori 3-itemsets over the co-purchase
         baskets with triple lift — one tier past the pair miner
         (bi_market_basket_pairs), work bounded by Σ C(basket, 3)
+- bi_reorder_hazard : censored discrete-time life table of the
+        time-to-next-order — the survival-analysis primitive the
+        retention cohorts (return counting) do not cover
 
 Numeric discipline (REQUIREMENTS.md): money converts ONCE to exact
 fixed-point integers (×10⁴, the functions/money.py scale), every sum
@@ -34,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import fixed4_expr, fixed4_sql
 from ..sources.tables import load_table
 from .registry import query
 from .shared_cache import memo_persist
@@ -43,30 +47,32 @@ _DEC = "decimal(38,0)"
 
 @query(
     "bi_revenue_trend_ols",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(SUM(CAST(o_totalprice * 10000 AS HUGEINT)) AS HUGEINT)
-               AS y4
+             CAST(SUM({fixed4_sql('o_totalprice')}) AS HUGEINT) AS y4
       FROM orders GROUP BY 1),
-    b AS (SELECT min(day) AS lo FROM daily),
     xy AS (
-      SELECT CAST(datediff('day', b.lo, d.day) AS HUGEINT) AS x, d.y4
-      FROM daily d CROSS JOIN b),
+      SELECT CAST(datediff('day', DATE '1970-01-01', day) AS HUGEINT)
+               AS x, y4
+      FROM daily),
     s AS (
       SELECT CAST(count(*) AS HUGEINT) AS n,
              CAST(SUM(x) AS HUGEINT) AS sx,
              CAST(SUM(x * x) AS HUGEINT) AS sxx,
              CAST(SUM(y4) AS HUGEINT) AS sy4,
              CAST(SUM(x * y4) AS HUGEINT) AS sxy4,
-             CAST(SUM(y4 * y4) AS HUGEINT) AS syy4
+             CAST(SUM(y4 * y4) AS HUGEINT) AS syy4,
+             CAST(MIN(x) AS HUGEINT) AS minx
       FROM xy)
     SELECT CAST(n AS BIGINT) AS n_days,
            CAST(n * sxy4 - sx * sy4 AS DOUBLE)
              / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(10000 AS DOUBLE))
              AS slope_per_day,
-           CAST(sy4 * sxx - sx * sxy4 AS DOUBLE)
-             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(10000 AS DOUBLE))
+           CAST(sy4 * (n * sxx - sx * sx)
+                + (n * sxy4 - sx * sy4) * (n * minx - sx) AS DOUBLE)
+             / ((CAST(n AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(10000 AS DOUBLE))
              AS intercept,
            (CAST(n * sxy4 - sx * sy4 AS DOUBLE)
             * CAST(n * sxy4 - sx * sy4 AS DOUBLE))
@@ -78,39 +84,38 @@ _DEC = "decimal(38,0)"
 def bi_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer ORDINARY LEAST SQUARES trend of daily revenue —
     the engine's first regression artifact (the gapfill query smooths;
-    this FITS): x = days since the first order date, y = daily revenue
-    in exact ×10⁴ fixed point (functions/money.py scale), and the
-    closed forms
+    this FITS): x = epoch day number (1970-01-01 anchor — a FIXED
+    literal, so no data-dependent min-date pass exists), y = daily
+    revenue in exact ×10⁴ fixed point (functions/money.fixed4_expr),
+    and the closed forms
         slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
-        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
-        R² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
-    where EVERY sum and product is an exact integer
-    (DECIMAL(38,0)/HUGEINT; y4² ≈ 10²⁶ per day forces the decimal
-    widening before squaring), and each output is one division — R²'s
-    numerator square would exceed 10³⁸, so it is a pinned chain of
-    double *,/ over the exact-integer casts (the bigram-PMI
-    convention). The 10⁴ fixed-point scale divides out once in the
-    slope/intercept denominators.
+        intercept@first-day = (Σy·den + num·(n·minx − Σx)) / (n·den)
+        R² = num² / (den · (n·Σy² − (Σy)²))
+    where num/den are the slope's numerator/denominator, minx comes
+    from the SAME aggregate, and EVERY sum and product is an exact
+    integer (DECIMAL(38,0)/HUGEINT; y4² ≈ 10²⁶ per day forces the
+    decimal widening before squaring). Slope is shift-invariant, and
+    the intercept is reported AT THE FIRST OBSERVED DAY via the exact
+    shift identity ȳ + b·(minx − x̄) — so the epoch anchor changes no
+    output, it only removes a scan (review finding, r12g: the old
+    min-date subquery made the plan read orders twice). R²'s numerator
+    square would exceed 10³⁸, so it is a pinned chain of double *,/
+    over the exact-integer casts (the bigram-PMI convention). The 10⁴
+    scale divides out once per output.
 
     Scale shape (100 TB): the fact collapses to day grain FIRST (one
-    map-side-combined groupBy — the only corpus-sized pass); the 1-row
-    min-date broadcasts; the five sums are a second 1-row aggregate
-    over day-count rows. No window, no sort, no quadratic term."""
+    map-side-combined groupBy — now genuinely the ONLY corpus-sized
+    pass); the six sums + minx are a second 1-row aggregate over
+    day-count rows. No window, no sort, no quadratic term."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
-    ).agg(
-        F.sum(
-            (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast(
-                "bigint"
-            )
-        )
+    ).agg(F.sum(fixed4_expr("o_totalprice")).cast("bigint").alias("y4"))
+    xy = daily.select(
+        F.datediff("day", F.lit("1970-01-01").cast("date"))
         .cast("bigint")
-        .alias("y4")
-    )
-    lo = daily.agg(F.min("day").alias("lo"))
-    xy = daily.crossJoin(F.broadcast(lo)).select(
-        F.datediff("day", "lo").cast("bigint").alias("x"), "y4"
+        .alias("x"),
+        "y4",
     )
     s = xy.agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
@@ -119,10 +124,13 @@ def bi_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y4").cast(_DEC).alias("sy4"),
         F.sum(F.col("x").cast(_DEC) * F.col("y4").cast(_DEC)).alias("sxy4"),
         F.sum(F.col("y4").cast(_DEC) * F.col("y4").cast(_DEC)).alias("syy4"),
+        F.min("x").cast(_DEC).alias("minx"),
     )
     num = F.col("n") * F.col("sxy4") - F.col("sx") * F.col("sy4")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    inum = F.col("sy4") * F.col("sxx") - F.col("sx") * F.col("sxy4")
+    inum = F.col("sy4") * den + num * (
+        F.col("n") * F.col("minx") - F.col("sx")
+    )
     ydev = F.col("n") * F.col("syy4") - F.col("sy4") * F.col("sy4")
     return s.select(
         F.col("n").cast("bigint").alias("n_days"),
@@ -130,7 +138,11 @@ def bi_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / (den.cast("double") * F.lit(10000.0))
         ).alias("slope_per_day"),
         (
-            inum.cast("double") / (den.cast("double") * F.lit(10000.0))
+            inum.cast("double")
+            / (
+                (F.col("n").cast("double") * den.cast("double"))
+                * F.lit(10000.0)
+            )
         ).alias("intercept"),
         (
             (num.cast("double") * num.cast("double"))
@@ -141,11 +153,10 @@ def bi_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bi_revenue_gini_customers",
-    oracle="""
+    oracle=f"""
     WITH cust AS (
       SELECT o_custkey,
-             CAST(SUM(CAST(o_totalprice * 10000 AS HUGEINT)) AS HUGEINT)
-               AS y4
+             CAST(SUM({fixed4_sql('o_totalprice')}) AS HUGEINT) AS y4
       FROM orders GROUP BY 1),
     ranked AS (
       SELECT y4,
@@ -184,13 +195,7 @@ def bi_revenue_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline, SCALE.md §Curation); the final reduction is one row."""
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
-        F.sum(
-            (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast(
-                "bigint"
-            )
-        )
-        .cast("bigint")
-        .alias("y4")
+        F.sum(fixed4_expr("o_totalprice")).cast("bigint").alias("y4")
     )
     w = Window.orderBy("y4", "o_custkey")
     ranked = cust.select(

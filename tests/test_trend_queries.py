@@ -86,10 +86,14 @@ def test_gini_concentrated_two_customers(spark, tmp_path):
 
 
 def test_basket_triples_support_and_lift(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.shared_cache import (
+        release,
+    )
     from retail_sales_analysis_etl_bi_project_spark.plans.trend_queries import (
         bi_basket_triples,
     )
 
+    release("basket_li")  # scope the managed persist to this fixture
     # orders: {1,2,3} and {1,2,3,4} -> only triple (1,2,3) reaches
     # support 2; lift = 2 * 2^2 / (2*2*2) = 1.0. Write a minimal
     # lineitem with the two columns the query reads.
