@@ -195,6 +195,10 @@ _PAST_WINDOW = (
     "bi_revenue_gini_customers",      # Lorenz-rank Gini concentration
     "bi_basket_triples",              # A-priori 3-itemsets + lift
     "bi_reorder_hazard",              # censored life-table hazard
+    # r12h: same precedent
+    "text_langid_wilson_ci",          # binomial score interval
+    "bi_forecast_interval_coverage",  # split-conformal coverage audit
+    "events_path_lift",               # order-2 Markov adequacy test
 )
 
 # r12: queries promoted INTO the driver window regardless of natural

@@ -164,6 +164,9 @@ HEADLINE = [
     "bi_revenue_gini_customers",
     "bi_basket_triples",
     "bi_reorder_hazard",
+    "text_langid_wilson_ci",
+    "bi_forecast_interval_coverage",
+    "events_path_lift",
     # sim_ann_recall_tuning, dedup_containment_recall,
     # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
     # headline, the sim_ann_recall / dedup_family_recall precedent:

@@ -1130,3 +1130,351 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "dot", "norm2_a", "norm2_b", "cosine")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------------------------ r12h
+# Uncertainty quantification + higher-order dependence: the Wilson
+# score interval on the lang-ID accuracy (binomial uncertainty), a
+# split-conformal prediction interval with a coverage audit on the
+# trailing-mean forecast (distribution-free uncertainty), and an
+# order-2 dependence test on the event sequences (does P(c|a,b) beat
+# the order-1 Markov model the engine already fits/evals?).
+
+# Wilson z for a 95% interval — repr()-embedded in both engines (the
+# BM25 literal discipline).
+_WILSON_Z = 1.96
+
+
+@query(
+    "text_langid_wilson_ci",
+    oracle=f"""
+    WITH cls AS (
+      SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS truth,
+             {_SQL_PRED_LANG} AS pred
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN truth = pred THEN 1 ELSE 0 END) AS BIGINT)
+               AS a
+      FROM cls
+    )
+    SELECT n AS n_docs, a AS n_correct,
+           CAST(a AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+           ((CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+            + (CAST({_WILSON_Z!r} AS DOUBLE) * CAST({_WILSON_Z!r} AS DOUBLE))
+              / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE))
+            - CAST({_WILSON_Z!r} AS DOUBLE)
+              * sqrt(
+                  (CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(1 AS DOUBLE)
+                     - CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + (CAST({_WILSON_Z!r} AS DOUBLE)
+                     * CAST({_WILSON_Z!r} AS DOUBLE))
+                    / ((CAST(4 AS DOUBLE) * CAST(n AS DOUBLE))
+                       * CAST(n AS DOUBLE))))
+           / (CAST(1 AS DOUBLE)
+              + (CAST({_WILSON_Z!r} AS DOUBLE) * CAST({_WILSON_Z!r} AS DOUBLE))
+                / CAST(n AS DOUBLE)) AS wilson_low,
+           ((CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+            + (CAST({_WILSON_Z!r} AS DOUBLE) * CAST({_WILSON_Z!r} AS DOUBLE))
+              / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE))
+            + CAST({_WILSON_Z!r} AS DOUBLE)
+              * sqrt(
+                  (CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(1 AS DOUBLE)
+                     - CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + (CAST({_WILSON_Z!r} AS DOUBLE)
+                     * CAST({_WILSON_Z!r} AS DOUBLE))
+                    / ((CAST(4 AS DOUBLE) * CAST(n AS DOUBLE))
+                       * CAST(n AS DOUBLE))))
+           / (CAST(1 AS DOUBLE)
+              + (CAST({_WILSON_Z!r} AS DOUBLE) * CAST({_WILSON_Z!r} AS DOUBLE))
+                / CAST(n AS DOUBLE)) AS wilson_high
+    FROM agg
+    """,
+)
+def text_langid_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON SCORE interval (95%) on the language-ID accuracy — the
+    binomial uncertainty statement the point accuracy (and kappa)
+    lack: Wilson's form stays inside [0,1] and behaves at extreme p̂
+    where the naive normal interval fails (Wilson 1927; the interval
+    behind every 'is this classifier actually better' call at small
+    n). The engine's first interval-estimation artifact.
+
+    Determinism: n and n_correct are exact BIGINTs; the bound is a
+    PINNED chain of double +,*,/,sqrt over the two exact integers and
+    the repr()-embedded z — written with identical association in both
+    engines (every subexpression parenthesized; IEEE sqrt is
+    correctly rounded, the temperature_sample precedent), so the
+    doubles are bit-identical and hash-verifiable.
+
+    Scale shape (100 TB): one corpus scan fused with the CASE
+    expressions, one 1-row aggregate, constant arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.text import predicted_lang_expr
+
+    agg = docs.select(
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("truth"),
+        predicted_lang_expr("text").alias("pred"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("truth") == F.col("pred"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("a").cast("double") / nd
+    z = F.lit(_WILSON_Z)
+    z2 = z * z
+    center = p + z2 / (F.lit(2.0) * nd)
+    rad = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + z2 / ((F.lit(4.0) * nd) * nd)
+    )
+    denom = F.lit(1.0) + z2 / nd
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("a").alias("n_correct"),
+        p.alias("acc"),
+        ((center - rad) / denom).alias("wilson_low"),
+        ((center + rad) / denom).alias("wilson_high"),
+    )
+
+
+@query(
+    "bi_forecast_interval_coverage",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY 1),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    cal AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                               CAST(hi AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS day
+            FROM b),
+    dense AS (
+      SELECT cal.day, coalesce(rev, CAST(0 AS DECIMAL(18,4))) AS v
+      FROM cal LEFT JOIN daily USING (day)),
+    idx AS (
+      SELECT day, v,
+             row_number() OVER (ORDER BY day) AS rn,
+             SUM(v) OVER (ORDER BY day
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sum7
+      FROM dense),
+    ev AS (
+      SELECT day, abs(7 * v - sum7) AS e7,
+             row_number() OVER (ORDER BY day) AS ern,
+             count(*) OVER () AS m
+      FROM idx WHERE rn > 7),
+    split AS (
+      SELECT *, (ern * 5 <= m * 4) AS is_cal FROM ev),
+    ncal AS (SELECT CAST(SUM(CASE WHEN is_cal THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc FROM split),
+    q AS (
+      SELECT e7 AS q7 FROM (
+        SELECT e7, row_number() OVER (ORDER BY e7, day) AS qr
+        FROM split WHERE is_cal) s CROSS JOIN ncal
+      WHERE qr = CAST(ceil(0.9 * (ncal.nc + 1)) AS BIGINT)
+    )
+    SELECT ncal.nc AS n_calibration,
+           CAST(SUM(CASE WHEN NOT is_cal THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test,
+           CAST(q.q7 AS DOUBLE) / CAST(7 AS DOUBLE) AS interval_halfwidth,
+           CAST(SUM(CASE WHEN NOT is_cal AND e7 <= q.q7
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN NOT is_cal AND e7 <= q.q7
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN NOT is_cal THEN 1 ELSE 0 END) AS DOUBLE)
+             AS coverage
+    FROM split CROSS JOIN q CROSS JOIN ncal
+    GROUP BY ncal.nc, q.q7
+    """,
+)
+def bi_forecast_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPLIT-CONFORMAL prediction interval for the trailing-7-day-mean
+    forecast, with a coverage audit — the distribution-free
+    uncertainty companion to bi_revenue_backtest_mase (which scores
+    the POINT forecast; this calibrates an interval and then checks it
+    honestly): the eval days (full 7-day warmup) split 80/20 by
+    calendar order into calibration and test; the interval halfwidth
+    is the ceil(0.9·(m+1))-th order statistic of the calibration
+    scaled residuals |7·v − Σ7| (the standard conformal quantile — on
+    exchangeable data the test coverage concentrates near 90%); the
+    audit reports how many test days actually landed inside.
+
+    Exactness: residuals stay exact DECIMAL end to end (the backtest
+    discipline); the order statistic is selected by a deterministic
+    (e7, day) row_number — no interpolating percentile; the coverage
+    comparison e7 ≤ q is an exact decimal compare; the only doubles
+    are the reported halfwidth (÷7 once) and the ONE coverage
+    division. The 80/20 split is pure integer arithmetic
+    (ern·5 ≤ m·4).
+
+    Scale shape (100 TB): identical to the backtest — fact to day
+    grain first, everything after at day-count grain; the quantile
+    row broadcasts (1 row) into the coverage aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    b = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = b.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    dense = cal.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(
+            F.col("rev").cast("decimal(30,4)"),
+            F.lit(0).cast("decimal(30,4)"),
+        ).alias("v"),
+    )
+    w_ord = Window.orderBy("day")
+    idx = dense.select(
+        "day",
+        "v",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("v").over(w_ord.rowsBetween(-7, -1)).alias("sum7"),
+    ).filter(F.col("rn") > 7)
+    ev = idx.select(
+        "day",
+        F.abs(F.col("v") * 7 - F.col("sum7")).alias("e7"),
+        F.row_number().over(w_ord).alias("ern"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    split = ev.withColumn(
+        "is_cal", F.col("ern") * 5 <= F.col("m") * 4
+    )
+    ncal = split.agg(
+        F.sum(F.when(F.col("is_cal"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nc")
+    )
+    w_q = Window.orderBy("e7", "day")
+    q = (
+        split.filter(F.col("is_cal"))
+        .withColumn("qr", F.row_number().over(w_q))
+        .crossJoin(F.broadcast(ncal))
+        .filter(
+            F.col("qr")
+            == F.ceil(F.lit(0.9) * (F.col("nc") + 1)).cast("bigint")
+        )
+        .select(F.col("e7").alias("q7"))
+    )
+    return (
+        split.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(ncal))
+        .groupBy("nc", "q7")
+        .agg(
+            F.sum(F.when(~F.col("is_cal"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+            F.sum(
+                F.when((~F.col("is_cal")) & (F.col("e7") <= F.col("q7")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+        .select(
+            F.col("nc").alias("n_calibration"),
+            "n_test",
+            (F.col("q7").cast("double") / F.lit(7.0)).alias(
+                "interval_halfwidth"
+            ),
+            "n_covered",
+            (
+                F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+_PATH_TOPK = 20
+
+
+@query(
+    "events_path_lift",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (SELECT a, b, c FROM seq WHERE c IS NOT NULL),
+    n3 AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS n_abc
+           FROM tri GROUP BY 1, 2, 3),
+    nab AS (SELECT a, b, CAST(SUM(n_abc) AS BIGINT) AS n_ab
+            FROM n3 GROUP BY 1, 2),
+    nbc AS (SELECT b, c, CAST(SUM(n_abc) AS BIGINT) AS n_bc
+            FROM n3 GROUP BY 1, 2),
+    nb AS (SELECT b, CAST(SUM(n_abc) AS BIGINT) AS n_b
+           FROM n3 GROUP BY 1)
+    SELECT t.a, t.b, t.c, t.n_abc,
+           CAST(CAST(t.n_abc AS HUGEINT) * nb.n_b AS DOUBLE)
+             / CAST(CAST(nab.n_ab AS HUGEINT) * nbc.n_bc AS DOUBLE)
+             AS order2_lift
+    FROM n3 t
+    JOIN nab USING (a, b)
+    JOIN nbc USING (b, c)
+    JOIN nb USING (b)
+    ORDER BY n_abc DESC, a, b, c
+    LIMIT {_PATH_TOPK}
+    """,
+)
+def events_path_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-2 DEPENDENCE test on the event sequences: for the top
+    consecutive type trigrams (a,b,c), the lift of the observed count
+    over its order-1 Markov expectation —
+    order2_lift = n_abc·n_b / (n_ab·n_bc), which is P(c|a,b)/P(c|b)
+    on the trigram-window counts: 1.0 means the chain the engine
+    already fits (events_markov_transitions) and scores
+    (events_markov_eval) fully explains the path; a sustained
+    departure means order-2 memory exists and the order-1 model is
+    the wrong class — the model-adequacy check that belongs next to
+    any Markov eval.
+
+    Exactness: all four count relations derive from ONE trigram-window
+    pass (prefix/suffix/middle marginals are sums of n_abc — no
+    second sequence scan, and the marginals are consistent by
+    construction); the lift is one double division of exact HUGEINT/
+    DECIMAL(38,0) products; top-K ordering ties break on (a,b,c).
+
+    Scale shape (100 TB): one user-partitioned window builds the
+    trigrams (user-grain tasks); everything after aggregates at type-
+    tuple grain (map-side combined, vocabulary-bounded); marginals are
+    broadcast-sized joins; the answer is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type", 1).over(w).alias("b"),
+            F.lead("event_type", 2).over(w).alias("c"),
+        )
+        .filter(F.col("c").isNotNull())
+    )
+    n3 = tri.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_abc")
+    )
+    nab = n3.groupBy("a", "b").agg(F.sum("n_abc").cast("bigint").alias("n_ab"))
+    nbc = n3.groupBy("b", "c").agg(F.sum("n_abc").cast("bigint").alias("n_bc"))
+    nb = n3.groupBy("b").agg(F.sum("n_abc").cast("bigint").alias("n_b"))
+    lift = (F.col("n_abc").cast(_DEC) * F.col("n_b").cast(_DEC)).cast(
+        "double"
+    ) / (F.col("n_ab").cast(_DEC) * F.col("n_bc").cast(_DEC)).cast("double")
+    return (
+        n3.join(F.broadcast(nab), ["a", "b"])
+        .join(F.broadcast(nbc), ["b", "c"])
+        .join(F.broadcast(nb), "b")
+        .select("a", "b", "c", "n_abc", lift.alias("order2_lift"))
+        .orderBy(F.col("n_abc").desc(), "a", "b", "c")
+        .limit(_PATH_TOPK)
+    )

@@ -425,3 +425,95 @@ def test_sparse_cosine_identical_docs_score_one(spark, tmp_path):
     )
     rows = text_sparse_cosine_pairs(spark, sf).collect()
     assert len(rows) == 1 and rows[0].cosine == 1.0
+
+
+# ------------------------------------------------------------------ r12h
+
+
+def test_wilson_ci_matches_python_reference(spark, tmp_path):
+    import math
+
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        _WILSON_Z,
+        text_langid_wilson_ci,
+    )
+
+    # n=4, a=2 (the kappa chance-level corpus): p=0.5; the query's
+    # pinned chain must equal the same chain evaluated in Python
+    # (IEEE doubles, identical association)
+    rows = [
+        (1, "the the the", "en", "s", 11),
+        (2, "zzz yyy", "en", "s", 7),
+        (3, "the the the", "fr", "s", 11),
+        (4, "zzz yyy", "fr", "s", 7),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    row = text_langid_wilson_ci(spark, str(tmp_path)).collect()[0]
+    n, a, z = 4.0, 2.0, _WILSON_Z
+    p = a / n
+    center = p + (z * z) / (2.0 * n)
+    rad = z * math.sqrt(p * (1.0 - p) / n + (z * z) / ((4.0 * n) * n))
+    denom = 1.0 + (z * z) / n
+    assert (row.n_docs, row.n_correct, row.acc) == (4, 2, 0.5)
+    assert row.wilson_low == (center - rad) / denom
+    assert row.wilson_high == (center + rad) / denom
+    assert 0.0 <= row.wilson_low < row.acc < row.wilson_high <= 1.0
+
+
+def test_conformal_coverage_constant_series_is_one(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        bi_forecast_interval_coverage,
+    )
+
+    # constant revenue -> every residual 0 -> halfwidth 0, coverage 1
+    rows = [
+        (i, 1, 10.0, dt.datetime(2024, 1, 1) + dt.timedelta(days=i))
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    row = bi_forecast_interval_coverage(spark, str(tmp_path)).collect()[0]
+    assert row.interval_halfwidth == 0.0
+    assert row.coverage == 1.0
+    assert row.n_calibration + row.n_test == 13  # 20 days - 7 warmup
+
+
+def test_conformal_outlier_in_test_breaks_coverage(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        bi_forecast_interval_coverage,
+    )
+
+    # constant 10 for 19 days, day 20 spikes to 100: calibration
+    # residuals are all 0 -> q=0; test days 18,19 covered, day 20 not
+    rows = [
+        (i, 1, 10.0 if i < 19 else 100.0,
+         dt.datetime(2024, 1, 1) + dt.timedelta(days=i))
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    row = bi_forecast_interval_coverage(spark, str(tmp_path)).collect()[0]
+    assert (row.n_calibration, row.n_test) == (10, 3)
+    assert row.n_covered == 2
+    assert row.coverage == 2.0 / 3.0
+
+
+def test_path_lift_detects_order2_memory(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.eval_queries import (
+        events_path_lift,
+    )
+
+    # sequence (A X B C X D) repeated: the successor of X depends on
+    # what PRECEDED it (A->B, C->D), which order-1 cannot see:
+    # lift(A,X,B) = n_AXB * n_X / (n_AX * n_XB) = k*2k/(k*k) = 2
+    pattern = ["A", "X", "B", "C", "X", "D"]
+    rows = [(i, 1, pattern[i % 6]) for i in range(6 * 8)]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {(r.a, r.b, r.c): r.order2_lift
+           for r in events_path_lift(spark, sf).collect()}
+    assert got[("A", "X", "B")] == 2.0
+    assert got[("C", "X", "D")] == 2.0
