@@ -199,6 +199,10 @@ _PAST_WINDOW = (
     "text_langid_wilson_ci",          # binomial score interval
     "bi_forecast_interval_coverage",  # split-conformal coverage audit
     "events_path_lift",               # order-2 Markov adequacy test
+    # r12i: same precedent
+    "bi_revenue_trend_mannkendall",   # rank-based trend test (tau)
+    "bi_revenue_autocorr",            # exact ACF at seasonal lags
+    "bi_revenue_runs_test",           # Wald-Wolfowitz runs counts
 )
 
 # r12: queries promoted INTO the driver window regardless of natural

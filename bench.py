@@ -167,6 +167,9 @@ HEADLINE = [
     "text_langid_wilson_ci",
     "bi_forecast_interval_coverage",
     "events_path_lift",
+    "bi_revenue_trend_mannkendall",
+    "bi_revenue_autocorr",
+    "bi_revenue_runs_test",
     # sim_ann_recall_tuning, dedup_containment_recall,
     # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
     # headline, the sim_ann_recall / dedup_family_recall precedent:

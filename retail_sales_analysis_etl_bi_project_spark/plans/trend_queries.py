@@ -458,3 +458,282 @@ def bi_reorder_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_at_risk").cast("double"),
         ).alias("hazard"),
     ).orderBy("week")
+
+
+# ------------------------------------------------------------------ r12i
+# Nonparametric time-series statistics over the daily revenue series:
+# the Mann–Kendall trend test (rank-based — complements the parametric
+# OLS fit), exact-integer autocorrelation at seasonal lags (the
+# second-order dependence the OLS residual story needs), and the
+# Wald–Wolfowitz runs test (distribution-free randomness check).
+
+
+@query(
+    "bi_revenue_trend_mannkendall",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({fixed4_sql('o_totalprice')}) AS HUGEINT) AS y4
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT CASE WHEN b.y4 > a.y4 THEN 1
+                  WHEN b.y4 < a.y4 THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON a.day < b.day),
+    s AS (
+      SELECT CAST((SELECT count(*) FROM daily) AS HUGEINT) AS n,
+             CAST(SUM(sgn) AS HUGEINT) AS s_stat
+      FROM pairs)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CAST(2 * s_stat AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) AS kendall_tau
+    FROM s
+    """,
+)
+def bi_revenue_trend_mannkendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MANN–KENDALL trend test on daily revenue — the nonparametric
+    companion to bi_revenue_trend_ols: S = Σ_{i<j} sign(y_j − y_i)
+    over all day pairs, and Kendall's tau = 2S/(n(n−1)) — rank-based,
+    so a single outlier day cannot flip it the way it tilts a
+    least-squares slope; agreement between the OLS sign and tau's sign
+    is the standard robustness cross-check. Ties contribute 0 (the
+    sign convention of the classic test).
+
+    Exactness: S is a sum of {-1,0,1} — an exact integer, order-free;
+    tau is ONE double division by the exact pair count.
+
+    Scale shape (100 TB): the fact collapses to DAY grain first, so
+    the pairwise comparison is C(n_days, 2) — ~2.9M pairs for an
+    8-year series, a bounded self-join at ANY fact size (day count,
+    not row count, drives it); for decade-scale series the join keys
+    on coarse time blocks first (the banded two-phase swap, SCALE.md
+    §KS). The 1-row day count rides a scalar subquery."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(fixed4_expr("o_totalprice")).cast("bigint").alias("y4"))
+    a = daily.select(F.col("day").alias("da"), F.col("y4").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y4").alias("yb"))
+    sgn = (
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(b, F.col("da") < F.col("db")).select(sgn.alias("sgn"))
+    n1 = daily.agg(F.count(F.lit(1)).cast(_DEC).alias("n"))
+    return (
+        pairs.agg(F.sum("sgn").cast(_DEC).alias("s_stat"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("s_stat").cast("bigint").alias("s_stat"),
+            (
+                (F.lit(2).cast(_DEC) * F.col("s_stat")).cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+            ).alias("kendall_tau"),
+        )
+    )
+
+
+_ACF_LAGS = [1, 7, 14, 28]
+
+
+@query(
+    "bi_revenue_autocorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY 1),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    cal AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                               CAST(hi AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS day
+            FROM b),
+    dense AS (
+      SELECT row_number() OVER (ORDER BY cal.day) AS t,
+             CAST(coalesce({fixed4_sql('rev')},
+                           CAST(0 AS HUGEINT)) AS HUGEINT) AS y
+      FROM cal LEFT JOIN daily USING (day)),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(y) AS HUGEINT) AS s,
+             CAST(SUM(y * y) AS HUGEINT) AS syy
+      FROM dense),
+    lagged AS (
+      SELECT g.k,
+             CAST(SUM(a.y * bb.y) AS HUGEINT) AS sylag,
+             CAST(SUM(a.y) AS HUGEINT) AS shead,
+             CAST(SUM(bb.y) AS HUGEINT) AS stail
+      FROM (SELECT unnest({_ACF_LAGS!r}) AS k) g
+      JOIN dense a ON TRUE
+      JOIN dense bb ON bb.t = a.t + g.k
+      GROUP BY 1)
+    SELECT CAST(l.k AS BIGINT) AS lag,
+           CAST(n * n * sylag - n * s * (shead + stail)
+                + (n - l.k) * s * s AS DOUBLE)
+             / CAST(n * (n * syy - s * s) AS DOUBLE) AS acf
+    FROM lagged l CROSS JOIN tot
+    ORDER BY lag
+    """,
+)
+def bi_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer AUTOCORRELATION of the gapfilled daily revenue at
+    the seasonal lags 1/7/14/28 — the second-order temporal structure
+    the trend fits ignore (a strong lag-7 spike IS the weekly
+    seasonality; the lag-1 value feeds any AR(1) residual story):
+    r_k = Σ(y_t − ȳ)(y_{t+k} − ȳ) / Σ(y_t − ȳ)², computed by
+    multiplying the mean out —
+    N²·num_k = N²·Σ y_t·y_{t+k} − N·S·(Σ_head y + Σ_tail y) + (N−k)·S²
+    N²·den   = N·(N·Σy² − S²)
+    — so EVERY term is an exact ×10⁴ fixed-point integer product
+    (DECIMAL(38,0)/HUGEINT; magnitudes ≤ ~10³² at sf0.1, headroom
+    documented) and each r_k is ONE double division. The edge sums
+    Σ_head/Σ_tail (first/last N−k days) come from the same lagged
+    join — no second pass.
+
+    Scale shape (100 TB): fact to day grain first; the calendar index
+    t is one day-grain window; the lag join is an equi-join on t+k
+    over day-count rows × 4 lags; the reduction is 4 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    b = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = b.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    dense = (
+        cal.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(fixed4_expr("rev"), F.lit(0).cast("bigint")).alias(
+                "y"
+            ),
+        )
+        .select(
+            F.row_number().over(Window.orderBy("day")).alias("t"), "y"
+        )
+    )
+    tot = dense.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("y").cast(_DEC).alias("s"),
+        F.sum(F.col("y").cast(_DEC) * F.col("y").cast(_DEC)).alias("syy"),
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in _ACF_LAGS], ["k"]
+    ).select(F.col("k").cast("bigint").alias("k"))
+    a = dense.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    bb = dense.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    lagged = (
+        lags.crossJoin(a)
+        .join(bb, F.col("tb") == F.col("ta") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("ya").cast(_DEC) * F.col("yb").cast(_DEC)).alias(
+                "sylag"
+            ),
+            F.sum("ya").cast(_DEC).alias("shead"),
+            F.sum("yb").cast(_DEC).alias("stail"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("sylag")
+        - F.col("n") * F.col("s") * (F.col("shead") + F.col("stail"))
+        + (F.col("n") - F.col("k")) * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * (F.col("n") * F.col("syy") - F.col("s") * F.col("s"))
+    return (
+        lagged.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("bigint").alias("lag"),
+            (num.cast("double") / den.cast("double")).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@query(
+    "bi_revenue_runs_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({fixed4_sql('o_totalprice')}) AS HUGEINT) AS y4
+      FROM orders GROUP BY 1),
+    med AS (
+      SELECT y4 AS m FROM (
+        SELECT y4, row_number() OVER (ORDER BY y4, day) AS r,
+               count(*) OVER () AS n
+        FROM daily) s
+      WHERE r = (n + 1) // 2),
+    signed AS (
+      SELECT day, (y4 > med.m) AS above
+      FROM daily CROSS JOIN med
+      WHERE y4 <> med.m),
+    runs AS (
+      SELECT above,
+             CASE WHEN lag(above) OVER (ORDER BY day) IS DISTINCT
+                       FROM above THEN 1 ELSE 0 END AS is_start
+      FROM signed)
+    SELECT CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(is_start) AS BIGINT) AS n_runs
+    FROM runs
+    """,
+)
+def bi_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD–WOLFOWITZ runs test ingredients on daily revenue: code
+    each day above/below the series MEDIAN (lower median, selected by
+    a deterministic (y, day) row_number — no interpolation; median
+    days drop, the classic convention) and count the RUNS of equal
+    signs in day order — too few runs means positive serial dependence
+    (clustering), too many means oscillation; the expected count under
+    randomness, 2·n₊·n₋/(n₊+n₋) + 1, is a consumer-side formula over
+    the emitted exact integers, so the query ships ONLY exact counts
+    and the hash compares pure integers (no float anywhere —
+    distribution-free in computation as well as in theory).
+
+    Scale shape (100 TB): day grain throughout; the median is one
+    window over day-count rows; run starts are a lag compare in day
+    order; the answer is one row."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(fixed4_expr("o_totalprice")).cast("bigint").alias("y4"))
+    w_med = Window.orderBy("y4", "day")
+    med = (
+        daily.select(
+            "y4",
+            F.row_number().over(w_med).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.col("r") == F.expr("(n + 1) div 2"))
+        .select(F.col("y4").alias("m"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("y4") != F.col("m"))
+        .select("day", (F.col("y4") > F.col("m")).alias("above"))
+    )
+    w_day = Window.orderBy("day")
+    runs = signed.select(
+        "above",
+        F.when(
+            ~F.lag("above").over(w_day).eqNullSafe(F.col("above")), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    return runs.agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum("is_start").cast("bigint").alias("n_runs"),
+    )

@@ -136,3 +136,80 @@ def test_reorder_hazard_hand_life_table(spark, tmp_path):
     assert (got[2].n_at_risk, got[2].n_events) == (1, 0)
     assert (got[3].n_at_risk, got[3].n_events, got[3].hazard) == (1, 1, 1.0)
     assert got[4].n_at_risk == 0 and got[4].hazard is None
+
+
+# ------------------------------------------------------------------ r12i
+
+
+def test_mannkendall_monotone_series_tau_one(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.trend_queries import (
+        bi_revenue_trend_mannkendall,
+    )
+
+    # strictly increasing daily revenue: every pair agrees -> S =
+    # C(5,2) = 10, tau = 1
+    rows = [
+        (i, 1, float((i + 1) * 10), dt.datetime(2024, 1, 1) + dt.timedelta(days=i))
+        for i in range(5)
+    ]
+    sf = _write_orders(spark, tmp_path, rows)
+    row = bi_revenue_trend_mannkendall(spark, sf).collect()[0]
+    assert (row.n_days, row.s_stat, row.kendall_tau) == (5, 10, 1.0)
+
+
+def test_mannkendall_ties_contribute_zero(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.trend_queries import (
+        bi_revenue_trend_mannkendall,
+    )
+
+    # values 10, 10, 20: pairs (1,2) tie -> 0, (1,3) and (2,3) up -> 2
+    rows = [
+        (1, 1, 10.0, dt.datetime(2024, 1, 1)),
+        (2, 1, 10.0, dt.datetime(2024, 1, 2)),
+        (3, 1, 20.0, dt.datetime(2024, 1, 3)),
+    ]
+    sf = _write_orders(spark, tmp_path, rows)
+    row = bi_revenue_trend_mannkendall(spark, sf).collect()[0]
+    assert (row.s_stat, row.kendall_tau) == (2, 2.0 / 3.0)
+
+
+def test_autocorr_alternating_series_lag_signs(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.trend_queries import (
+        bi_revenue_autocorr,
+    )
+
+    # perfectly alternating 10, 20, 10, 20, ... over 56 days: the
+    # biased ACF estimator (full-series mean/variance, n-k cross
+    # terms) gives EXACTLY ±(n-k)/n — negative at odd lags, positive
+    # at even lags
+    rows = [
+        (i, 1, 10.0 if i % 2 == 0 else 20.0,
+         dt.datetime(2024, 1, 1) + dt.timedelta(days=i))
+        for i in range(56)
+    ]
+    sf = _write_orders(spark, tmp_path, rows)
+    got = {r.lag: r.acf for r in bi_revenue_autocorr(spark, sf).collect()}
+    assert set(got) == {1, 7, 14, 28}
+    assert got[1] == -55.0 / 56.0
+    assert got[7] == -49.0 / 56.0
+    assert got[14] == 42.0 / 56.0
+    assert got[28] == 28.0 / 56.0
+
+
+def test_runs_test_alternating_and_blocked(spark, tmp_path):
+    from retail_sales_analysis_etl_bi_project_spark.plans.trend_queries import (
+        bi_revenue_runs_test,
+    )
+
+    # 3 low then 3 high (no exact-median day: n=6 even -> lower median
+    # is a low day, which drops): remaining 5 days, runs = 2 blocks
+    rows = [
+        (i, 1, 10.0 if i < 3 else 20.0,
+         dt.datetime(2024, 1, 1) + dt.timedelta(days=i))
+        for i in range(6)
+    ]
+    sf = _write_orders(spark, tmp_path, rows)
+    row = bi_revenue_runs_test(spark, sf).collect()[0]
+    # lower median = 10 -> the three 10-days equal it and drop
+    assert (row.n_above, row.n_below) == (3, 0)
+    assert row.n_runs == 1
