@@ -177,32 +177,30 @@ _PAST_WINDOW = (
     "events_value_ks_drift",          # exact-integer two-sample KS per type
     "bi_copurchase_linkpred",         # common-neighbor Jaccard link prediction
     "corpus_ngram_novelty",           # first-occurrence shingle novelty per doc
-    # r12d: same precedent — registered past-window, gate-replica
-    # verified at sf0.001+sf0.01+sf0.1 this round, rotate in next round
-    "text_domain_prototype_classifier",  # nearest-prototype confusion matrix
-    "events_markov_eval",             # Markov next-event top-1 accuracy
-    "corpus_pps_systematic_sample",   # token-weighted Madow PPS draw
-    # r12e: same precedent
-    "text_langid_kappa",              # chance-corrected lang-ID agreement
-    "dedup_minhash_auc",              # exact midrank AUC of the sig estimate
-    "bi_revenue_backtest_mase",       # walk-forward MAE/MASE backtest
-    # r12f: same precedent
-    "text_countmin_heavyhitters",     # deterministic CMS, exact replay
-    "text_langid_threshold_sweep",    # P/R/F1 operating characteristic
-    "text_sparse_cosine_pairs",       # df-capped sparse tf cosine pairs
-    # r12g: same precedent
-    "bi_revenue_trend_ols",           # exact fixed-point OLS trend
-    "bi_revenue_gini_customers",      # Lorenz-rank Gini concentration
-    "bi_basket_triples",              # A-priori 3-itemsets + lift
-    "bi_reorder_hazard",              # censored life-table hazard
-    # r12h: same precedent
-    "text_langid_wilson_ci",          # binomial score interval
-    "bi_forecast_interval_coverage",  # split-conformal coverage audit
-    "events_path_lift",               # order-2 Markov adequacy test
-    # r12i: same precedent
-    "bi_revenue_trend_mannkendall",   # rank-based trend test (tau)
-    "bi_revenue_autocorr",            # exact ACF at seasonal lags
-    "bi_revenue_runs_test",           # Wald-Wolfowitz runs counts
+    # r12 end-of-session spills: displaced by promoting the nineteen
+    # r12d..i queries into the window (every new query gets driver
+    # rows in its birth round). Each name below has >=2 green driver
+    # rounds (most in-window since r6-r9) and an in-window mechanism
+    # relative; ledger in COVERAGE.md §rotation r12.
+    "text_pii_scrub",                 # regex scrub; text exprs as text_profile-family (in via sparse/countmin)
+    "embed_quantize_int8",            # SQ8 audit; embedding exprs as sim_ann_recall (in)
+    "layout_zorder_events",           # layout audit; green r7-r11
+    "text_quality_classifier",        # sigmoid scoring; langid family in-window
+    "join_scd2_pit_attribution",      # PIT join; as-of machinery green r6d+
+    "etl_expectations_report",        # rule audit; etl_silver_filters (in)
+    "bi_revenue_cube_status_year",    # cube agg; q01-q04 spine (in)
+    "pipeline_term_stats_shared",     # term_tf persist contract; consumers in
+    "text_bigram_pmi",                # PMI; same exact-ratio family as new stats
+    "graph_kcore_coreness",           # iterative graph; components (in)
+    "corpus_token_budget_mix",        # budget mix; PPS sampler (in) same family
+    "events_markov_transitions",      # transition fit; markov_eval (in) consumes
+    "events_trailing_7d_value",       # rolling window; backtest/conformal (in)
+    "corpus_upsample_epochs",         # epoch mix; curation family green r8+
+    "text_inverted_index",            # postings; BM25/sparse-cosine mechanics in
+    "etl_column_profile",             # profiling; expectations family green r6+
+    "bi_market_basket_pairs",         # pair mining; triples + linkpred (in)
+    "bi_pareto_brand_products",       # window rank; gini lorenz-rank (in)
+    "bi_revenue_hhi_by_type",         # concentration; gini (in) same family
 )
 
 # r12: queries promoted INTO the driver window regardless of natural
@@ -217,6 +215,31 @@ _PROMOTED = (
     "dedup_semantic_recall",          # its recall audit vs all-pairs baseline
     "text_bpe_train_rounds",          # k-round BPE trainer (round-1 = bpe_pair_merge)
     "text_bpe_encode_counts",         # encode side of the trained merges
+    # r12 session-4 additions (r12d..i), promoted INTO the window at
+    # end of round so the r12 driver artifact hash-checks every one in
+    # its birth round (review finding, r12i: leaving the newest, least
+    # externally proven queries past-window inverted the window's
+    # purpose). The long-stable naturals they displace all have >=2
+    # green driver rounds — ledger in COVERAGE.md §rotation r12.
+    "text_domain_prototype_classifier",  # nearest-prototype confusion matrix
+    "events_markov_eval",             # Markov next-event top-1 accuracy
+    "corpus_pps_systematic_sample",   # token-weighted Madow PPS draw
+    "text_langid_kappa",              # chance-corrected lang-ID agreement
+    "dedup_minhash_auc",              # exact midrank AUC of the sig estimate
+    "bi_revenue_backtest_mase",       # walk-forward MAE/MASE backtest
+    "text_countmin_heavyhitters",     # deterministic CMS, exact replay
+    "text_langid_threshold_sweep",    # P/R/F1 operating characteristic
+    "text_sparse_cosine_pairs",       # df-capped sparse tf cosine pairs
+    "bi_revenue_trend_ols",           # exact fixed-point OLS trend
+    "bi_revenue_gini_customers",      # Lorenz-rank Gini concentration
+    "bi_basket_triples",              # A-priori 3-itemsets + lift
+    "bi_reorder_hazard",              # censored life-table hazard
+    "text_langid_wilson_ci",          # binomial score interval
+    "bi_forecast_interval_coverage",  # split-conformal coverage audit
+    "events_path_lift",               # order-2 Markov adequacy test
+    "bi_revenue_trend_mannkendall",   # rank-based trend test (tau)
+    "bi_revenue_autocorr",            # exact ACF at seasonal lags
+    "bi_revenue_runs_test",           # Wald-Wolfowitz runs counts
 )
 
 

@@ -739,21 +739,15 @@ def bi_revenue_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     run at day-count grain (the gapfill precedent: a single-partition
     window over aggregate-grain rows, with the banded swap documented
     in SCALE.md §Events for series past ~10^7 days)."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
-    )
-    b = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    cal = b.select(F.explode(F.sequence("lo", "hi")).alias("day"))
-    dense = cal.join(daily, "day", "left").select(
-        "day",
-        F.coalesce(
-            F.col("rev").cast("decimal(30,4)"),
-            F.lit(0).cast("decimal(30,4)"),
-        ).alias("v"),
-    )
+    # the dense decimal series comes from the shared daily_rev persist
+    # (trend_queries.dense_daily_revenue) — one orders scan serves the
+    # whole daily-series family (review finding, r12i). Imported lazily:
+    # a module-level import would run trend_queries' @query decorators
+    # mid-module and reshuffle the registration order the rotation
+    # ledger depends on.
+    from .trend_queries import dense_daily_revenue
+
+    dense = dense_daily_revenue(spark, sf_dir)
     w_ord = Window.orderBy("day")
     idx = dense.select(
         "v",
@@ -1318,21 +1312,15 @@ def bi_forecast_interval_coverage(
     Scale shape (100 TB): identical to the backtest — fact to day
     grain first, everything after at day-count grain; the quantile
     row broadcasts (1 row) into the coverage aggregate."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
-    )
-    b = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    cal = b.select(F.explode(F.sequence("lo", "hi")).alias("day"))
-    dense = cal.join(daily, "day", "left").select(
-        "day",
-        F.coalesce(
-            F.col("rev").cast("decimal(30,4)"),
-            F.lit(0).cast("decimal(30,4)"),
-        ).alias("v"),
-    )
+    # the dense decimal series comes from the shared daily_rev persist
+    # (trend_queries.dense_daily_revenue) — one orders scan serves the
+    # whole daily-series family (review finding, r12i). Imported lazily:
+    # a module-level import would run trend_queries' @query decorators
+    # mid-module and reshuffle the registration order the rotation
+    # ledger depends on.
+    from .trend_queries import dense_daily_revenue
+
+    dense = dense_daily_revenue(spark, sf_dir)
     w_ord = Window.orderBy("day")
     idx = dense.select(
         "day",
@@ -1451,18 +1439,25 @@ def events_path_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigrams (user-grain tasks); everything after aggregates at type-
     tuple grain (map-side combined, vocabulary-bounded); marginals are
     broadcast-sized joins; the answer is TakeOrderedAndProject."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tri = (
-        ev.select(
+    from .shared_cache import memo_persist
+
+    def build_n3() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        tri = ev.select(
             F.col("event_type").alias("a"),
             F.lead("event_type", 1).over(w).alias("b"),
             F.lead("event_type", 2).over(w).alias("c"),
+        ).filter(F.col("c").isNotNull())
+        return tri.groupBy("a", "b", "c").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_abc")
         )
-        .filter(F.col("c").isNotNull())
-    )
-    n3 = tri.groupBy("a", "b", "c").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_abc")
+
+    # type-tuple grain (tiny) persisted so the three marginals and the
+    # final join read ONE trigram-window pass instead of four corpus
+    # scans (review finding, r12i)
+    n3 = memo_persist(
+        "markov_tri", (spark.sparkContext.applicationId, sf_dir), build_n3
     )
     nab = n3.groupBy("a", "b").agg(F.sum("n_abc").cast("bigint").alias("n_ab"))
     nbc = n3.groupBy("b", "c").agg(F.sum("n_abc").cast("bigint").alias("n_bc"))

@@ -45,6 +45,42 @@ from .shared_cache import memo_persist
 _DEC = "decimal(38,0)"
 
 
+def shared_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, rev DECIMAL(30,4)) exact daily revenue — memo-persisted so
+    the ENTIRE daily-series family (OLS, Mann–Kendall, runs test, ACF,
+    and eval_queries' backtest/conformal pair) pays ONE orders scan per
+    (application, corpus) instead of one per query branch (review
+    finding, r12i: the day-grain statistics each rescanned the fact
+    3-6×). Day-count-sized, so the persist is KBs at any fact scale.
+    Deriving per-day ×10⁴ fixed point from this decimal sum is exact
+    (Σ(a·10⁴) = (Σa)·10⁴), so consumers' values are unchanged."""
+    return memo_persist(
+        "daily_rev",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(30,4)")
+            .alias("rev")
+        ),
+    )
+
+
+def dense_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, v DECIMAL(30,4)) calendar-gapfilled daily revenue derived
+    from the shared persist — the single definition of the dense
+    series the backtest/conformal/ACF trio previously re-implemented
+    (review finding, r12i). Missing days fill with exact 0."""
+    daily = shared_daily_revenue(spark, sf_dir)
+    b = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = b.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    return cal.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("rev"), F.lit(0).cast("decimal(30,4)")).alias("v"),
+    )
+
+
 @query(
     "bi_revenue_trend_ols",
     oracle=f"""
@@ -107,10 +143,9 @@ def bi_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined groupBy — now genuinely the ONLY corpus-sized
     pass); the six sums + minx are a second 1-row aggregate over
     day-count rows. No window, no sort, no quadratic term."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(F.sum(fixed4_expr("o_totalprice")).cast("bigint").alias("y4"))
+    daily = shared_daily_revenue(spark, sf_dir).select(
+        "day", (F.col("rev") * 10000).cast("bigint").alias("y4")
+    )
     xy = daily.select(
         F.datediff("day", F.lit("1970-01-01").cast("date"))
         .cast("bigint")
@@ -510,10 +545,9 @@ def bi_revenue_trend_mannkendall(
     not row count, drives it); for decade-scale series the join keys
     on coarse time blocks first (the banded two-phase swap, SCALE.md
     §KS). The 1-row day count rides a scalar subquery."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(F.sum(fixed4_expr("o_totalprice")).cast("bigint").alias("y4"))
+    daily = shared_daily_revenue(spark, sf_dir).select(
+        "day", (F.col("rev") * 10000).cast("bigint").alias("y4")
+    )
     a = daily.select(F.col("day").alias("da"), F.col("y4").alias("ya"))
     b = daily.select(F.col("day").alias("db"), F.col("y4").alias("yb"))
     sgn = (
@@ -597,30 +631,19 @@ def bi_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): fact to day grain first; the calendar index
     t is one day-grain window; the lag join is an equi-join on t+k
     over day-count rows × 4 lags; the reduction is 4 rows."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
-    )
-    b = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    cal = b.select(F.explode(F.sequence("lo", "hi")).alias("day"))
-    dense = (
-        cal.join(daily, "day", "left")
-        .select(
-            "day",
-            F.coalesce(fixed4_expr("rev"), F.lit(0).cast("bigint")).alias(
-                "y"
-            ),
-        )
-        .select(
-            F.row_number().over(Window.orderBy("day")).alias("t"), "y"
-        )
+    # y goes straight from the exact decimal daily sum to DECIMAL(38,0)
+    # fixed point — no int64 intermediate anywhere (review findings,
+    # r12i: an int64 y wrapped at the 100 TB design point, and routing
+    # the SUMMED revenue through fixed4_expr's decimal(18,4) cast could
+    # overflow→NULL→coalesce-to-0 silently; both gone)
+    dense = dense_daily_revenue(spark, sf_dir).select(
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        (F.col("v") * 10000).cast(_DEC).alias("y"),
     )
     tot = dense.agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
         F.sum("y").cast(_DEC).alias("s"),
-        F.sum(F.col("y").cast(_DEC) * F.col("y").cast(_DEC)).alias("syy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     lags = spark.createDataFrame(
         [(k,) for k in _ACF_LAGS], ["k"]
@@ -700,10 +723,9 @@ def bi_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): day grain throughout; the median is one
     window over day-count rows; run starts are a lag compare in day
     order; the answer is one row."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(F.sum(fixed4_expr("o_totalprice")).cast("bigint").alias("y4"))
+    daily = shared_daily_revenue(spark, sf_dir).select(
+        "day", (F.col("rev") * 10000).cast("bigint").alias("y4")
+    )
     w_med = Window.orderBy("y4", "day")
     med = (
         daily.select(
