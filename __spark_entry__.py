@@ -162,21 +162,33 @@ _PAST_WINDOW = (
                                       # re-runs inside dedup_family_recall (in)
     "graph_triangle_counts",          # degree-oriented iterative graph family,
                                       # as graph_kcore_coreness (in)
-    # r12b: new queries registered PAST-window (r6f/r11b precedent:
-    # gate-replica verified at sf0.001+sf0.01+sf0.1 this round,
-    # rotate into the driver window next round)
-    "sim_matryoshka_recall",          # MRL dim-budget ladder + 2-stage rerank
-    "corpus_pack_bpe_budget",         # train->encode->pack by trained-BPE counts
-    "text_bm25_search",               # rational-idf BM25 ranked retrieval
-    "graph_pagerank_dupgraph",        # fixed-point PageRank over dup graph
-    "corpus_split_leakage_audit",     # near-dup pairs crossing train/val/test
-    "multimodal_frame_sample",        # video frame sampling through Arrow
-    "corpus_source_tv_drift",         # exact-integer TV distribution drift
-    # r12c: same precedent — registered past-window, gate-replica
-    # verified at sf0.001+sf0.01+sf0.1 this round, rotate in next round
-    "events_value_ks_drift",          # exact-integer two-sample KS per type
-    "bi_copurchase_linkpred",         # common-neighbor Jaccard link prediction
-    "corpus_ngram_novelty",           # first-occurrence shingle novelty per doc
+    # r13 spills (r12 VERDICT items 3+7): the ten r12b/c queries rotate
+    # IN via _PROMOTED (their first-ever driver hash rounds); the two
+    # permanently-no_oracle sketch queries and eight 6-12×-green
+    # naturals rotate out to make room. Ledger: COVERAGE.md §rotation r13.
+    "agg_sketch_profile",             # KLL sketch — no SQL twin, rows-only at
+                                      # driver forever; banded local check +
+                                      # merge-pinned pytests are its real gate
+    "agg_incremental_distinct_hll",   # HLL distinct — same no_oracle class
+    "multimodal_feature_extract",     # 12 green rounds (r1-r12); mapInPandas
+                                      # Arrow path stays in-window via
+                                      # multimodal_frame_sample (promoted)
+    "corpus_filter_pipeline",         # 12 green rounds; filter exprs in-window
+                                      # via langid sweep/kappa family
+    "events_variant_stats",           # 7 green rounds; JSON variant path, as
+                                      # events_value_ks_drift (promoted, same tbl)
+    "etl_orc_roundtrip",              # 7 green rounds; staging roundtrip family
+                                      # (csv/json twins long past-window)
+    "dedup_substring_spans",          # 7 green rounds; positional hashing, as
+                                      # corpus_ngram_novelty (promoted, shingles)
+    "corpus_pack_sharded",            # 7 green rounds; packing mechanism
+                                      # in-window via corpus_pack_bpe_budget
+    "sim_ann_recall",                 # 7 green rounds; ANN recall audit — its
+                                      # IVF/LSH/PQ paths re-audited in-window by
+                                      # sim_matryoshka_recall (promoted)
+    "dedup_family_recall",            # 7 green rounds; minhash/cosine recall
+                                      # audit; LSH path in-window via
+                                      # dedup_minhash_auc + semantic_recall
     # r12 end-of-session spills: displaced by promoting the nineteen
     # r12d..i queries into the window (every new query gets driver
     # rows in its birth round). Each name below has >=2 green driver
@@ -240,6 +252,19 @@ _PROMOTED = (
     "bi_revenue_trend_mannkendall",   # rank-based trend test (tau)
     "bi_revenue_autocorr",            # exact ACF at seasonal lags
     "bi_revenue_runs_test",           # Wald-Wolfowitz runs counts
+    # r13 promotions (r12 VERDICT item 3): the ten r12b/c queries,
+    # registered past-window in r12 with gate-replica green at
+    # sf0.001+sf0.01+sf0.1, get their first driver hash rounds now.
+    "sim_matryoshka_recall",          # MRL dim-budget ladder + 2-stage rerank
+    "corpus_pack_bpe_budget",         # train->encode->pack by trained-BPE counts
+    "text_bm25_search",               # rational-idf BM25 ranked retrieval
+    "graph_pagerank_dupgraph",        # fixed-point PageRank over dup graph
+    "corpus_split_leakage_audit",     # near-dup pairs crossing train/val/test
+    "multimodal_frame_sample",        # video frame sampling through Arrow
+    "corpus_source_tv_drift",         # exact-integer TV distribution drift
+    "events_value_ks_drift",          # exact-integer two-sample KS per type
+    "bi_copurchase_linkpred",         # common-neighbor Jaccard link prediction
+    "corpus_ngram_novelty",           # first-occurrence shingle novelty per doc
 )
 
 

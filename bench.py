@@ -133,7 +133,12 @@ HEADLINE = [
     "bi_revenue_hhi_by_type",
     "corpus_upsample_epochs",
     "events_cusum_drift",
-    "dedup_containment_pairs",
+    # dedup_containment_pairs swapped out of the headline in r13 (r12
+    # VERDICT item 6): at 5.8s it was the slowest entry and duplicates
+    # the work of its in-window prefix-join sibling, which takes its
+    # slot below (1.4s-class, same semantics, the scale-path variant);
+    # the pairs query stays registered + replica/BENCH_FULL-covered.
+    "dedup_containment_prefix_join",
     "dedup_cluster_canonical",
     "dedup_semantic_clusters",
     "text_bpe_train_rounds",
@@ -145,9 +150,9 @@ HEADLINE = [
     "corpus_split_leakage_audit",
     "multimodal_frame_sample",
     "corpus_source_tv_drift",
-    # session-4 additions (r12c signals + the r12d/e/f eval batches +
-    # the r12g star statistics): every one is scale-path-shaped (no
-    # quadratic truth member), so all sixteen join the headline
+    # session-4 additions (r12c signals + the r12d..i eval batches +
+    # the star statistics): every one is scale-path-shaped (no
+    # quadratic truth member), so all 22 join the headline
     "events_value_ks_drift",
     "bi_copurchase_linkpred",
     "corpus_ngram_novelty",

@@ -345,7 +345,7 @@ def pps_systematic_sample(
     so no single-task window exists at any corpus size; the 1-row
     grand total broadcasts into the per-row stratum arithmetic."""
     live = docs.filter(F.col(weight_col) > 0).withColumn(
-        "_blk", F.floor(F.col(id_col) / F.lit(block_size)).cast("long")
+        "_blk", F.expr(f"{id_col} div {int(block_size)}").cast("long")
     )
     w_local = (
         Window.partitionBy("_blk")

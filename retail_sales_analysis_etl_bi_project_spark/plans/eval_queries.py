@@ -933,8 +933,9 @@ def text_langid_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     every confusion cell is an exact BIGINT; precision/recall/F1 are
     single divisions of exact integers (F1 via 2TP/(2TP+FP+FN) — one
     division, no nested rounding). Zero-denominator points yield NULL
-    on both engines (no en-predictions at the top threshold is honest,
-    not an error).
+    on both engines via F.try_divide (no en-predictions at the top
+    threshold is honest, not an error) — a bare `/` would throw
+    DIVIDE_BY_ZERO under the driver's ANSI-on session.
 
     Scale shape (100 TB): ONE corpus scan computes the ratio; the
     8-point grid is a broadcast CROSS JOIN (8× row fanout of a 2-column
@@ -979,11 +980,15 @@ def text_langid_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "fn",
         "tn",
-        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")).alias("precision_"),
-        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")).alias("recall_"),
-        (
-            (F.col("tp") * 2).cast("double")
-            / (F.col("tp") * 2 + F.col("fp") + F.col("fn")).cast("double")
+        F.try_divide(
+            F.col("tp").cast("double"), (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("precision_"),
+        F.try_divide(
+            F.col("tp").cast("double"), (F.col("tp") + F.col("fn")).cast("double")
+        ).alias("recall_"),
+        F.try_divide(
+            (F.col("tp") * 2).cast("double"),
+            (F.col("tp") * 2 + F.col("fp") + F.col("fn")).cast("double"),
         ).alias("f1"),
     ).orderBy("threshold")
 

@@ -45,6 +45,25 @@ from .shared_cache import memo_persist
 _DEC = "decimal(38,0)"
 
 
+def _no_overflow(label: str, expr, *inputs):
+    """Loud-overflow guard for DECIMAL(38,0) product chains: under the
+    default allowPrecisionLoss a decimal product that exceeds 38 digits
+    silently returns NULL, while the DuckDB oracle's HUGEINT errors —
+    a silent-vs-loud divergence (r12 ADVICE). Wrap each product so an
+    out-of-headroom corpus raises at runtime instead of emitting NULL
+    statistics: NULL output with all *inputs* non-null can only be
+    overflow. Empty-input NULLs (legitimately NULL sums) pass through."""
+    ok = F.lit(True)
+    for c in inputs:
+        ok = ok & c.isNotNull()
+    return F.when(
+        ok & expr.isNull(),
+        F.raise_error(
+            F.lit(f"{label}: decimal(38,0) overflow — documented headroom exceeded")
+        ).cast(_DEC),
+    ).otherwise(expr)
+
+
 def shared_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(day, rev DECIMAL(30,4)) exact daily revenue — memo-persisted so
     the ENTIRE daily-series family (OLS, Mann–Kendall, runs test, ACF,
@@ -161,12 +180,27 @@ def bi_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y4").cast(_DEC) * F.col("y4").cast(_DEC)).alias("syy4"),
         F.min("x").cast(_DEC).alias("minx"),
     )
-    num = F.col("n") * F.col("sxy4") - F.col("sx") * F.col("sy4")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    inum = F.col("sy4") * den + num * (
-        F.col("n") * F.col("minx") - F.col("sx")
+    _sums = [F.col(c) for c in ("n", "sx", "sxx", "sy4", "sxy4", "syy4", "minx")]
+    num = _no_overflow(
+        "bi_revenue_trend_ols.num",
+        F.col("n") * F.col("sxy4") - F.col("sx") * F.col("sy4"),
+        *_sums,
     )
-    ydev = F.col("n") * F.col("syy4") - F.col("sy4") * F.col("sy4")
+    den = _no_overflow(
+        "bi_revenue_trend_ols.den",
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+        *_sums,
+    )
+    inum = _no_overflow(
+        "bi_revenue_trend_ols.inum",
+        F.col("sy4") * den + num * (F.col("n") * F.col("minx") - F.col("sx")),
+        *_sums,
+    )
+    ydev = _no_overflow(
+        "bi_revenue_trend_ols.ydev",
+        F.col("n") * F.col("syy4") - F.col("sy4") * F.col("sy4"),
+        *_sums,
+    )
     return s.select(
         F.col("n").cast("bigint").alias("n_days"),
         (
@@ -662,12 +696,21 @@ def bi_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("yb").cast(_DEC).alias("stail"),
         )
     )
-    num = (
+    _sums = [
+        F.col(c) for c in ("n", "s", "syy", "sylag", "shead", "stail", "k")
+    ]
+    num = _no_overflow(
+        "bi_revenue_autocorr.num",
         F.col("n") * F.col("n") * F.col("sylag")
         - F.col("n") * F.col("s") * (F.col("shead") + F.col("stail"))
-        + (F.col("n") - F.col("k")) * F.col("s") * F.col("s")
+        + (F.col("n") - F.col("k")) * F.col("s") * F.col("s"),
+        *_sums,
     )
-    den = F.col("n") * (F.col("n") * F.col("syy") - F.col("s") * F.col("s"))
+    den = _no_overflow(
+        "bi_revenue_autocorr.den",
+        F.col("n") * (F.col("n") * F.col("syy") - F.col("s") * F.col("s")),
+        *_sums,
+    )
     return (
         lagged.crossJoin(F.broadcast(tot))
         .select(

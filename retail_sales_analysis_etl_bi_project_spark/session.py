@@ -43,7 +43,17 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI default OFF (pandas errors="coerce" semantics, module
+        # docstring above) — but overridable so the local gate can
+        # replicate the DRIVER's ANSI-ON session posture, which is how
+        # the r12 text_langid_threshold_sweep DIVIDE_BY_ZERO shipped
+        # past an ANSI-off-only gate. All engine plans must be
+        # ANSI-clean (try_divide / guarded casts), so both postures
+        # produce identical results; REPLICA_ANSI proves it per round.
+        .config(
+            "spark.sql.ansi.enabled",
+            os.environ.get("SPARK_GRAFT_ANSI", "false"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
