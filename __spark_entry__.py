@@ -42,6 +42,8 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.signal_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.eval_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.trend_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.robust_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.retrieval_queries",
     ):
         try:
             __import__(mod)
@@ -189,6 +191,33 @@ _PAST_WINDOW = (
     "dedup_family_recall",            # 7 green rounds; minhash/cosine recall
                                       # audit; LSH path in-window via
                                       # dedup_minhash_auc + semantic_recall
+    # r13 session-2 spills: displaced by promoting the seven new r13
+    # queries in their birth round; each name below has >=5 green
+    # driver rounds and an in-window mechanism relative (ledger in
+    # COVERAGE.md §rotation r13)
+    "dedup_cluster_components",       # 10 green rounds; CC readout family,
+                                      # graph mechanisms in-window via pagerank
+    "dedup_simhash",                  # 11 green rounds; bit-sig near-dup, as
+                                      # in-window minhash AUC family
+    "dedup_incremental_minhash",      # 5 green rounds; new×old banding, the
+                                      # minhash path in-window via dedup_minhash_auc
+    "join_bloom_prefilter_revenue",   # 6 green rounds; runtime-filter join,
+                                      # broadcast-dim spine in-window via q01-q04
+    "join_interval_overlap_busy_windows",  # 6 green rounds; grid-cell overlap
+                                      # join; interval mechanics pytest-pinned
+    "agg_incremental_kpi_merge",      # 6 green rounds; algebraic partial-merge,
+                                      # as in-window k_core_kpis + streaming tests
+    "etl_silver_filters",             # 10 green rounds; filter spine in-window
+                                      # via etl_fact_assembly (same silver stage)
+    # r13 session-3 spills: displaced by promoting the three batch-2
+    # queries (fertility / changepoint / interarrival CV) in their
+    # birth round; ledger in COVERAGE.md §rotation r13
+    "etl_fact_assembly",              # 12 green rounds; the 4× broadcast dim
+                                      # join spine stays in-window via q01-q04
+    "dedup_containment_recall",       # 4 green rounds; audits the blocked path
+                                      # whose exact sibling prefix_join stays in
+    "dedup_allpairs_jaccard_join",    # 2 green rounds; exact prefix-filter
+                                      # self-join; containment prefix twin (in)
     # r12 end-of-session spills: displaced by promoting the nineteen
     # r12d..i queries into the window (every new query gets driver
     # rows in its birth round). Each name below has >=2 green driver
@@ -265,6 +294,20 @@ _PROMOTED = (
     "events_value_ks_drift",          # exact-integer two-sample KS per type
     "bi_copurchase_linkpred",         # common-neighbor Jaccard link prediction
     "corpus_ngram_novelty",           # first-occurrence shingle novelty per doc
+    # r13 new queries, promoted in their BIRTH round (the r12d..i
+    # standard): robust/seasonal statistics + retrieval fusion and
+    # curation. Each displaced natural has >=2 green driver rounds
+    # and an in-window relative — ledger in COVERAGE.md §rotation r13.
+    "bi_revenue_trend_theilsen",      # median pairwise slope (robust trend)
+    "bi_revenue_weekday_seasonality", # exact ISO-weekday seasonal indices
+    "events_value_mad_by_type",       # median/MAD robust-z outlier counts
+    "text_hybrid_rrf_fusion",         # BM25 + cosine reciprocal-rank fusion
+    "corpus_decontaminate_audit",     # exact 8-gram cross-split contamination
+    "text_boilerplate_by_source",     # within-source template-shingle df audit
+    "corpus_dsir_importance_sample",  # hashed-bucket importance selection
+    "text_bpe_fertility_by_lang",     # trained-tokenizer fertility audit
+    "bi_revenue_changepoint",         # binary-segmentation level shift
+    "events_interarrival_cv",         # per-type burstiness (CV² of gaps)
 )
 
 

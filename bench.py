@@ -175,6 +175,20 @@ HEADLINE = [
     "bi_revenue_trend_mannkendall",
     "bi_revenue_autocorr",
     "bi_revenue_runs_test",
+    # r13 additions: robust/seasonal statistics + retrieval-fusion and
+    # curation queries — all scale-path-shaped (theilsen's pair join is
+    # day-bounded like mannkendall's; the rest are linear explodes +
+    # grain-bounded aggregates)
+    "bi_revenue_trend_theilsen",
+    "bi_revenue_weekday_seasonality",
+    "events_value_mad_by_type",
+    "text_hybrid_rrf_fusion",
+    "corpus_decontaminate_audit",
+    "text_boilerplate_by_source",
+    "corpus_dsir_importance_sample",
+    "text_bpe_fertility_by_lang",
+    "bi_revenue_changepoint",
+    "events_interarrival_cv",
     # sim_ann_recall_tuning, dedup_containment_recall,
     # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
     # headline, the sim_ann_recall / dedup_family_recall precedent:

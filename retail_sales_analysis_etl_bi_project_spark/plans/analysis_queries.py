@@ -1139,6 +1139,81 @@ def _bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bpe_fertility_by_lang",
+    oracle="""
+    WITH {ctes},
+    pertf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toksd GROUP BY 1, 2
+    ),
+    vlen AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe FROM syms{k}
+    ),
+    per_doc AS (
+      SELECT p.doc_id,
+             CAST(SUM(p.tf * v.n_bpe) AS BIGINT) AS n_tokens,
+             CAST(SUM(p.tf) AS BIGINT) AS n_words
+      FROM pertf p JOIN vlen v USING (word)
+      GROUP BY 1
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pd.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(pd.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(pd.n_tokens) AS DOUBLE)
+             / CAST(SUM(pd.n_words) AS DOUBLE) AS fertility
+    FROM per_doc pd JOIN documents d USING (doc_id)
+    GROUP BY 1
+    ORDER BY 1
+    """.format(ctes="__CTES__", k=_BPE_ROUNDS).replace(
+        "__CTES__", _bpe_rounds_ctes()
+    ),
+)
+def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language under the trained BPE merges:
+    fertility = BPE tokens per word, by lang — the tokenizer-equity
+    audit every multilingual pipeline publishes (a tokenizer trained on
+    English-heavy data segments other languages into more, smaller
+    pieces; high fertility inflates that language's compute cost and
+    shrinks its effective context window). Reuses the SHARED encode
+    kernel (_bpe_doc_token_counts: one training run, one
+    vocabulary-sized segmentation), so train, encode, packing, and this
+    audit can never disagree on the merges.
+
+    Exactness: per-doc token/word counts are the hash-proven exact
+    BIGINTs of text_bpe_encode_counts; the per-lang rollup sums them
+    (order-free) and fertility is ONE double division. Docs with zero
+    words have no tf rows and drop from every engine identically.
+
+    Scale shape (100 TB): segmentation cost is VOCABULARY-sized, never
+    corpus-sized (the merge fold runs per distinct word); the per-doc
+    counts are one (doc, word) groupBy; this adds a lang-cardinality
+    rollup over doc-grain rows. Nothing new touches the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = _bpe_doc_token_counts(spark, sf_dir)
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 _PACK_BPE_BUDGET = 512
 _PACK_BPE_BLOCK = 64
 
