@@ -218,6 +218,12 @@ _PAST_WINDOW = (
                                       # whose exact sibling prefix_join stays in
     "dedup_allpairs_jaccard_join",    # 2 green rounds; exact prefix-filter
                                       # self-join; containment prefix twin (in)
+    # r13 session-4 spills: displaced by promoting the curation funnel
+    # and the embedding-norm audit in their birth round
+    "q03_revenue_by_supplier_nation", # 12 green rounds; fact⋈store broadcast
+                                      # join + agg spine stays via q01/q02 (in)
+    "q04_custbal_segment_revenue",    # 12 green rounds; CASE bucketing + share
+                                      # agg stays via k4_category_revenue (in)
     # r12 end-of-session spills: displaced by promoting the nineteen
     # r12d..i queries into the window (every new query gets driver
     # rows in its birth round). Each name below has >=2 green driver
@@ -308,6 +314,8 @@ _PROMOTED = (
     "text_bpe_fertility_by_lang",     # trained-tokenizer fertility audit
     "bi_revenue_changepoint",         # binary-segmentation level shift
     "events_interarrival_cv",         # per-type burstiness (CV² of gaps)
+    "corpus_curation_funnel",         # per-stage retention accounting
+    "embed_norm_stats_by_label",      # embedding L2-norm health audit
 )
 
 

@@ -177,6 +177,160 @@ def text_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(_RRF_TOP)
 
 
+def _funnel_oracle() -> str:
+    from .corpus_queries import (
+        _BENCH_MOD,
+        _SQL_NTOK,
+        _SQL_QUALITY,
+        _SQL_SH8,
+    )
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_SQL_QUALITY} AS quality,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents
+      WHERE doc_id % {_BENCH_MOD} != 0
+    ), sh8 AS ({_SQL_SH8}),
+    bng AS (
+      SELECT DISTINCT md5(g) AS gh
+      FROM (SELECT unnest(sh) AS g FROM sh8 WHERE doc_id % {_BENCH_MOD} = 0)
+    ), contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM (SELECT doc_id, md5(unnest(sh)) AS gh FROM sh8
+            WHERE doc_id % {_BENCH_MOD} != 0) s
+      JOIN bng USING (gh)
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE quality >= 0.5 AND n_tokens >= 30
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), reps AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    ), attributed AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % {_BENCH_MOD} = 0 THEN '1_benchmark_split'
+                  WHEN s.quality < 0.5 OR s.n_tokens < 30 THEN '2_quality'
+                  WHEN c.doc_id IS NOT NULL THEN '3_contamination'
+                  WHEN r.doc_id IS NULL THEN '4_near_dup'
+                  ELSE '5_kept' END AS stage
+      FROM documents d
+      LEFT JOIN scored s ON d.doc_id = s.doc_id
+      LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+      LEFT JOIN reps r ON d.doc_id = r.doc_id
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_raw FROM documents)
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE) / CAST(tot.n_raw AS DOUBLE)
+             AS frac_of_raw
+    FROM attributed CROSS JOIN tot
+    GROUP BY stage, tot.n_raw
+    UNION ALL
+    SELECT '0_raw', n_raw, CAST(1.0 AS DOUBLE) FROM tot
+    ORDER BY stage
+    """
+
+
+@query("corpus_curation_funnel", oracle=_funnel_oracle())
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURATION FUNNEL REPORT: attribute every raw document to the
+    FIRST stage of the corpus_filter_pipeline that drops it
+    (benchmark split → quality/token filter → 8-gram contamination →
+    fingerprint near-dup) or to the kept set — the per-stage retention
+    table every pipeline run logs (the "where did my corpus go"
+    answer; the pipeline query emits the survivors, this emits the
+    accounting, and Σ stages == raw by construction).
+
+    Exactness: stage attribution is a deterministic CASE over the
+    pipeline's own hash-verified predicates (same quality/token
+    expressions, same md5 8-gram contamination set, same fingerprint
+    rank); counts are exact BIGINTs; frac_of_raw is ONE double
+    division by the same total on both engines.
+
+    Scale shape (100 TB): identical to corpus_filter_pipeline (one
+    scored corpus pass + the broadcast benchmark-gram join + the
+    fingerprint window) plus three doc_id-keyed LEFT joins of
+    corpus-or-smaller sets and a 6-group aggregate — attribution adds
+    joins, never a new corpus scan."""
+    from ..operators.partitioning import to_cluster_width
+    from ..operators.dedup import contaminated_ids
+    from ..operators.text import (
+        fingerprint_expr,
+        quality_score_expr,
+        token_count_expr,
+    )
+
+    docs = to_cluster_width(load_table(spark, sf_dir, "documents"), "doc_id")
+    from .corpus_queries import _BENCH_MOD
+
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = docs.filter(is_bench)
+    corpus = docs.filter(~is_bench)
+    dirty = contaminated_ids(corpus, bench, n=8).withColumn(
+        "is_dirty", F.lit(True)
+    )
+    scored = corpus.select(
+        "doc_id",
+        quality_score_expr("text").alias("quality"),
+        token_count_expr("text").alias("n_tokens"),
+        fingerprint_expr("text").alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 30)
+    ).join(dirty.select("doc_id"), "doc_id", "left_anti")
+    reps = (
+        kept.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .withColumn("is_rep", F.lit(True))
+    )
+    attributed = (
+        docs.select("doc_id")
+        .join(scored.select("doc_id", "quality", "n_tokens"), "doc_id", "left")
+        .join(dirty.select("doc_id", "is_dirty"), "doc_id", "left")
+        .join(reps, "doc_id", "left")
+        .select(
+            F.when(is_bench, "1_benchmark_split")
+            .when(
+                (F.col("quality") < 0.5) | (F.col("n_tokens") < 30),
+                "2_quality",
+            )
+            .when(F.col("is_dirty"), "3_contamination")
+            .when(F.col("is_rep").isNull(), "4_near_dup")
+            .otherwise("5_kept")
+            .alias("stage")
+        )
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_raw"))
+    stages = (
+        attributed.groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("n_raw").cast("double")
+            ).alias("frac_of_raw"),
+        )
+    )
+    raw_row = tot.select(
+        F.lit("0_raw").alias("stage"),
+        F.col("n_raw").alias("n_docs"),
+        F.lit(1.0).alias("frac_of_raw"),
+    )
+    return stages.unionByName(raw_row).orderBy("stage")
+
+
 def _decon_grams_sql(n: int) -> str:
     """(doc_id, g) distinct word n-gram relation — the DuckDB twin of
     shingles_from_tokens(tokens_expr(text), n) at width ``n`` (the

@@ -218,6 +218,83 @@ def bi_revenue_weekday_seasonality(
 
 
 @query(
+    "embed_norm_stats_by_label",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    n AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM v GROUP BY 1),
+    med AS (
+      SELECT label, nrm AS median_norm FROM (
+        SELECT label, nrm,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY nrm, vec_id) AS r
+        FROM v) s JOIN n USING (label)
+      WHERE r = (n_vecs + 1) // 2)
+    SELECT n.label, n.n_vecs,
+           MIN(v.nrm) AS min_norm,
+           med.median_norm,
+           MAX(v.nrm) AS max_norm
+    FROM v JOIN n USING (label) JOIN med USING (label)
+    GROUP BY 1, 2, 4
+    ORDER BY 1
+    """,
+)
+def embed_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING NORM AUDIT per label: n / min / selected-median / max
+    of the L2 norms — the embedding-table health check every
+    vector-pipeline run logs (norm collapse toward 0 means a dead
+    encoder head; a fat norm tail distorts dot-product retrieval and
+    is why production indexes normalize or clip). Label grain matches
+    the IVF/semantic-dedup consumers of the same table.
+
+    Exactness: each norm is the deterministic sequential-fold
+    sqrt(Σx²) both engines compute bit-identically (the proven
+    dot_expr ↔ list_dot_product twin); min/max are order-free
+    selections and the median is the SELECTED element at rank
+    (n+1) div 2 under the (norm, vec_id) total order — no
+    interpolation, no float summation anywhere.
+
+    Scale shape (100 TB): one embeddings scan computes norms fused
+    with the scan; the median rank is a window PARTITIONED BY label
+    (parallel across labels; within-label is the documented
+    single-partition rank concession — labels are ~10²-cardinality
+    cluster ids here); the readout is label grain."""
+    from ..operators.similarity import _dbl, norm_expr
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", norm_expr(_dbl("embedding")).alias("nrm")
+    )
+    n = v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    w = Window.partitionBy("label").orderBy("nrm", "vec_id")
+    med = (
+        v.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(n), "label")
+        .filter(F.col("r") == F.expr("(n_vecs + 1) div 2"))
+        .select("label", F.col("nrm").alias("median_norm"))
+    )
+    return (
+        v.join(F.broadcast(n), "label")
+        .join(F.broadcast(med), "label")
+        .groupBy("label", "n_vecs", "median_norm")
+        .agg(
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+        .select(
+            "label", "n_vecs", "min_norm", "median_norm", "max_norm"
+        )
+        .orderBy("label")
+    )
+
+
+@query(
     "bi_revenue_changepoint",
     oracle=f"""
     WITH daily AS (

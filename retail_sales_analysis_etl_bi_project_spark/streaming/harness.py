@@ -45,3 +45,34 @@ def chunked_file_source(
             shutil.move(f"{stage}/{parts[0]}", f"{src}/chunk_{i}.parquet")
         shutil.rmtree(stage)
     return df.count()
+
+
+def range_chunked_file_source(
+    df: DataFrame, id_col: str, src: str, n_chunks: int = 3
+) -> int:
+    """chunked_file_source variant that chunks by CONTIGUOUS id range
+    (chunk i holds ids in [i*width, (i+1)*width)) instead of pmod —
+    for streams whose semantics depend on INGEST ORDER (the novelty
+    store: a shingle's first occurrence is attributed to the lowest
+    doc_id, so batches must arrive in id order for the streamed union
+    to equal the batch query). The 1-row max-id collect is test-scope
+    driver work, documented as such."""
+    os.makedirs(src, exist_ok=True)
+    stale = [f for f in os.listdir(src) if not f.startswith((".", "_"))]
+    if stale:
+        raise ValueError(
+            f"source dir {src} already holds files {sorted(stale)}: "
+            "pass a fresh directory"
+        )
+    hi = df.agg(F.max(id_col)).collect()[0][0]
+    width = int(hi) // n_chunks + 1
+    for i in range(n_chunks):
+        stage = f"{src}/_stage_{i}"
+        df.filter(
+            (F.col(id_col) >= i * width) & (F.col(id_col) < (i + 1) * width)
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        parts = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        if parts:
+            shutil.move(f"{stage}/{parts[0]}", f"{src}/chunk_{i}.parquet")
+        shutil.rmtree(stage)
+    return df.count()
