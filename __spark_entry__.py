@@ -224,6 +224,8 @@ _PAST_WINDOW = (
                                       # join + agg spine stays via q01/q02 (in)
     "q04_custbal_segment_revenue",    # 12 green rounds; CASE bucketing + share
                                       # agg stays via k4_category_revenue (in)
+    "k_core_kpis",                    # 12 green rounds; total/avg/distinct KPI
+                                      # aggs stay via k4 + q01/q02 (in)
     # r12 end-of-session spills: displaced by promoting the nineteen
     # r12d..i queries into the window (every new query gets driver
     # rows in its birth round). Each name below has >=2 green driver
@@ -316,6 +318,7 @@ _PROMOTED = (
     "events_interarrival_cv",         # per-type burstiness (CV² of gaps)
     "corpus_curation_funnel",         # per-stage retention accounting
     "embed_norm_stats_by_label",      # embedding L2-norm health audit
+    "events_markov_stationary",       # scaled-int power-iteration steady state
 )
 
 

@@ -100,3 +100,43 @@ def test_interarrival_cv_exact(spark, tmp_path):
     assert out["b"].n_gaps == 2
     assert out["b"].cv2 == 0.36
     assert out["b"].mean_gap_s == 25.0
+
+
+def test_markov_stationary_exact_integer_replay(spark, tmp_path):
+    """Engineered 2-state chain (a->a, a->b, b->a): replicate the
+    scaled-integer power iteration in plain Python and assert the
+    engine's vector is bit-equal — pins the floor-division fixed
+    point, not just approximate convergence to pi=(2/3, 1/3)."""
+    from retail_sales_analysis_etl_bi_project_spark.plans.stat_queries import (
+        _STAT_ROUNDS,
+        _STAT_SCALE,
+        events_markov_stationary,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    seq = ["a", "a", "b", "a"]  # transitions: a->a, a->b, b->a
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, t, 1.0, None)
+        for i, t in enumerate(seq)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    c = {("a", "a"): 1, ("a", "b"): 1, ("b", "a"): 1}
+    r = {"a": 2, "b": 1}
+    pi = {"a": _STAT_SCALE // 2, "b": _STAT_SCALE // 2}
+    for _ in range(_STAT_ROUNDS):
+        new = {"a": 0, "b": 0}
+        for (frm, to), n in c.items():
+            new[to] += (pi[frm] * n) // r[frm]
+        pi = new
+
+    got = {
+        row.event_type: row.stationary_scaled
+        for row in events_markov_stationary(spark, str(tmp_path)).collect()
+    }
+    assert got == pi
+    # sanity: converging toward (2/3, 1/3)
+    assert abs(got["a"] / _STAT_SCALE - 2 / 3) < 0.01
