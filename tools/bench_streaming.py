@@ -120,6 +120,51 @@ def main() -> None:
         "readout_rows": n_groups,
     }
 
+    # ---- ingest novelty: documents -> shingle store (r13) ----
+    from retail_sales_analysis_etl_bi_project_spark.plans.signal_queries import (
+        corpus_ngram_novelty,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.streaming.harness import (
+        range_chunked_file_source,
+    )
+    from retail_sales_analysis_etl_bi_project_spark.streaming.novelty import (
+        novelty_stream_against_store,
+        read_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = f"{work}/docs_src"
+    # range chunks: novelty attribution depends on INGEST ORDER
+    n_docs = range_chunked_file_source(docs, "doc_id", src, N_CHUNKS)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    novelty_stream_against_store(
+        stream,
+        f"{work}/nov_store",
+        f"{work}/nov_out",
+        f"{work}/nov_ckpt",
+        timeout_sec=600,
+    )
+    wall = time.perf_counter() - t0
+    got = sorted(
+        map(tuple, read_novelty(spark, f"{work}/nov_out").collect())
+    )
+    want = sorted(
+        map(tuple, corpus_ngram_novelty(spark, sf_dir).collect())
+    )
+    assert got == want, "streamed novelty != batch query"
+    results["ingest_novelty_scoring"] = {
+        "input_rows": n_docs,
+        "micro_batches": N_CHUNKS,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_docs / wall),
+        "readout_rows": len(got),
+    }
+
     shutil.rmtree(work, ignore_errors=True)
 
     out_path = os.path.join(ROOT, "BENCH_FULL.json")
