@@ -226,6 +226,17 @@ _PAST_WINDOW = (
                                       # agg stays via k4_category_revenue (in)
     "k_core_kpis",                    # 12 green rounds; total/avg/distinct KPI
                                       # aggs stay via k4 + q01/q02 (in)
+    # r13 session-6 spills: displaced by promoting the calibration /
+    # zipf / burst trio in their birth round
+    "q02_monthly_revenue_trend",      # 12 green rounds; date-part groupBy-sum
+                                      # spine stays via q01 (in) + replica
+    "k4_category_revenue_share",      # 12 green rounds; CASE + share-of-total
+                                      # agg; mechanism also in calibration's
+                                      # rate/contribution arithmetic (in)
+    "dedup_containment_prefix_join",  # 2 green driver rounds (r11, r12) +
+                                      # replica green at 3 SFs every round;
+                                      # prefix-filter family also audited by
+                                      # the sampled-truth replica gate
     # r12 end-of-session spills: displaced by promoting the nineteen
     # r12d..i queries into the window (every new query gets driver
     # rows in its birth round). Each name below has >=2 green driver
@@ -319,6 +330,9 @@ _PROMOTED = (
     "corpus_curation_funnel",         # per-stage retention accounting
     "embed_norm_stats_by_label",      # embedding L2-norm health audit
     "events_markov_stationary",       # scaled-int power-iteration steady state
+    "text_langid_calibration",        # reliability bins + ECE contributions
+    "text_zipf_profile",              # power-of-two rank-frequency ratios
+    "events_burst_intervals",         # gaps-and-islands burst timeline
 )
 
 

@@ -193,6 +193,9 @@ HEADLINE = [
     "corpus_curation_funnel",
     "embed_norm_stats_by_label",
     "events_markov_stationary",
+    "text_langid_calibration",
+    "text_zipf_profile",
+    "events_burst_intervals",
     # sim_ann_recall_tuning, dedup_containment_recall,
     # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
     # headline, the sim_ann_recall / dedup_family_recall precedent:

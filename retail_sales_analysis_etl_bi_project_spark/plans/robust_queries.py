@@ -490,13 +490,130 @@ def events_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
             / F.lit(1000000.0)
         ).alias("mean_gap_s"),
-        (
+        # try_divide: a type whose gaps are ALL zero (every event at one
+        # timestamp) has sd=0 — DuckDB's 0/0 is NULL and the driver's
+        # ANSI session would throw on a bare /; NULL is the honest
+        # "variability undefined" answer on both engines
+        F.try_divide(
             (F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")).cast(
                 "double"
-            )
-            / (F.col("sd") * F.col("sd")).cast("double")
+            ),
+            (F.col("sd") * F.col("sd")).cast("double"),
         ).alias("cv2"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_burst_intervals",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hn,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT *,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY hn
+                          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s24,
+             COUNT(n) OVER (PARTITION BY event_type ORDER BY hn
+                            RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS c24
+      FROM d),
+    flagged AS (
+      SELECT event_type, hn, n FROM w
+      WHERE c24 > 0 AND 2 * n * c24 > 3 * s24),
+    starts AS (
+      SELECT *,
+             CASE WHEN lag(hn) OVER (PARTITION BY event_type ORDER BY hn)
+                       = hn - 1 THEN 0 ELSE 1 END AS is_start
+      FROM flagged),
+    islands AS (
+      SELECT *,
+             SUM(is_start) OVER (PARTITION BY event_type ORDER BY hn)
+               AS burst_id
+      FROM starts)
+    SELECT event_type,
+           CAST(MIN(hn) AS BIGINT) AS start_hour,
+           CAST(MAX(hn) AS BIGINT) AS end_hour,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(MAX(n) AS BIGINT) AS peak_hourly,
+           CAST(SUM(n) AS BIGINT) AS total_events
+    FROM islands
+    GROUP BY event_type, burst_id
+    ORDER BY event_type, start_hour
+    """,
+)
+def events_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURST DETECTION as gaps-and-islands: flag every hour whose event
+    count exceeds 1.5× the type's trailing-24h mean (the exact-integer
+    comparison 2·n·c24 > 3·s24 — no division, no float), then collapse
+    CONSECUTIVE flagged hours into burst intervals with start/end/
+    peak/total — the incident timeline a capacity runbook wants, where
+    the anomaly family emits per-day flags and the CV² query emits one
+    per-type burstiness number. The islands step (conditional start
+    marker → running-sum island id) is the classic gaps-and-islands
+    shape the repo's window family did not yet exercise.
+
+    Exactness: hour numbers are exact epoch-hour BIGINTs (UTC session
+    on both engines); the trailing frame is a RANGE frame over those
+    integers (calendar gaps excluded from neither side — an hour with
+    no events contributes no row and no trailing mass, identically);
+    the flag and every output column are exact integer arithmetic.
+
+    Scale shape (100 TB): events collapse to (type, hour) grain first
+    (map-side combine); both windows are PARTITIONED BY event_type
+    over hour-grain rows (time-bounded cardinality); the island
+    aggregate is burst-grain. Nothing after the first groupBy touches
+    corpus-sized data."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600")
+        .cast("bigint")
+        .alias("hn"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w24 = (
+        Window.partitionBy("event_type")
+        .orderBy("hn")
+        .rangeBetween(-24, -1)
+    )
+    w = d.select(
+        "event_type",
+        "hn",
+        "n",
+        F.sum("n").over(w24).alias("s24"),
+        F.count("n").over(w24).alias("c24"),
+    )
+    flagged = w.filter(
+        (F.col("c24") > 0)
+        & (F.lit(2) * F.col("n") * F.col("c24") > F.lit(3) * F.col("s24"))
+    )
+    seq = Window.partitionBy("event_type").orderBy("hn")
+    starts = flagged.select(
+        "event_type",
+        "hn",
+        "n",
+        F.when(F.lag("hn").over(seq) == F.col("hn") - 1, 0)
+        .otherwise(1)
+        .alias("is_start"),
+    )
+    islands = starts.withColumn(
+        "burst_id",
+        F.sum("is_start").over(
+            seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("event_type", "burst_id")
+        .agg(
+            F.min("hn").cast("bigint").alias("start_hour"),
+            F.max("hn").cast("bigint").alias("end_hour"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.max("n").cast("bigint").alias("peak_hourly"),
+            F.sum("n").cast("bigint").alias("total_events"),
+        )
+        .drop("burst_id")
+        .orderBy("event_type", "start_hour")
+    )
 
 
 @query(
