@@ -44,6 +44,7 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.trend_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.robust_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.retrieval_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.assoc_queries",
     ):
         try:
             __import__(mod)

@@ -97,29 +97,50 @@ def bi_revenue_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): the fact collapses to DAY grain first, so
     the pair join is C(n_days,2) — bounded by calendar span at ANY
     fact size (~2.9M pairs for 8 years, the Mann–Kendall shape); the
-    global median rank is a single-partition window over pair rows —
-    fine to decade scale, past that the documented swap is the
-    two-phase distributed rank (SCALE.md §Curation). Emitting the
+    median is selected by the TWO-PHASE distributed histogram rank
+    (operators/ranks.py, r13 VERDICT item 1): a partitioned per-bucket
+    histogram locates the median bucket, and only that ~m/1024 slice
+    is sorted — no pair row ever passes through a global
+    single-partition window. The selected pair is bit-identical to the
+    old global row_number pick (monotone bucketing respects the total
+    order; pinned in tests/test_ranks.py), so the DuckDB oracle — still
+    the global-rank SQL — hash-matches unchanged. Emitting the
     selected pair keeps the statistic hashable where an averaged
     median would float-drift."""
+    from ..operators.ranks import selected_lower_median, signed_log
+    from .shared_cache import memo_persist
+
     daily = shared_daily_revenue(spark, sf_dir).select(
         "day", (F.col("rev") * 10000).cast("bigint").alias("y4")
     )
-    a = daily.select(F.col("day").alias("da"), F.col("y4").alias("ya"))
-    b = daily.select(F.col("day").alias("db"), F.col("y4").alias("yb"))
-    pairs = a.join(b, F.col("da") < F.col("db")).select(
-        (F.col("yb") - F.col("ya")).cast("bigint").alias("dy4"),
-        F.datediff("db", "da").cast("bigint").alias("dx"),
+
+    def _build_pairs() -> DataFrame:
+        a = daily.select(F.col("day").alias("da"), F.col("y4").alias("ya"))
+        b = daily.select(F.col("day").alias("db"), F.col("y4").alias("yb"))
+        return a.join(b, F.col("da") < F.col("db")).select(
+            (F.col("yb") - F.col("ya")).cast("bigint").alias("dy4"),
+            F.datediff("db", "da").cast("bigint").alias("dx"),
+        )
+
+    # managed persist (shared_cache discipline): the two-phase rank
+    # reads the pair relation three times (bounds+count, histogram,
+    # selected-bucket slice) — one materialization of the bounded
+    # C(n_days,2) relation instead of three pair-join evaluations; at
+    # 100 TB this persist is the inter-stage checkpoint slot
+    pairs = memo_persist(
+        "theilsen_pairs",
+        (spark.sparkContext.applicationId, sf_dir),
+        _build_pairs,
     )
     slope = F.col("dy4").cast("double") / F.col("dx").cast("double")
-    w = Window.orderBy(slope, "dy4", "dx")
-    m1 = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     n1 = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
-    ranked = (
-        pairs.withColumn("r", F.row_number().over(w))
-        .crossJoin(F.broadcast(m1))
-        .filter(F.col("r") == F.expr("(m + 1) div 2"))
-    )
+    # bucket on the signed log of the slope: dx=1 outlier slopes
+    # stretch the raw range ~500x past the central mass (measured:
+    # 81% of sf0.1 pairs in ONE uniform bucket; <1% per bucket after
+    # the transform) — see operators/ranks.py:signed_log
+    ranked = selected_lower_median(
+        pairs, slope, ["dy4", "dx"], bucket_key=signed_log(slope)
+    ).withColumnRenamed("__tp_m", "m")
     return ranked.crossJoin(F.broadcast(n1)).select(
         "n_days",
         F.col("m").alias("n_pairs"),
@@ -728,3 +749,79 @@ def events_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_value_mad_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE RUNG (r13 VERDICT item 5) for events_value_mad_by_type:
+    identical output — same columns, same selected medians, same
+    outlier counts — with BOTH medians (value median and MAD) selected
+    by the two-phase distributed histogram rank
+    (operators/ranks.py:grouped_selected_lower_median) instead of the
+    per-group row_number window. The production query keeps the
+    rank-window form (parallel across the ~5 types; within-type
+    single-partition is fine to ~10⁸ rows/type and cheaper at bench
+    scale — one pass per median vs the rung's three partitioned
+    passes); THIS is the plan to swap in past that point, and
+    tests/test_ranks.py pins rung == exact on the test corpus so the
+    swap is a config change, not a rewrite."""
+    from ..operators.ranks import grouped_selected_lower_median
+
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    med = grouped_selected_lower_median(
+        v, ["event_type"], F.col("value"), ["event_id"]
+    ).select(
+        "event_type",
+        F.col("value").alias("med"),
+        F.col("__tp_n").alias("n_values"),
+    )
+    d = v.join(F.broadcast(med.select("event_type", "med")), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    madt = grouped_selected_lower_median(
+        d, ["event_type"], F.col("dev"), ["event_id"]
+    ).select("event_type", F.col("dev").alias("mad_value"))
+    return (
+        d.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(madt), "event_type")
+        .groupBy("event_type", "n_values", "med", "mad_value")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dev") > F.lit(_MAD_K) * F.col("mad_value"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n_values",
+            F.col("med").alias("median_value"),
+            "mad_value",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+def embed_norm_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE RUNG for embed_norm_stats_by_label's per-label median
+    norm: (label, median_norm) selected by the two-phase distributed
+    histogram rank instead of the per-label row_number window —
+    bit-identical selection (tests/test_ranks.py), partitioned passes
+    only."""
+    from ..operators.ranks import grouped_selected_lower_median
+    from ..operators.similarity import _dbl, norm_expr
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", norm_expr(_dbl("embedding")).alias("nrm")
+    )
+    return grouped_selected_lower_median(
+        v, ["label"], F.col("nrm"), ["vec_id"]
+    ).select("label", F.col("nrm").alias("median_norm")).orderBy("label")
