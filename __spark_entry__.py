@@ -243,6 +243,23 @@ _PAST_WINDOW = (
     # rows in its birth round). Each name below has >=2 green driver
     # rounds (most in-window since r6-r9) and an in-window mechanism
     # relative; ledger in COVERAGE.md §rotation r12.
+    # r14 session-1 spills: displaced by promoting the four new
+    # association/hypothesis-test queries (assoc_queries.py) in their
+    # birth round. Each name below is an r12d..i promotee with 2 green
+    # driver rounds (r12+r13) and an in-window mechanism relative;
+    # ledger in COVERAGE.md §rotation r14. (text_langid_threshold_sweep
+    # stays in-window: its r12 row was the DIVIDE_BY_ZERO red, so r13
+    # is its only green round.)
+    "text_domain_prototype_classifier",  # nearest-prototype confusion; cosine
+                                      # assignment in-window via
+                                      # dedup_semantic_clusters/_recall
+    "events_markov_eval",             # next-event top-1 accuracy; Markov fit
+                                      # in-window via events_markov_stationary
+    "corpus_pps_systematic_sample",   # Madow PPS draw; weighted sampling
+                                      # in-window via corpus_dsir_importance_sample
+    "text_langid_kappa",              # chance-corrected agreement; langid rate
+                                      # arithmetic in-window via calibration +
+                                      # wilson_ci + threshold_sweep
     "text_pii_scrub",                 # regex scrub; text exprs as text_profile-family (in via sparse/countmin)
     "embed_quantize_int8",            # SQ8 audit; embedding exprs as sim_ann_recall (in)
     "layout_zorder_events",           # layout audit; green r7-r11
@@ -282,10 +299,6 @@ _PROMOTED = (
     # externally proven queries past-window inverted the window's
     # purpose). The long-stable naturals they displace all have >=2
     # green driver rounds — ledger in COVERAGE.md §rotation r12.
-    "text_domain_prototype_classifier",  # nearest-prototype confusion matrix
-    "events_markov_eval",             # Markov next-event top-1 accuracy
-    "corpus_pps_systematic_sample",   # token-weighted Madow PPS draw
-    "text_langid_kappa",              # chance-corrected lang-ID agreement
     "dedup_minhash_auc",              # exact midrank AUC of the sig estimate
     "bi_revenue_backtest_mase",       # walk-forward MAE/MASE backtest
     "text_countmin_heavyhitters",     # deterministic CMS, exact replay
@@ -334,6 +347,13 @@ _PROMOTED = (
     "text_langid_calibration",        # reliability bins + ECE contributions
     "text_zipf_profile",              # power-of-two rank-frequency ratios
     "events_burst_intervals",         # gaps-and-islands burst timeline
+    # r14 new queries, promoted in their BIRTH round (the r12d..i
+    # standard): association / hypothesis-test statistics
+    # (plans/assoc_queries.py). Ledger: COVERAGE.md §rotation r14.
+    "bi_spearman_rev_qty_daily",      # midrank Spearman rho, rev vs orders
+    "bi_weekend_mannwhitney",         # tie-corrected Mann-Whitney U + z
+    "bi_active_customer_churn_jaccard",  # month-over-month set churn
+    "events_type_weekday_chisq",      # per-cell chi-square contributions
 )
 
 
