@@ -133,36 +133,69 @@ def main() -> None:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    src = f"{work}/docs_src"
-    # range chunks: novelty attribution depends on INGEST ORDER
-    n_docs = range_chunked_file_source(docs, "doc_id", src, N_CHUNKS)
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    t0 = time.perf_counter()
-    novelty_stream_against_store(
-        stream,
-        f"{work}/nov_store",
-        f"{work}/nov_out",
-        f"{work}/nov_ckpt",
-        timeout_sec=600,
-    )
-    wall = time.perf_counter() - t0
-    got = sorted(
-        map(tuple, read_novelty(spark, f"{work}/nov_out").collect())
-    )
     want = sorted(
         map(tuple, corpus_ngram_novelty(spark, sf_dir).collect())
     )
-    assert got == want, "streamed novelty != batch query"
-    results["ingest_novelty_scoring"] = {
-        "input_rows": n_docs,
-        "micro_batches": N_CHUNKS,
-        "wall_sec": round(wall, 3),
-        "rows_per_sec": round(n_docs / wall),
-        "readout_rows": len(got),
+    # Two batch counts (r13 VERDICT item 6): the 268 docs/s r13 reading
+    # bills the per-micro-batch cost (store read + anti-joins + 3
+    # parquet commits + foreachBatch scheduling) N_CHUNKS times, so the
+    # number conflates fixed per-batch overhead with per-doc scoring
+    # cost. Draining the SAME corpus at 8 and at 2 micro-batches and
+    # solving wall = fixed*B + per_doc*n separates them — committed
+    # evidence instead of the r13 assertion.
+    nov_walls: dict[int, float] = {}
+    for n_chunks in (N_CHUNKS, 2):
+        sub = f"{work}/nov{n_chunks}"
+        src = f"{sub}/docs_src"
+        # range chunks: novelty attribution depends on INGEST ORDER
+        n_docs = range_chunked_file_source(docs, "doc_id", src, n_chunks)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        novelty_stream_against_store(
+            stream,
+            f"{sub}/nov_store",
+            f"{sub}/nov_out",
+            f"{sub}/nov_ckpt",
+            timeout_sec=600,
+        )
+        wall = time.perf_counter() - t0
+        got = sorted(
+            map(tuple, read_novelty(spark, f"{sub}/nov_out").collect())
+        )
+        assert got == want, "streamed novelty != batch query"
+        nov_walls[n_chunks] = wall
+        key = (
+            "ingest_novelty_scoring"
+            if n_chunks == N_CHUNKS
+            else f"ingest_novelty_scoring_{n_chunks}batch"
+        )
+        results[key] = {
+            "input_rows": n_docs,
+            "micro_batches": n_chunks,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_docs / wall),
+            "readout_rows": len(got),
+        }
+    fixed = (nov_walls[N_CHUNKS] - nov_walls[2]) / (N_CHUNKS - 2)
+    per_doc = (nov_walls[2] - 2 * fixed) / n_docs
+    results["ingest_novelty_decomposition"] = {
+        "fixed_per_batch_sec": round(fixed, 3),
+        "per_doc_ms": round(per_doc * 1000, 4),
+        "note": (
+            "wall = fixed*B + per_doc*n solved from the 8- and 2-batch "
+            "drains of the same corpus; fixed is micro-batch machinery "
+            "(store read-back, 3 parquet commits, scheduling), per_doc "
+            "is the marginal shingle/anti-join/scoring cost. A per_doc "
+            "estimate <= 0 means the marginal per-doc cost is below "
+            "measurement noise: throughput is set ENTIRELY by batch "
+            "size, so production ingestion amortizes by sizing "
+            "micro-batches >= 10^4 docs (maxFilesPerTrigger), not by "
+            "optimizing the scoring plan"
+        ),
     }
 
     shutil.rmtree(work, ignore_errors=True)
