@@ -260,6 +260,19 @@ _PAST_WINDOW = (
     "text_langid_kappa",              # chance-corrected agreement; langid rate
                                       # arithmetic in-window via calibration +
                                       # wilson_ci + threshold_sweep
+    # r14 session-2 spills: displaced by promoting the lead-lag /
+    # assortativity / Benford trio in their birth round; same 2-green
+    # r12d..i eligibility, ledger in COVERAGE.md §rotation r14.
+    "dedup_minhash_auc",              # sig-estimate AUC; the minhash path is
+                                      # in-window via graph_degree_assortativity
+                                      # + graph_pagerank_dupgraph (same shared
+                                      # verified pairs) and dedup_semantic_recall
+    "bi_revenue_backtest_mase",       # walk-forward backtest; day-grain rolling
+                                      # eval in-window via
+                                      # bi_forecast_interval_coverage
+    "text_countmin_heavyhitters",     # deterministic CMS replay; term-count
+                                      # family in-window via text_zipf_profile +
+                                      # text_bm25_search
     "text_pii_scrub",                 # regex scrub; text exprs as text_profile-family (in via sparse/countmin)
     "embed_quantize_int8",            # SQ8 audit; embedding exprs as sim_ann_recall (in)
     "layout_zorder_events",           # layout audit; green r7-r11
@@ -299,9 +312,6 @@ _PROMOTED = (
     # externally proven queries past-window inverted the window's
     # purpose). The long-stable naturals they displace all have >=2
     # green driver rounds — ledger in COVERAGE.md §rotation r12.
-    "dedup_minhash_auc",              # exact midrank AUC of the sig estimate
-    "bi_revenue_backtest_mase",       # walk-forward MAE/MASE backtest
-    "text_countmin_heavyhitters",     # deterministic CMS, exact replay
     "text_langid_threshold_sweep",    # P/R/F1 operating characteristic
     "text_sparse_cosine_pairs",       # df-capped sparse tf cosine pairs
     "bi_revenue_trend_ols",           # exact fixed-point OLS trend
@@ -354,6 +364,9 @@ _PROMOTED = (
     "bi_weekend_mannwhitney",         # tie-corrected Mann-Whitney U + z
     "bi_active_customer_churn_jaccard",  # month-over-month set churn
     "events_type_weekday_chisq",      # per-cell chi-square contributions
+    "events_type_leadlag_concordance",  # cross-series lead-lag sign coupling
+    "graph_degree_assortativity",     # endpoint-degree Pearson r of dup graph
+    "bi_benford_first_digit",         # first-digit law audit of order totals
 )
 
 

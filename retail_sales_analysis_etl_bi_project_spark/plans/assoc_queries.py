@@ -41,13 +41,22 @@ extension surface.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import fixed4_sql
 from ..sources.tables import load_table
+from .dedup_queries import _minhash_lsh_oracle, shared_minhash_pairs
 from .registry import query
 from .trend_queries import _DEC
+
+# Benford expected first-digit fractions log10(1+1/d): module-level so
+# the SAME Python float literal lands in the Spark plan and the DuckDB
+# SQL string (the BM25-constant convention — a re-derivation on one
+# side could round differently).
+_BENFORD = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
 
 # DuckDB fragment: observed daily series (day, y4 revenue, c orders)
 _SQL_DAILY_XY = f"""
@@ -441,4 +450,342 @@ def events_type_weekday_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_cell"),
         )
         .orderBy("event_type", "iso_dow")
+    )
+
+
+_LEADLAG_LAGS = (0, 1)
+
+
+@query(
+    "events_type_leadlag_concordance",
+    oracle="""
+    WITH ec AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM ec),
+    cal AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                               CAST(hi AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS day
+            FROM b),
+    ty AS (SELECT DISTINCT event_type FROM ec),
+    dense AS (
+      SELECT ty.event_type, cal.day, coalesce(ec.n, 0) AS n
+      FROM ty CROSS JOIN cal
+      LEFT JOIN ec ON ec.event_type = ty.event_type AND ec.day = cal.day),
+    delta AS (
+      SELECT event_type, day,
+             CASE WHEN n > pn THEN 1 WHEN n < pn THEN -1 ELSE 0 END AS s
+      FROM (SELECT event_type, day, n,
+                   lag(n) OVER (PARTITION BY event_type
+                                ORDER BY day) AS pn
+            FROM dense)
+      WHERE pn IS NOT NULL),
+    lags AS (SELECT unnest([0, 1]) AS lag),
+    joined AS (
+      SELECT a.event_type AS type_a, bb.event_type AS type_b, l.lag,
+             a.s AS sa, bb.s AS sb
+      FROM delta a
+      CROSS JOIN lags l
+      JOIN delta bb ON bb.day = a.day + l.lag * INTERVAL 1 DAY
+                    AND bb.event_type <> a.event_type)
+    SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag,
+           CAST(SUM(CASE WHEN sa * sb > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_concordant,
+           CAST(SUM(CASE WHEN sa * sb < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_discordant,
+           CAST(SUM(CASE WHEN sa * sb = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tied,
+           CAST(SUM(sa * sb) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS concordance
+    FROM joined
+    GROUP BY 1, 2, 3
+    ORDER BY type_a, type_b, lag
+    """,
+)
+def events_type_leadlag_concordance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEAD-LAG SIGN CONCORDANCE between event-type daily volumes: for
+    every ORDERED type pair (a, b) and lag L ∈ {0, 1}, how often does
+    a's day-over-day direction agree with b's direction L days LATER —
+    the coupling detector behind the burst/anomaly monitors (lag 0
+    says the types co-move; an asymmetric lag-1 score says one type's
+    moves LEAD the other's, the cheapest causal-direction signal a
+    daily grid supports). Sign-based, so one huge day can't dominate
+    the score the way a covariance would.
+
+    Exactness: deltas are exact integer count differences over the
+    dense calendar (missing days are exact-0); signs are {-1,0,1};
+    the per-pair readout is exact concordant/discordant/tie counts
+    and concordance = Σ(sa·sb)/count — one double division of exact
+    integers. Ordered pairs keep ONE uniform join predicate across
+    both lags (lag-0 rows mirror; lag-1 rows genuinely differ by
+    direction — the readout of interest).
+
+    Scale shape (100 TB): the fact collapses to (type, day) grain in
+    one map-side-combined pass; the calendar gapfill and the lag
+    window are type-count × day-count sized; the pair join is an
+    equi-join on the shifted day key over day-grain rows — bounded by
+    calendar × type-vocabulary at any fact size."""
+    ec = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    b = ec.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = b.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    ty = ec.select("event_type").distinct()
+    dense = (
+        ty.crossJoin(cal)
+        .join(ec, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    delta = (
+        dense.withColumn("pn", F.lag("n").over(w))
+        .filter(F.col("pn").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("n") > F.col("pn"), 1)
+            .when(F.col("n") < F.col("pn"), -1)
+            .otherwise(0)
+            .alias("s"),
+        )
+    )
+    lags = spark.createDataFrame(
+        [(lag,) for lag in _LEADLAG_LAGS], "lag long"
+    )
+    a = delta.select(
+        F.col("event_type").alias("type_a"),
+        F.col("day").alias("da"),
+        F.col("s").alias("sa"),
+    )
+    bb = delta.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("db"),
+        F.col("s").alias("sb"),
+    )
+    joined = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("jday", F.expr("date_add(da, cast(lag as int))"))
+        .join(
+            bb,
+            (F.col("db") == F.col("jday"))
+            & (F.col("type_b") != F.col("type_a")),
+        )
+    )
+    return (
+        joined.groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.sum(F.when(F.col("sa") * F.col("sb") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_concordant"),
+            F.sum(F.when(F.col("sa") * F.col("sb") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_discordant"),
+            F.sum(F.when(F.col("sa") * F.col("sb") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_tied"),
+            (
+                F.sum(F.col("sa") * F.col("sb")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("concordance"),
+        )
+        .orderBy("type_a", "type_b", "lag")
+    )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH mh AS MATERIALIZED ({_minhash_lsh_oracle()}),
+    e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM mh
+                       UNION ALL SELECT doc_b AS s, doc_a AS d FROM mh),
+    deg AS MATERIALIZED (SELECT s, CAST(count(*) AS HUGEINT) AS dg
+                         FROM e GROUP BY s),
+    de AS (
+      SELECT da.dg AS x, db.dg AS y
+      FROM e JOIN deg da ON e.s = da.s JOIN deg db ON e.d = db.s),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y * y) AS HUGEINT) AS syy
+      FROM de)
+    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(n * sxy - sx * sy AS BIGINT) AS s_num,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                ELSE NULL END AS assortativity
+    FROM m
+    """,
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the MinHash-verified near-dup graph:
+    the Pearson correlation of endpoint degrees over the directed edge
+    list — do high-degree documents attach to other hubs (assortative,
+    r>0: one mega-family of templates) or to leaves (disassortative,
+    r<0: hub-and-spoke boilerplate around distinct cores)? The one
+    scalar that tells the dedup operator whether cluster canonicals
+    will be dominated by a single template family. Completes the graph
+    family (components / coreness / triangles / PageRank) with its
+    structural-correlation member.
+
+    Exactness: degrees are exact counts; all five moments ride
+    DECIMAL(38,0)/HUGEINT over the symmetric edge list; s_num is the
+    exact-integer hash anchor; the coefficient is the pinned
+    num/(√d1·√d2) chain, NULL (both engines, explicit CASE) when a
+    degree-regular graph makes a variance zero.
+
+    Scale shape (100 TB): consumes the SAME shared_minhash_pairs
+    managed persist as the rest of the graph family (banded LSH, never
+    all-pairs); degree is one groupBy on the edge list; the moment
+    pass is two broadcast joins of the degree relation keyed by node —
+    every step partitioned by node id."""
+    pairs = shared_minhash_pairs(spark, sf_dir)
+    e = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast(_DEC).alias("dg"))
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    de = (
+        e.join(deg.withColumnRenamed("dg", "x"), "s")
+        .join(
+            deg.select(F.col("s").alias("d"), F.col("dg").alias("y")), "d"
+        )
+        .select("x", "y")
+    )
+    m = de.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").cast(_DEC).alias("sx"),
+        F.sum("y").cast(_DEC).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(_DEC).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(_DEC).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(_DEC).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.crossJoin(F.broadcast(nn)).select(
+        F.expr("n div 2").cast("bigint").alias("n_edges"),
+        "n_nodes",
+        num.cast("bigint").alias("s_num"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            num.cast("double")
+            / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))),
+        ).alias("assortativity"),
+    )
+
+
+def _benford_values_sql() -> str:
+    # explicit DOUBLE cast: DuckDB parses a bare decimal literal in
+    # VALUES as DECIMAL, which the gate stringifies differently from
+    # the identical double
+    rows = ", ".join(
+        f"({d}, CAST({_BENFORD[d]!r} AS DOUBLE))" for d in range(1, 10)
+    )
+    return f"(VALUES {rows}) AS bf(digit, p)"
+
+
+@query(
+    "bi_benford_first_digit",
+    oracle=f"""
+    WITH y AS (
+      SELECT {fixed4_sql('o_totalprice')} AS y4 FROM orders),
+    dig AS (
+      SELECT CAST(substr(CAST(y4 AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM y GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM dig)
+    SELECT bf.digit,
+           coalesce(dig.n_obs, 0) AS n_obs,
+           t.n_total,
+           CAST(coalesce(dig.n_obs, 0) AS DOUBLE)
+             / CAST(t.n_total AS DOUBLE) AS obs_frac,
+           bf.p AS benford_frac,
+           (CAST(coalesce(dig.n_obs, 0) AS DOUBLE)
+              - CAST(t.n_total AS DOUBLE) * bf.p)
+           * (CAST(coalesce(dig.n_obs, 0) AS DOUBLE)
+              - CAST(t.n_total AS DOUBLE) * bf.p)
+           / (CAST(t.n_total AS DOUBLE) * bf.p) AS chi2_cell
+    FROM {_benford_values_sql()}
+    LEFT JOIN dig ON dig.digit = bf.digit
+    CROSS JOIN t
+    ORDER BY bf.digit
+    """,
+)
+def bi_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD first-significant-digit audit of order totals: observed
+    first-digit frequencies vs the Benford expectation log10(1+1/d),
+    with a per-digit chi-square contribution — the classic synthetic-
+    data / fraud screen (organically-grown money amounts lean Benford;
+    uniform generators and fabricated books don't), pointed here at
+    the generator's own output as a data-quality fingerprint. Per-
+    digit emission (9 rows) keeps every number free of cross-cell
+    double summation.
+
+    Exactness: the first significant digit is extracted from the exact
+    ×10⁴ fixed-point integer (multiplying by 10⁴ never changes
+    significant digits of a positive amount, and string-leading-char
+    of an exact integer is deterministic on both engines); counts are
+    exact; the expectation constants are ONE shared Python float
+    literal per digit embedded in both plans (the BM25-constant
+    convention); obs_frac and chi2_cell are pinned double chains.
+    Digits with zero observations still emit (left join from the
+    9-row expectation table) so the output shape is always 9 rows.
+
+    Scale shape (100 TB): one fact pass collapsing to <= 9 groups with
+    map-side combine; everything after is 9-row arithmetic."""
+    y4 = (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast(
+        "decimal(38,0)"
+    )
+    dig = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.substring(y4.cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    t = dig.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    bf = spark.createDataFrame(
+        [(d, _BENFORD[d]) for d in range(1, 10)], "digit long, p double"
+    )
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0))
+    e = F.col("n_total").cast("double") * F.col("p")
+    diff = n_obs.cast("double") - e
+    return (
+        bf.join(dig, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            n_obs.cast("bigint").alias("n_obs"),
+            "n_total",
+            (n_obs.cast("double") / F.col("n_total").cast("double")).alias(
+                "obs_frac"
+            ),
+            F.col("p").alias("benford_frac"),
+            (diff * diff / e).alias("chi2_cell"),
+        )
+        .orderBy("digit")
     )
