@@ -45,6 +45,7 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.robust_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.retrieval_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.assoc_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.vocab_queries",
     ):
         try:
             __import__(mod)
@@ -273,6 +274,21 @@ _PAST_WINDOW = (
     "text_countmin_heavyhitters",     # deterministic CMS replay; term-count
                                       # family in-window via text_zipf_profile +
                                       # text_bm25_search
+    # r14 session-3 spills: displaced by promoting the vocabulary /
+    # curation quartet (vocab_queries.py) in their birth round; same
+    # 2-green r12d..i eligibility, ledger in COVERAGE.md §rotation r14.
+    "text_sparse_cosine_pairs",       # df-capped sparse cosine; postings /
+                                      # sparse-vector family in-window via
+                                      # text_bm25_search + text_hybrid_rrf_fusion
+    "bi_basket_triples",              # A-priori 3-itemsets; co-occurrence
+                                      # mining in-window via bi_copurchase_linkpred
+                                      # + bi_reorder_hazard
+    "bi_revenue_runs_test",           # Wald-Wolfowitz runs; sign-sequence
+                                      # family in-window via
+                                      # bi_revenue_trend_mannkendall + leadlag
+    "bi_revenue_autocorr",            # seasonal-lag ACF; the lag-7 structure it
+                                      # detects is quantified in-window by
+                                      # bi_revenue_weekday_seasonality
     "text_pii_scrub",                 # regex scrub; text exprs as text_profile-family (in via sparse/countmin)
     "embed_quantize_int8",            # SQ8 audit; embedding exprs as sim_ann_recall (in)
     "layout_zorder_events",           # layout audit; green r7-r11
@@ -313,17 +329,13 @@ _PROMOTED = (
     # purpose). The long-stable naturals they displace all have >=2
     # green driver rounds — ledger in COVERAGE.md §rotation r12.
     "text_langid_threshold_sweep",    # P/R/F1 operating characteristic
-    "text_sparse_cosine_pairs",       # df-capped sparse tf cosine pairs
     "bi_revenue_trend_ols",           # exact fixed-point OLS trend
     "bi_revenue_gini_customers",      # Lorenz-rank Gini concentration
-    "bi_basket_triples",              # A-priori 3-itemsets + lift
     "bi_reorder_hazard",              # censored life-table hazard
     "text_langid_wilson_ci",          # binomial score interval
     "bi_forecast_interval_coverage",  # split-conformal coverage audit
     "events_path_lift",               # order-2 Markov adequacy test
     "bi_revenue_trend_mannkendall",   # rank-based trend test (tau)
-    "bi_revenue_autocorr",            # exact ACF at seasonal lags
-    "bi_revenue_runs_test",           # Wald-Wolfowitz runs counts
     # r13 promotions (r12 VERDICT item 3): the ten r12b/c queries,
     # registered past-window in r12 with gate-replica green at
     # sf0.001+sf0.01+sf0.1, get their first driver hash rounds now.
@@ -367,6 +379,10 @@ _PROMOTED = (
     "events_type_leadlag_concordance",  # cross-series lead-lag sign coupling
     "graph_degree_assortativity",     # endpoint-degree Pearson r of dup graph
     "bi_benford_first_digit",         # first-digit law audit of order totals
+    "text_oov_rate_by_split",         # top-V train-vocab coverage of splits
+    "text_heaps_law_curve",           # vocabulary growth at corpus eighths
+    "corpus_neyman_allocation",       # N_h*S_h optimal stratified budget
+    "text_hapax_ratio_by_source",     # f1 spectrum / Good-Turing unseen mass
 )
 
 

@@ -1,0 +1,449 @@
+"""Round-14 vocabulary / corpus-curation statistics — four mechanisms
+an LLM-data pipeline runs before committing a corpus to a tokenizer
+budget, each with an exact DuckDB twin:
+
+- text_oov_rate_by_split    : top-V train vocabulary coverage of the
+                              val/test splits — the OOV-rate audit
+                              behind every fixed-vocabulary consumer
+                              (a val OOV spike means the split hash is
+                              confounded with content, or the corpus
+                              drifted between splits).
+- text_heaps_law_curve      : cumulative vocabulary size at 1/8, 1/4,
+                              1/2 and full corpus (ingest order) — the
+                              Heaps-law growth curve that says whether
+                              vocabulary is SATURATING (more data =
+                              mostly known words) or still open-ended.
+- corpus_neyman_allocation  : optimal (Neyman) stratified sample
+                              allocation n_h ∝ N_h·S_h over sources —
+                              where a fixed labeling/eval budget buys
+                              the most variance reduction, the
+                              principled upgrade over proportional
+                              sampling.
+- text_hapax_ratio_by_source: hapax legomena (frequency-1 terms) per
+                              source — f₁/N is the Good–Turing unseen
+                              -mass estimate, the "how much vocabulary
+                              have we NOT seen yet" number per source.
+
+Numeric discipline (REQUIREMENTS.md): counts and variance numerators
+ride exact integers (DECIMAL(38,0)/HUGEINT); every emitted double is a
+pinned chain of casts, single divisions, and IEEE sqrt; the one
+cross-stratum double reduction (Neyman's Σ N_h·S_h) is an ORDERED
+running-sum fold over the source-sorted stratum rows — sequential on
+both engines, never an order-free float sum.
+
+Reference scope: the reference has no text analytics at all
+(/root/reference/etl/etl.py); this is engine extension surface for the
+training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.text import lower_terms, token_count_expr
+from ..sources.tables import load_table
+from .registry import query
+from .text_queries import _SQL_TOKS
+from .trend_queries import _DEC
+
+# shared split convention (extension_queries): hash60(doc_id) % 1000
+from .extension_queries import _SPLIT_TRAIN_CUT, _SPLIT_VAL_CUT, _split_col, _sql_split_cte
+
+_OOV_VOCAB_V = 500
+
+_SQL_TERMS_SPLIT = f"""
+    SELECT s.split, lower(unnest(d.toks)) AS term
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) d
+    JOIN ({_sql_split_cte(_SPLIT_TRAIN_CUT, _SPLIT_VAL_CUT)}) s
+      USING (doc_id)
+"""
+
+
+@query(
+    "text_oov_rate_by_split",
+    oracle=f"""
+    WITH ts AS ({_SQL_TERMS_SPLIT}),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term,
+               row_number() OVER (ORDER BY count(*) DESC, term) AS r
+        FROM ts WHERE split = 'train' GROUP BY term)
+      WHERE r <= {_OOV_VOCAB_V}),
+    scored AS (
+      SELECT ts.split,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM ts LEFT JOIN vocab v ON ts.term = v.term)
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST({_OOV_VOCAB_V} AS BIGINT) AS vocab_size,
+           CAST(SUM(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM scored
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def text_oov_rate_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV-RATE audit: build the top-{V} term vocabulary from the TRAIN
+    split (count desc, term asc — a deterministic total order so the
+    V-th place can't flap between engines) and measure the fraction of
+    token OCCURRENCES each split can't cover. Train's own OOV rate is
+    the irreducible tail of its frequency spectrum; val/test rates
+    materially above it mean the splits aren't exchangeable — the
+    pre-tokenizer sanity check every fixed-vocab consumer needs.
+
+    Exactness: token and OOV counts are exact; the vocabulary is a
+    rank-V selection under a deterministic order; oov_rate is one
+    double division per split row.
+
+    Scale shape (100 TB): one tokenize pass (the shared lower_terms
+    explode, cluster-width repartitioned); the vocabulary rank runs on
+    the DISTINCT-term relation (Heaps-sublinear — the documented
+    vocabulary-grain window concession shared with the tf-idf/Zipf
+    family); scoring is a broadcast join of the V-row vocabulary
+    against the token stream; readout is 3 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = lower_terms(docs).join(
+        docs.select("doc_id", _split_col(
+            _SPLIT_TRAIN_CUT, _SPLIT_VAL_CUT).alias("split")),
+        "doc_id",
+    ).select("split", "term")
+    w = Window.orderBy(F.desc("cnt"), "term")
+    vocab = (
+        ts.filter(F.col("split") == "train")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _OOV_VOCAB_V)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        ts.join(F.broadcast(vocab), "term", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "split",
+            "n_tokens",
+            "n_oov",
+            F.lit(_OOV_VOCAB_V).cast("bigint").alias("vocab_size"),
+            (
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+        .orderBy("split")
+    )
+
+
+text_oov_rate_by_split.__doc__ = text_oov_rate_by_split.__doc__.format(
+    V=_OOV_VOCAB_V
+)
+
+_HEAPS_EIGHTHS = (1, 2, 4, 8)
+
+
+@query(
+    "text_heaps_law_curve",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+             CAST(max(doc_id) AS BIGINT) AS hi
+      FROM documents),
+    cps AS (
+      SELECT k,
+             lo + ((hi - lo + 1) * k) // 8 - 1 AS thr
+      FROM b CROSS JOIN (SELECT unnest({list(_HEAPS_EIGHTHS)!r}) AS k)),
+    dt AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks
+      FROM documents),
+    firsts AS (
+      SELECT term, CAST(min(doc_id) AS BIGINT) AS first_id
+      FROM (SELECT doc_id, lower(unnest({_SQL_TOKS})) AS term
+            FROM documents)
+      GROUP BY 1),
+    docagg AS (
+      SELECT cps.k, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dt.n_toks) AS BIGINT) AS n_tokens
+      FROM cps JOIN dt ON dt.doc_id <= cps.thr
+      GROUP BY 1),
+    vocagg AS (
+      SELECT cps.k, CAST(count(*) AS BIGINT) AS vocab_size
+      FROM cps JOIN firsts f
+        ON f.first_id IS NOT NULL AND f.first_id <= cps.thr
+      GROUP BY 1)
+    SELECT CAST(k AS BIGINT) AS cp_eighths, n_docs, n_tokens, vocab_size,
+           CAST(vocab_size AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS type_token_ratio
+    FROM docagg JOIN vocagg USING (k)
+    ORDER BY cp_eighths
+    """,
+)
+def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS-LAW vocabulary growth curve: distinct-term count after
+    ingesting the first 1/8, 1/4, 1/2 and all of the corpus (doc_id
+    order == ingest order, the corpus_ngram_novelty convention), with
+    the running type/token ratio. A flattening curve says the
+    vocabulary is saturating (new data is mostly known words — safe to
+    freeze the tokenizer); a straight one says it is still open-ended.
+
+    Checkpoints are doc_id RANGE cuts (lo + span·k/8, exact integer
+    arithmetic) rather than row-rank cuts — no global row_number over
+    the corpus, so the construction itself is 100 TB-safe and
+    identical on both engines.
+
+    Exactness: per-doc token counts, first-occurrence doc ids
+    (min per term), and all checkpoint counts are exact integers; the
+    type/token ratio is one double division per checkpoint row.
+
+    Scale shape (100 TB): one tokenize pass for per-doc counts; one
+    term-grouped min for first occurrences (partitioned by term,
+    map-side combined); each relation is then filtered against the
+    broadcast 4-row checkpoint table and aggregated — a ×4 fan-out of
+    day-in-the-life scans, never a window over corpus rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.min("doc_id").cast("bigint").alias("lo"),
+        F.max("doc_id").cast("bigint").alias("hi"),
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in _HEAPS_EIGHTHS], "k long"
+    )
+    cps = b.crossJoin(ks).select(
+        "k",
+        (
+            F.col("lo")
+            + F.expr("((hi - lo + 1) * k) div 8")
+            - 1
+        ).alias("thr"),
+    )
+    dt = docs.select(
+        "doc_id",
+        F.coalesce(token_count_expr("text"), F.lit(0))
+        .cast("bigint")
+        .alias("n_toks"),
+    )
+    firsts = lower_terms(docs).groupBy("term").agg(
+        F.min("doc_id").cast("bigint").alias("first_id")
+    )
+    docagg = (
+        dt.crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") <= F.col("thr"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    vocagg = (
+        firsts.crossJoin(F.broadcast(cps))
+        .filter(F.col("first_id") <= F.col("thr"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"))
+    )
+    return (
+        docagg.join(vocagg, "k")
+        .select(
+            F.col("k").cast("bigint").alias("cp_eighths"),
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            (
+                F.col("vocab_size").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("cp_eighths")
+    )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "corpus_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+               AS sxx
+      FROM documents GROUP BY 1),
+    w AS (
+      SELECT source, n, CAST(n * sxx - sx * sx AS BIGINT) AS var_num,
+             CASE WHEN n >= 2 THEN
+               sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    / CAST(n * (n - 1) AS DOUBLE))
+             ELSE CAST(0 AS DOUBLE) END AS s_chars
+      FROM s),
+    ww AS (
+      SELECT source, n, var_num, s_chars,
+             CAST(n AS DOUBLE) * s_chars AS wgt
+      FROM w),
+    cum AS (
+      SELECT *,
+             SUM(wgt) OVER (ORDER BY source
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run
+      FROM ww),
+    tot AS (SELECT *, max(run) OVER () AS total FROM cum)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           var_num,
+           s_chars,
+           wgt / total AS alloc_frac,
+           CAST(floor({_NEYMAN_BUDGET} * wgt / total) AS BIGINT)
+             AS alloc_n
+    FROM tot
+    ORDER BY source
+    """,
+)
+def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-OPTIMAL stratified allocation of a {B}-item budget over
+    sources: n_h ∝ N_h·S_h (stratum size × within-stratum stddev of
+    doc length) — the allocation that minimizes the variance of the
+    stratified estimate, i.e. where a fixed labeling/eval budget buys
+    the most information. Proportional sampling (the stratified-sample
+    query's posture) over-samples big HOMOGENEOUS sources; this is the
+    principled correction.
+
+    Exactness: per-stratum moments are exact integers; var_num =
+    n·Σx² − (Σx)² is the exact hash anchor; S_h is one division + one
+    IEEE sqrt. The one cross-stratum reduction Σ N_h·S_h is an ORDERED
+    running-sum window over the source-sorted stratum rows — a
+    sequential fold both engines execute identically (never an
+    order-free float SUM); weights are non-negative so the fold's max
+    IS its final value.
+
+    Scale shape (100 TB): one map-side-combined pass to stratum grain;
+    everything after is source-count rows (~10¹-10² strata)."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast(_DEC).alias("n"),
+            F.sum(F.col("n_chars").cast(_DEC)).alias("sx"),
+            F.sum(F.col("n_chars").cast(_DEC) * F.col("n_chars")).alias(
+                "sxx"
+            ),
+        )
+    )
+    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    s_chars = F.when(
+        F.col("n") >= 2,
+        F.sqrt(
+            var_num.cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    ww = s.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        var_num.cast("bigint").alias("var_num"),
+        s_chars.alias("s_chars"),
+        (F.col("n").cast("double") * s_chars).alias("wgt"),
+    )
+    w_run = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = ww.withColumn("run", F.sum("wgt").over(w_run)).withColumn(
+        "total", F.max("run").over(w_all)
+    )
+    return cum.select(
+        "source",
+        "n_docs",
+        "var_num",
+        "s_chars",
+        (F.col("wgt") / F.col("total")).alias("alloc_frac"),
+        F.floor(
+            F.lit(float(_NEYMAN_BUDGET)) * F.col("wgt") / F.col("total")
+        )
+        .cast("bigint")
+        .alias("alloc_n"),
+    ).orderBy("source")
+
+
+corpus_neyman_allocation.__doc__ = corpus_neyman_allocation.__doc__.format(
+    B=_NEYMAN_BUDGET
+)
+
+
+@query(
+    "text_hapax_ratio_by_source",
+    oracle=f"""
+    WITH tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT source, lower(unnest({_SQL_TOKS})) AS term
+            FROM documents)
+      GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS hapax_vocab_ratio,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(f) AS DOUBLE) AS good_turing_unseen
+    FROM tf
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_hapax_ratio_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HAPAX LEGOMENA per source: the count and share of terms that
+    occur exactly once — f₁/N is the Good–Turing estimate of the
+    probability mass of UNSEEN vocabulary, the per-source "how much
+    more vocabulary is out there" number (high hapax share = the
+    source is lexically open-ended and under-sampled; low = saturated
+    — the per-source drill-down of text_heaps_law_curve's corpus-level
+    answer, and the frequency-SPECTRUM statistic the Zipf rank profile
+    integrates away).
+
+    Exactness: the (source, term) frequency table and all counts are
+    exact integers; the two ratios are one double division each.
+
+    Scale shape (100 TB): one tokenize pass to (source, term) grain
+    (partitioned by the composite key, map-side combined — the same
+    shuffle class as the tf-idf family); the readout collapses to
+    source grain."""
+    tf = (
+        lower_terms(load_table(spark, sf_dir, "documents"), "source")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    hapax = F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+            hapax.alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab_size",
+            "n_hapax",
+            (
+                F.col("n_hapax").cast("double")
+                / F.col("vocab_size").cast("double")
+            ).alias("hapax_vocab_ratio"),
+            (
+                F.col("n_hapax").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("good_turing_unseen"),
+        )
+        .orderBy("source")
+    )
