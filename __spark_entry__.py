@@ -289,6 +289,16 @@ _PAST_WINDOW = (
     "bi_revenue_autocorr",            # seasonal-lag ACF; the lag-7 structure it
                                       # detects is quantified in-window by
                                       # bi_revenue_weekday_seasonality
+    # r14 session-4 spills: displaced by promoting the LSH-skew /
+    # IVF-balance / resize trio in their birth round; same 2-green
+    # r12d..i eligibility, ledger in COVERAGE.md §rotation r14.
+    "bi_revenue_trend_ols",           # OLS slope; the trend triple stays
+                                      # in-window via theilsen + mannkendall
+    "text_langid_wilson_ci",          # binomial interval; langid rate family
+                                      # in-window via calibration + sweep
+    "events_path_lift",               # order-2 Markov adequacy; sequence family
+                                      # in-window via events_markov_stationary +
+                                      # events_type_leadlag_concordance
     "text_pii_scrub",                 # regex scrub; text exprs as text_profile-family (in via sparse/countmin)
     "embed_quantize_int8",            # SQ8 audit; embedding exprs as sim_ann_recall (in)
     "layout_zorder_events",           # layout audit; green r7-r11
@@ -329,12 +339,9 @@ _PROMOTED = (
     # purpose). The long-stable naturals they displace all have >=2
     # green driver rounds — ledger in COVERAGE.md §rotation r12.
     "text_langid_threshold_sweep",    # P/R/F1 operating characteristic
-    "bi_revenue_trend_ols",           # exact fixed-point OLS trend
     "bi_revenue_gini_customers",      # Lorenz-rank Gini concentration
     "bi_reorder_hazard",              # censored life-table hazard
-    "text_langid_wilson_ci",          # binomial score interval
     "bi_forecast_interval_coverage",  # split-conformal coverage audit
-    "events_path_lift",               # order-2 Markov adequacy test
     "bi_revenue_trend_mannkendall",   # rank-based trend test (tau)
     # r13 promotions (r12 VERDICT item 3): the ten r12b/c queries,
     # registered past-window in r12 with gate-replica green at
@@ -383,6 +390,9 @@ _PROMOTED = (
     "text_heaps_law_curve",           # vocabulary growth at corpus eighths
     "corpus_neyman_allocation",       # N_h*S_h optimal stratified budget
     "text_hapax_ratio_by_source",     # f1 spectrum / Good-Turing unseen mass
+    "dedup_lsh_bucket_skew",          # band-bucket occupancy / candidate cost
+    "sim_ivf_cell_balance",           # inverted-list balance / probe variance
+    "multimodal_resize_dims",         # resize arm through Arrow, oracle-checked
 )
 
 

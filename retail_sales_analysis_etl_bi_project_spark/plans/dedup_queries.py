@@ -137,17 +137,16 @@ def _hex60(x: str) -> str:
     )
 
 
-def _minhash_lsh_oracle(
+def _minhash_bands_cte(
     num_hashes: int = 64,
     bands: int = 16,
-    threshold: float = 0.5,
-    cand_extra: str = "",
     docs_sql: str = "documents",
 ) -> str:
-    """Full MinHash-LSH pipeline in DuckDB SQL: shingles -> base hash ->
-    universal-family grouped MINs -> Horner band buckets -> candidate
-    self-join -> exact-Jaccard verification. Mirrors
-    operators/dedup.py minhash_dedup_pairs step for step."""
+    """The shared prefix of every MinHash oracle: shingles -> base hash
+    -> universal-family grouped MINs -> Horner band buckets, as a CTE
+    body ending at the ``bands`` relation. Factored out (r14) so the
+    bucket-skew audit replays the IDENTICAL banding the pair oracles
+    use."""
     rpb = num_hashes // bands
     mins = ",\n             ".join(
         f"MIN(({a} * hb + {b}) % {P31}) AS h{i}"
@@ -161,14 +160,28 @@ def _minhash_lsh_oracle(
         return f"SELECT doc_id, {i} AS band_idx, {expr} AS band_hash FROM sig"
 
     bands_sql = "\n      UNION ALL ".join(band_select(i) for i in range(bands))
-    return f"""
-    WITH sh AS ({_sql_shingles(docs_sql)}),
+    return f"""sh AS ({_sql_shingles(docs_sql)}),
     tall AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
     hb_t AS (SELECT doc_id, {_hex60('shingle')} % {P31} AS hb FROM tall),
     sig AS (SELECT doc_id,
              {mins}
             FROM hb_t GROUP BY doc_id),
-    bands AS ({bands_sql}),
+    bands AS ({bands_sql})"""
+
+
+def _minhash_lsh_oracle(
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    cand_extra: str = "",
+    docs_sql: str = "documents",
+) -> str:
+    """Full MinHash-LSH pipeline in DuckDB SQL: the shared banding
+    prefix (_minhash_bands_cte) -> candidate self-join -> exact-Jaccard
+    verification. Mirrors operators/dedup.py minhash_dedup_pairs step
+    for step."""
+    return f"""
+    WITH {_minhash_bands_cte(num_hashes, bands, docs_sql)},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -1450,4 +1463,66 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rung(16))
         .unionByName(rung(16, n_assign=2))
         .orderBy("family")
+    )
+
+
+@query(
+    "dedup_lsh_bucket_skew",
+    oracle=f"""
+    WITH {_minhash_bands_cte()},
+    occ AS (
+      SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS s
+      FROM bands GROUP BY 1, 2)
+    SELECT s AS bucket_size,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(*) * ((s * (s - 1)) // 2) AS BIGINT)
+             AS n_candidate_pairs
+    FROM occ
+    GROUP BY s
+    ORDER BY s
+    """,
+)
+def dedup_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BUCKET-OCCUPANCY SKEW audit: the size distribution of the
+    (band, bucket) hash buckets the MinHash pipeline joins on —
+    bucket_size s -> how many buckets hold exactly s docs, and the
+    s·(s−1)/2 candidate pairs each contributes. THE operational
+    health check of banded dedup at 100 TB: candidate cost is
+    Σ s², so one templated-boilerplate mega-bucket dominates the whole
+    join (exactly the skew the production path's hot-bucket cap
+    guards); this query puts the distribution itself behind a hash
+    gate instead of trusting the cap's assumption. Replays the
+    IDENTICAL banding the pair oracles use (_minhash_bands_cte — one
+    definition, zero drift).
+
+    Exactness: bucket sizes, bucket counts, and the implied candidate
+    pair counts are all exact integers — no floats anywhere.
+
+    Scale shape (100 TB): signatures come from the managed full-corpus
+    persist (one tokenize+hash per corpus); banding is a projection;
+    the occupancy is ONE groupBy on (band, bucket) with map-side
+    combine and the size histogram a second tiny aggregate. Nothing
+    here expands candidates — this audits the join without running
+    it."""
+    from ..operators.dedup import _banded_rows
+
+    sig = _full_corpus_signatures(spark, sf_dir)
+    banded = _banded_rows(sig, 64, 16)
+    occ = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    return (
+        occ.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+        .select(
+            F.col("s").alias("bucket_size"),
+            "n_buckets",
+            (
+                F.col("n_buckets")
+                * F.expr("(s * (s - 1)) div 2")
+            )
+            .cast("bigint")
+            .alias("n_candidate_pairs"),
+        )
+        .orderBy("bucket_size")
     )

@@ -217,3 +217,61 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.lower(F.hex("frame")).alias("frame_sha"),
     ).orderBy("media_id", "frame_idx")
+
+
+def _resize_dims_oracle(max_side: int = 224) -> str:
+    """DuckDB replay of resize_images over documents-as-media: image
+    rows are doc_id % 3 = 0, the stub decode dims derive from sha256
+    digest bytes 0/1 (same as _multimodal_oracle), the scale is
+    min(1, max_side/max(w,h)) and the resized dims truncate — the
+    identical float chain the pandas kernel runs (ints × one double
+    quotient, floor on positives == Python int())."""
+    b0 = _hexbyte("sha", 0)
+    b1 = _hexbyte("sha", 1)
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, sha256(text) AS sha
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    dims AS (
+      SELECT media_id,
+             64 + {b0} % 192 AS w,
+             64 + {b1} % 192 AS h
+      FROM m),
+    s AS (
+      SELECT media_id, w, h,
+             least(CAST(1.0 AS DOUBLE),
+                   CAST({max_side}.0 AS DOUBLE)
+                     / CAST(greatest(w, h) AS DOUBLE)) AS sc
+      FROM dims)
+    SELECT media_id,
+           CAST(floor(CAST(w AS DOUBLE) * sc) AS INTEGER) AS width,
+           CAST(floor(CAST(h AS DOUBLE) * sc) AS INTEGER) AS height
+    FROM s
+    ORDER BY media_id
+    """
+
+
+@query("multimodal_resize_dims", oracle=_resize_dims_oracle())
+def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE arm of the multimodal family, now oracle-checked
+    (r13 noted it as pytest-only): documents-as-media image rows
+    through operators/multimodal.resize_images — decode dims (stub),
+    scale to a 224 max side, truncate — emitting the resized
+    dimensions per image. The payload column stays binary end-to-end
+    through the Arrow boundary; the DuckDB twin replays the stub's
+    digest-derived dims and the exact min(1, 224/max(w,h)) float
+    chain, so the mapInPandas batch plumbing must reproduce the
+    kernel bit-for-bit to hash-match.
+
+    Scale shape: images filter BEFORE the Python stage; the kernel is
+    batch-amortized Arrow with no shuffle; output is image-grain (the
+    orderBy is the gate's determinism sort)."""
+    from ..operators.multimodal import documents_as_media, resize_images
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return (
+        resize_images(media, max_side=224)
+        .select("media_id", "width", "height")
+        .orderBy("media_id")
+    )

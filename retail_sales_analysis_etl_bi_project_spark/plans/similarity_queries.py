@@ -625,3 +625,82 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+@query(
+    "sim_ivf_cell_balance",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+    cb0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1
+               AS centroid_id,
+             v AS cvec
+      FROM (SELECT * FROM base ORDER BY vec_id LIMIT {_N_CENTROIDS})
+    ),
+    assign0 AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT b.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY list_cosine_similarity(b.v, c.cvec) DESC,
+                                           c.centroid_id) AS rn
+        FROM base b CROSS JOIN cb0 c
+      ) WHERE rn = 1
+    ),
+    occ AS (
+      SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM assign0 GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM occ)
+    SELECT occ.centroid_id, occ.n_vecs,
+           CAST(occ.n_vecs AS DOUBLE) / CAST(tot.n_total AS DOUBLE)
+             AS share,
+           CAST(occ.n_vecs * tot.n_cells AS DOUBLE)
+             / CAST(tot.n_total AS DOUBLE) AS balance_ratio
+    FROM occ CROSS JOIN tot
+    ORDER BY occ.centroid_id
+    """,
+)
+def sim_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF INVERTED-LIST BALANCE audit: vectors per centroid cell,
+    each cell's corpus share, and its balance ratio n_vecs/(N/cells) —
+    the probe-cost variance diagnostic for the whole IVF family
+    (a 10× hot cell means nprobe=1 queries landing there scan 10× the
+    mean list; production indexes re-train or split exactly on this
+    signal). The r13 recall ladder showed WHETHER refinement pays;
+    this shows WHY, by exposing the partitioning it changes.
+
+    Exactness: per-cell counts are exact; share is one double
+    division; balance_ratio is one division of the exact integer
+    product n_vecs·n_cells — no float mean in the chain.
+
+    Scale shape (100 TB): consumes the memo-persisted corpus inverted
+    lists (_corpus_ivf_lists — the stored index artifact, built once
+    per corpus); the audit itself is ONE map-side-combined groupBy to
+    centroid grain plus 16-row arithmetic."""
+    lists, _ = _corpus_ivf_lists(spark, sf_dir)
+    occ = lists.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    tot = occ.agg(
+        F.sum("n_vecs").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .select(
+            "centroid_id",
+            "n_vecs",
+            (
+                F.col("n_vecs").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("share"),
+            (
+                (F.col("n_vecs") * F.col("n_cells")).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("balance_ratio"),
+        )
+        .orderBy("centroid_id")
+    )
