@@ -299,6 +299,17 @@ _PAST_WINDOW = (
     "events_path_lift",               # order-2 Markov adequacy; sequence family
                                       # in-window via events_markov_stationary +
                                       # events_type_leadlag_concordance
+    # r14 session-5 spills: displaced by promoting the quartiles /
+    # ANOVA / key-skew trio in their birth round; same 2-green
+    # r12d..i eligibility, ledger in COVERAGE.md §rotation r14.
+    "bi_revenue_gini_customers",      # Lorenz concentration; exact share/skew
+                                      # family in-window via join_fact_key_skew
+    "bi_reorder_hazard",              # life-table hazard; customer lifecycle
+                                      # family in-window via
+                                      # bi_active_customer_churn_jaccard
+    "bi_revenue_trend_mannkendall",   # rank trend sign; trend family in-window
+                                      # via bi_revenue_trend_theilsen (same
+                                      # day-pair relation, two-phase median)
     "text_pii_scrub",                 # regex scrub; text exprs as text_profile-family (in via sparse/countmin)
     "embed_quantize_int8",            # SQ8 audit; embedding exprs as sim_ann_recall (in)
     "layout_zorder_events",           # layout audit; green r7-r11
@@ -339,10 +350,7 @@ _PROMOTED = (
     # purpose). The long-stable naturals they displace all have >=2
     # green driver rounds — ledger in COVERAGE.md §rotation r12.
     "text_langid_threshold_sweep",    # P/R/F1 operating characteristic
-    "bi_revenue_gini_customers",      # Lorenz-rank Gini concentration
-    "bi_reorder_hazard",              # censored life-table hazard
     "bi_forecast_interval_coverage",  # split-conformal coverage audit
-    "bi_revenue_trend_mannkendall",   # rank-based trend test (tau)
     # r13 promotions (r12 VERDICT item 3): the ten r12b/c queries,
     # registered past-window in r12 with gate-replica green at
     # sf0.001+sf0.01+sf0.1, get their first driver hash rounds now.
@@ -393,6 +401,9 @@ _PROMOTED = (
     "dedup_lsh_bucket_skew",          # band-bucket occupancy / candidate cost
     "sim_ivf_cell_balance",           # inverted-list balance / probe variance
     "multimodal_resize_dims",         # resize arm through Arrow, oracle-checked
+    "corpus_doclen_quartiles",        # two-phase selected Q1/Q2/Q3 doc lengths
+    "bi_weekday_anova",               # one-way F test across ISO weekdays
+    "join_fact_key_skew",             # exact heavy-key shuffle-planning audit
 )
 
 

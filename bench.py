@@ -196,6 +196,28 @@ HEADLINE = [
     "text_langid_calibration",
     "text_zipf_profile",
     "events_burst_intervals",
+    # r14 additions: association/hypothesis-test statistics, vocabulary
+    # / curation audits, index-health audits, and the oracle-checked
+    # resize arm — all scale-path-shaped (day-/cell-/bucket-grain
+    # aggregates, one tokenize pass, or the managed index persists; the
+    # one pair relation, theilsen's, is day-bounded and now two-phase)
+    "bi_spearman_rev_qty_daily",
+    "bi_weekend_mannwhitney",
+    "bi_active_customer_churn_jaccard",
+    "events_type_weekday_chisq",
+    "events_type_leadlag_concordance",
+    "graph_degree_assortativity",
+    "bi_benford_first_digit",
+    "text_oov_rate_by_split",
+    "text_heaps_law_curve",
+    "corpus_neyman_allocation",
+    "text_hapax_ratio_by_source",
+    "dedup_lsh_bucket_skew",
+    "sim_ivf_cell_balance",
+    "multimodal_resize_dims",
+    "corpus_doclen_quartiles",
+    "bi_weekday_anova",
+    "join_fact_key_skew",
     # sim_ann_recall_tuning, dedup_containment_recall,
     # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
     # headline, the sim_ann_recall / dedup_family_recall precedent:

@@ -94,22 +94,27 @@ def _bucket_expr(lo: Column, hi: Column, n_buckets: int) -> Column:
     return F.when(span <= F.lit(0.0), F.lit(0)).otherwise(clamped)
 
 
-def selected_lower_median(
+def selected_ranks(
     df: DataFrame,
     key: Column,
     tiebreaks: Sequence[str],
+    rank_exprs: dict[str, str],
     n_buckets: int = 1024,
     bucket_key: Column | None = None,
 ) -> DataFrame:
-    """GLOBAL lower median by two-phase histogram rank: returns the
-    single row of ``df`` at rank (m+1) div 2 under the total order
-    (key ASC, *tiebreaks ASC), plus a ``__tp_m`` BIGINT column holding
-    the total row count m (callers need it for n_pairs-style readouts
-    without a second count pass). All internal columns are dropped.
+    """GLOBAL order-statistic selection by two-phase histogram rank:
+    for each (label, sql_expr_of_m) in ``rank_exprs`` — e.g.
+    ``{"q2": "(__tp_m + 1) div 2"}`` — return the row of ``df`` at
+    that rank under the total order (key ASC, *tiebreaks ASC), with a
+    ``__tp_rank`` column holding the label and ``__tp_m`` the total
+    row count. The histogram is built ONCE and each target rank
+    resolves to its own (bucket, residual) — k order statistics cost
+    one extra phase-2 slice each, not k re-sorts.
 
-    Equivalent to
-    ``row_number().over(Window.orderBy(key, *tiebreaks)) == (m+1) div 2``
-    but with no global single-partition sort — see module docstring.
+    Each selection is equivalent to
+    ``row_number().over(Window.orderBy(key, *tiebreaks)) == target``
+    but no data row crosses a global single-partition window — see
+    module docstring.
 
     ``bucket_key``: optional STRICTLY MONOTONE function of ``key``
     (e.g. ``signed_log(key)``) used only for histogram bucketing, for
@@ -138,24 +143,29 @@ def selected_lower_median(
     w_cum = Window.orderBy(_BUCKET).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    located = (
-        hist.withColumn(
-            "__before", F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0))
+    cum = hist.withColumn(
+        "__before", F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0))
+    ).join(F.broadcast(bounds))
+    located = None
+    for label, expr in rank_exprs.items():
+        loc = (
+            cum.withColumn("__target", F.expr(expr))
+            .filter(
+                (F.col("__before") < F.col("__target"))
+                & (F.col("__target") <= F.col("__before") + F.col("__cnt"))
+            )
+            .select(
+                _BUCKET,
+                (F.col("__target") - F.col("__before")).alias(_LOCAL),
+                "__tp_m",
+                F.lit(label).alias("__tp_rank"),
+            )
         )
-        .join(F.broadcast(bounds))
-        .withColumn("__target", F.expr("(__tp_m + 1) div 2"))
-        .filter(
-            (F.col("__before") < F.col("__target"))
-            & (F.col("__target") <= F.col("__before") + F.col("__cnt"))
-        )
-        .select(
-            _BUCKET,
-            (F.col("__target") - F.col("__before")).alias(_LOCAL),
-            "__tp_m",
-        )
-    )
-    # phase 2: deterministic rank over the selected bucket's slice only
-    w_slice = Window.orderBy(_KEY, *tiebreaks)
+        located = loc if located is None else located.unionByName(loc)
+    # phase 2: deterministic rank over the selected buckets' slices
+    # only (partitioned by target label so two ranks landing in one
+    # bucket cannot interfere)
+    w_slice = Window.partitionBy("__tp_rank").orderBy(_KEY, *tiebreaks)
     picked = (
         withb.drop("__tp_m")
         .join(F.broadcast(located), _BUCKET)
@@ -164,6 +174,26 @@ def selected_lower_median(
     )
     drop = [*_INTERNAL, "__lo", "__hi", "__r"]
     return picked.drop(*drop)
+
+
+def selected_lower_median(
+    df: DataFrame,
+    key: Column,
+    tiebreaks: Sequence[str],
+    n_buckets: int = 1024,
+    bucket_key: Column | None = None,
+) -> DataFrame:
+    """GLOBAL lower median by two-phase histogram rank: the single row
+    of ``df`` at rank (m+1) div 2 under (key ASC, *tiebreaks ASC),
+    plus ``__tp_m``. A one-rank wrapper over ``selected_ranks``."""
+    return selected_ranks(
+        df,
+        key,
+        tiebreaks,
+        {"median": "(__tp_m + 1) div 2"},
+        n_buckets=n_buckets,
+        bucket_key=bucket_key,
+    ).drop("__tp_rank")
 
 
 def grouped_selected_lower_median(

@@ -50,7 +50,7 @@ from ..functions.money import fixed4_sql
 from ..sources.tables import load_table
 from .dedup_queries import _minhash_lsh_oracle, shared_minhash_pairs
 from .registry import query
-from .trend_queries import _DEC
+from .trend_queries import _DEC, dense_daily_revenue
 
 # Benford expected first-digit fractions log10(1+1/d): module-level so
 # the SAME Python float literal lands in the Spark plan and the DuckDB
@@ -788,4 +788,214 @@ def bi_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (diff * diff / e).alias("chi2_cell"),
         )
         .orderBy("digit")
+    )
+
+
+@query(
+    "bi_weekday_anova",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY 1),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    cal AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                               CAST(hi AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS day
+            FROM b),
+    dense AS (
+      SELECT cal.day,
+             CAST(isodow(cal.day) AS BIGINT) AS iso_dow,
+             CAST(coalesce({fixed4_sql('rev')},
+                           CAST(0 AS HUGEINT)) AS HUGEINT) AS y
+      FROM cal LEFT JOIN daily USING (day)),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(y) AS HUGEINT) AS t,
+             CAST(SUM(y * y) AS HUGEINT) AS syy
+      FROM dense),
+    grp AS (
+      SELECT iso_dow,
+             CAST(count(*) AS HUGEINT) AS ng,
+             CAST(SUM(y) AS HUGEINT) AS tg
+      FROM dense GROUP BY 1),
+    rg AS (
+      SELECT iso_dow,
+             CAST(tg AS DOUBLE) * CAST(tg AS DOUBLE)
+               / CAST(ng AS DOUBLE) AS r,
+             CAST(count(*) OVER () AS BIGINT) AS k
+      FROM grp),
+    folded AS (
+      SELECT k, r,
+             SUM(r) OVER (ORDER BY iso_dow
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS run
+      FROM rg),
+    a AS (SELECT k, max(run) AS afold FROM folded GROUP BY k)
+    SELECT CAST(tot.n AS BIGINT) AS n_days,
+           a.k AS n_groups,
+           a.afold - CAST(tot.t AS DOUBLE) * CAST(tot.t AS DOUBLE)
+             / CAST(tot.n AS DOUBLE) AS ss_between_4,
+           CAST(tot.syy AS DOUBLE)
+             - CAST(tot.t AS DOUBLE) * CAST(tot.t AS DOUBLE)
+               / CAST(tot.n AS DOUBLE)
+             - (a.afold - CAST(tot.t AS DOUBLE) * CAST(tot.t AS DOUBLE)
+                  / CAST(tot.n AS DOUBLE)) AS ss_within_4,
+           ((a.afold - CAST(tot.t AS DOUBLE) * CAST(tot.t AS DOUBLE)
+               / CAST(tot.n AS DOUBLE))
+              / CAST(a.k - 1 AS DOUBLE))
+           / ((CAST(tot.syy AS DOUBLE)
+                 - CAST(tot.t AS DOUBLE) * CAST(tot.t AS DOUBLE)
+                   / CAST(tot.n AS DOUBLE)
+                 - (a.afold
+                    - CAST(tot.t AS DOUBLE) * CAST(tot.t AS DOUBLE)
+                      / CAST(tot.n AS DOUBLE)))
+              / CAST(tot.n - a.k AS DOUBLE)) AS f_stat
+    FROM tot CROSS JOIN a
+    """,
+)
+def bi_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA of the gapfilled daily revenue across ISO
+    weekdays: F = (SSB/(k−1)) / (SSW/(N−k)) — the k-group
+    generalization of bi_weekend_mannwhitney's 2-group test, and the
+    SIGNIFICANCE side of bi_revenue_weekday_seasonality's indices
+    (the index says Monday runs 1.2×; the F statistic says whether
+    that spread exceeds day-to-day noise). Classic variance
+    decomposition: between-group vs within-group sum of squares.
+
+    Exactness: Σy, Σy², per-group sums and counts are exact ×10⁴
+    fixed-point integers; each group's T_g²/n_g is ONE double
+    division, and the 7-term cross-group sum Σ T_g²/n_g is an ORDERED
+    running-sum fold over the weekday-sorted rows (the Neyman
+    precedent — never an order-free float SUM); SSB, SSW, and F are
+    then a fixed chain of subtractions/divisions of those pinned
+    doubles. The ×10⁴ scale cancels in F but NOT in the emitted SS
+    columns — they are published in (×10⁴ currency)² units, named
+    _4 to say so (the hashable convention; dividing by 10⁸ would add
+    a float op for cosmetics).
+
+    Scale shape (100 TB): fact to day grain; one 7-group aggregate,
+    one 1-row total, a 7-row ordered fold; readout is 1 row."""
+    dense = dense_daily_revenue(spark, sf_dir).select(
+        (F.expr("weekday(day)") + 1).cast("bigint").alias("iso_dow"),
+        (F.col("v") * 10000).cast(_DEC).alias("y"),
+    )
+    tot = dense.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("y").cast(_DEC).alias("t"),
+        F.sum(F.col("y") * F.col("y")).cast(_DEC).alias("syy"),
+    )
+    grp = dense.groupBy("iso_dow").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("ng"),
+        F.sum("y").cast(_DEC).alias("tg"),
+    )
+    w_all = Window.orderBy("iso_dow").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_run = Window.orderBy("iso_dow").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rg = grp.select(
+        "iso_dow",
+        (
+            F.col("tg").cast("double")
+            * F.col("tg").cast("double")
+            / F.col("ng").cast("double")
+        ).alias("r"),
+    ).withColumn("k", F.count(F.lit(1)).over(w_all).cast("bigint"))
+    folded = rg.withColumn("run", F.sum("r").over(w_run))
+    a = folded.groupBy("k").agg(F.max("run").alias("afold"))
+    gm = (
+        F.col("t").cast("double")
+        * F.col("t").cast("double")
+        / F.col("n").cast("double")
+    )
+    ssb = F.col("afold") - gm
+    ssw = F.col("syy").cast("double") - gm - ssb
+    return tot.crossJoin(F.broadcast(a)).select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("k").alias("n_groups"),
+        ssb.alias("ss_between_4"),
+        ssw.alias("ss_within_4"),
+        (
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "join_fact_key_skew",
+    oracle="""
+    WITH kc AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM kc),
+    top AS (
+      SELECT k, n, row_number() OVER (ORDER BY n DESC, k) AS r
+      FROM kc)
+    SELECT top.r AS rank,
+           top.k AS join_key,
+           top.n AS n_rows_key,
+           CAST(top.n AS DOUBLE) / CAST(tot.n_rows AS DOUBLE) AS share,
+           CAST(top.n * tot.n_keys AS DOUBLE)
+             / CAST(tot.n_rows AS DOUBLE) AS skew_ratio
+    FROM top CROSS JOIN tot
+    WHERE top.r <= 10
+    ORDER BY rank
+    """,
+)
+def join_fact_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT JOIN-KEY SKEW profile of the fact table's l_partkey — the
+    shuffle-planning audit behind every salting/AQE-skew-join
+    decision: the 10 heaviest keys with their exact row share and
+    skew ratio n_key·n_keys/N (how many times the mean key's weight
+    this key carries). The CMS heavy-hitter query answers this
+    approximately in one pass; THIS is the exact profile a planner
+    baselines the sketch against, and the number that says whether
+    the skew-join machinery (operators/skew.py) is needed at all.
+
+    Exactness: all counts exact; share and skew_ratio are one double
+    division each (the ratio's numerator is the exact integer product
+    n·n_keys).
+
+    Scale shape (100 TB): ONE groupBy on the audited join key — the
+    exact shuffle whose skew is being measured, with map-side combine
+    doing the heavy lifting; the totals are a re-aggregation of the
+    key-grain relation; the top-10 is a TakeOrderedAndProject, never a
+    full sort."""
+    kc = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = kc.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    w = Window.orderBy(F.desc("n"), "k")
+    top = (
+        kc.orderBy(F.desc("n"), "k")
+        .limit(10)
+        .withColumn("r", F.row_number().over(w))
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("bigint").alias("rank"),
+            F.col("k").alias("join_key"),
+            F.col("n").alias("n_rows_key"),
+            (
+                F.col("n").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("share"),
+            (
+                (F.col("n") * F.col("n_keys")).cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("skew_ratio"),
+        )
+        .orderBy("rank")
     )

@@ -447,3 +447,78 @@ def text_hapax_ratio_by_source(
         )
         .orderBy("source")
     )
+
+
+@query(
+    "corpus_doclen_quartiles",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks
+      FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS m FROM dl),
+    ranked AS (
+      SELECT doc_id, n_toks,
+             row_number() OVER (ORDER BY n_toks, doc_id) AS r
+      FROM dl),
+    qs AS (SELECT unnest([1, 2, 3]) AS k)
+    SELECT 'q' || CAST(qs.k AS VARCHAR) AS quartile,
+           CAST(greatest(1, (qs.k * (n.m + 1)) // 4) AS BIGINT)
+             AS sel_rank,
+           CAST(n.m AS BIGINT) AS n_docs,
+           ranked.doc_id AS sel_doc_id,
+           ranked.n_toks
+    FROM qs CROSS JOIN n
+    JOIN ranked ON ranked.r = greatest(1, (qs.k * (n.m + 1)) // 4)
+    ORDER BY quartile
+    """,
+)
+def corpus_doclen_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT document-length quartiles (Q1/Q2/Q3 of per-doc token
+    counts) as SELECTED elements at rank max(1, ⌊k(m+1)/4⌋) under the
+    (n_toks, doc_id) total order — the length-distribution cut points
+    every chunking/packing/truncation policy is tuned against, emitted
+    as exact corpus values (with the selected doc's id — a pointer to
+    a real exemplar, which an interpolated quantile can't give).
+
+    This is the first production consumer of the GENERALIZED two-phase
+    rank (operators/ranks.py selected_ranks, r13 VERDICT item 1's
+    operator): one histogram locates ALL THREE ranks, then each
+    resolves in its own ~m/1024 bucket slice — no corpus row crosses a
+    global single-partition window, unlike the percentile_approx /
+    sketch path (approximate) or a row_number rank (single-partition).
+    The DuckDB twin is the straight global row_number SQL, so every
+    gate run proves two-phase == global-sort selection on the real
+    corpus.
+
+    Scale shape (100 TB): one tokenize-count pass to doc grain
+    (length, not content); three partitioned passes over the doc-grain
+    relation; phase-2 sorts are ~m/1024 slices."""
+    from ..operators.ranks import selected_ranks
+
+    dl = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(token_count_expr("text"), F.lit(0))
+        .cast("bigint")
+        .alias("n_toks"),
+    )
+    picked = selected_ranks(
+        dl,
+        F.col("n_toks"),
+        ["doc_id"],
+        {
+            "q1": "greatest(1, (1 * (__tp_m + 1)) div 4)",
+            "q2": "greatest(1, (2 * (__tp_m + 1)) div 4)",
+            "q3": "greatest(1, (3 * (__tp_m + 1)) div 4)",
+        },
+    )
+    return picked.select(
+        F.col("__tp_rank").alias("quartile"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("(cast(substring(__tp_rank, 2, 1) as bigint)"
+                   " * (__tp_m + 1)) div 4"),
+        ).alias("sel_rank"),
+        F.col("__tp_m").alias("n_docs"),
+        F.col("doc_id").alias("sel_doc_id"),
+        "n_toks",
+    ).orderBy("quartile")
