@@ -319,18 +319,27 @@ def bi_active_customer_churn_jaccard(
     readout is month-count rows. No month is compared to more than
     its immediate successor, so the join fan-out is linear in the
     active-pair count, never quadratic in months."""
-    am = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            (
-                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
-            )
-            .cast("bigint")
-            .alias("mnum"),
-            "o_custkey",
-        )
-        .distinct()
-    )
+    am = active_month_pairs(load_table(spark, sf_dir, "orders"))
+    return churn_jaccard_readout(am)
+
+
+def active_month_pairs(orders: DataFrame) -> DataFrame:
+    """DISTINCT (mnum, o_custkey) active pairs — the set relation the
+    churn readout consumes; also maintained incrementally by
+    streaming/churn.py (set union is idempotent, so the stored
+    relation equals this exactly after any drain)."""
+    return orders.select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("mnum"),
+        "o_custkey",
+    ).distinct()
+
+
+def churn_jaccard_readout(am: DataFrame) -> DataFrame:
+    """Consecutive-month Jaccard/retention readout over an active-pairs
+    relation (shared by the batch query and the streaming monitor's
+    read side — one definition, zero drift)."""
     n = am.groupBy("mnum").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_active")
     )
