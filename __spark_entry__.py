@@ -310,6 +310,13 @@ _PAST_WINDOW = (
     "bi_revenue_trend_mannkendall",   # rank trend sign; trend family in-window
                                       # via bi_revenue_trend_theilsen (same
                                       # day-pair relation, two-phase median)
+    # r14 late registrations (r11b precedent): gate-replica verified at
+    # sf0.001+sf0.01+sf0.1 in their birth round, listed here so the
+    # window stays 50/50; they rotate INTO the window next round.
+    "text_vocab_coverage_curve",      # token coverage at vocab budgets —
+                                      # the tokenizer-budget sizing curve
+    "bi_interpurchase_gap_quartiles", # pooled selected Q1/Q2/Q3 of customer
+                                      # reorder gaps via two-phase rank
     "text_pii_scrub",                 # regex scrub; text exprs as text_profile-family (in via sparse/countmin)
     "embed_quantize_int8",            # SQ8 audit; embedding exprs as sim_ann_recall (in)
     "layout_zorder_events",           # layout audit; green r7-r11

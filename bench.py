@@ -218,6 +218,8 @@ HEADLINE = [
     "corpus_doclen_quartiles",
     "bi_weekday_anova",
     "join_fact_key_skew",
+    "text_vocab_coverage_curve",
+    "bi_interpurchase_gap_quartiles",
     # sim_ann_recall_tuning, dedup_containment_recall,
     # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
     # headline, the sim_ann_recall / dedup_family_recall precedent:

@@ -1008,3 +1008,106 @@ def join_fact_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "bi_interpurchase_gap_quartiles",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(o_custkey AS BIGINT) AS cust,
+             CAST(date_diff('day',
+                            lag(CAST(o_orderdate AS DATE)) OVER (
+                              PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey),
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS gap,
+             CAST(o_orderkey AS BIGINT) AS ok
+      FROM orders),
+    gg AS (SELECT cust, gap, ok FROM g WHERE gap IS NOT NULL),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS m FROM gg),
+    ranked AS (
+      SELECT gap, cust, ok,
+             row_number() OVER (ORDER BY gap, cust, ok) AS r
+      FROM gg),
+    qs AS (SELECT unnest([1, 2, 3]) AS k)
+    SELECT 'q' || CAST(qs.k AS VARCHAR) AS quartile,
+           CAST(greatest(1, (qs.k * (n.m + 1)) // 4) AS BIGINT)
+             AS sel_rank,
+           CAST(n.m AS BIGINT) AS n_gaps,
+           ranked.gap AS gap_days
+    FROM qs CROSS JOIN n
+    JOIN ranked ON ranked.r = greatest(1, (qs.k * (n.m + 1)) // 4)
+    ORDER BY quartile
+    """,
+)
+def bi_interpurchase_gap_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTER-PURCHASE GAP quartiles: exact Q1/Q2/Q3 of the days
+    between a customer's consecutive orders, pooled across ALL
+    customers — the replenishment-cycle distribution behind the
+    reorder-hazard curve (the hazard gives the shape per relative
+    day; these are the absolute cut points a retention campaign is
+    timed against). Gaps come from a lag window PARTITIONED BY
+    customer (parallel across millions of customers); the pooled
+    quartiles are SELECTED elements via the generalized two-phase
+    histogram rank — no gap row crosses a global single-partition
+    window, while the DuckDB twin runs the straight global row_number
+    SQL, so every gate run re-proves the operator on a second
+    production shape (integer day keys with heavy ties, vs the
+    doc-length and slope keys of its other consumers).
+
+    Exactness: gaps are exact integer day differences under the
+    deterministic (o_orderdate, o_orderkey) per-customer order; the
+    selection rank max(1, ⌊k(m+1)/4⌋) and the (gap, cust, ok)
+    tie-break are total orders on exact integers.
+
+    Scale shape (100 TB): one fact shuffle on o_custkey for the lag
+    window (the sessionization class); then three partitioned
+    histogram passes over the gap relation and ~m/1024 phase-2
+    slices.
+
+    Registered past-window (r11b precedent: gate-replica verified at
+    sf0.001+sf0.01+sf0.1 this round, rotates into the driver window
+    next round)."""
+    from ..operators.ranks import selected_ranks
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.select(
+            F.col("o_custkey").cast("bigint").alias("cust"),
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.col("o_orderkey").cast("bigint").alias("ok"),
+        )
+        .withColumn(
+            "gap",
+            F.datediff(
+                F.col("day"),
+                F.lag("day").over(
+                    Window.partitionBy("cust").orderBy("day", "ok")
+                ),
+            ).cast("bigint"),
+        )
+        .filter(F.col("gap").isNotNull())
+        .select("gap", "cust", "ok")
+    )
+    picked = selected_ranks(
+        g,
+        F.col("gap"),
+        ["cust", "ok"],
+        {
+            "q1": "greatest(1, (1 * (__tp_m + 1)) div 4)",
+            "q2": "greatest(1, (2 * (__tp_m + 1)) div 4)",
+            "q3": "greatest(1, (3 * (__tp_m + 1)) div 4)",
+        },
+    )
+    return picked.select(
+        F.col("__tp_rank").alias("quartile"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("(cast(substring(__tp_rank, 2, 1) as bigint)"
+                   " * (__tp_m + 1)) div 4"),
+        ).alias("sel_rank"),
+        F.col("__tp_m").alias("n_gaps"),
+        F.col("gap").alias("gap_days"),
+    ).orderBy("quartile")

@@ -522,3 +522,86 @@ def corpus_doclen_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("sel_doc_id"),
         "n_toks",
     ).orderBy("quartile")
+
+
+_COVERAGE_BUDGETS = (100, 200, 500, 1000, 2000)
+
+
+@query(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT lower(unnest({_SQL_TOKS})) AS term FROM documents)
+      GROUP BY 1),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r
+      FROM tf),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens FROM tf),
+    vs AS (SELECT unnest({list(_COVERAGE_BUDGETS)!r}) AS v)
+    SELECT CAST(vs.v AS BIGINT) AS v_budget,
+           CAST(coalesce(SUM(CASE WHEN ranked.r <= vs.v
+                                  THEN ranked.n END), 0) AS BIGINT)
+             AS n_covered,
+           t.n_tokens,
+           CAST(coalesce(SUM(CASE WHEN ranked.r <= vs.v
+                                  THEN ranked.n END), 0) AS DOUBLE)
+             / CAST(t.n_tokens AS DOUBLE) AS coverage
+    FROM vs CROSS JOIN t CROSS JOIN ranked
+    GROUP BY 1, 3
+    ORDER BY v_budget
+    """,
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-COVERAGE curve at vocabulary budgets: the share of token
+    OCCURRENCES covered by the top-V terms for V in {100..2000} — the
+    tokenizer-budget sizing curve (where the curve flattens is where
+    an extra thousand vocabulary slots stops buying coverage; the BPE
+    trainer's merge budget and the OOV audit's cut both hang off this
+    number). Zipf profiles the SHAPE of the frequency spectrum; this
+    integrates it into the decision quantity.
+
+    Exactness: term counts and cumulative covered-token counts are
+    exact integers under the deterministic (count desc, term) rank;
+    coverage is one double division per budget row.
+
+    Scale shape (100 TB): one tokenize pass to term grain (map-side
+    combined); the rank runs on the DISTINCT-term relation
+    (Heaps-sublinear, the documented vocabulary-grain concession);
+    each budget's covered mass is a conditional aggregate against the
+    broadcast 5-row budget table.
+
+    Registered past-window (r11b precedent: gate-replica verified at
+    sf0.001+sf0.01+sf0.1 this round, rotates into the driver window
+    next round)."""
+    tf = (
+        lower_terms(load_table(spark, sf_dir, "documents"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "term")
+    ranked = tf.withColumn("r", F.row_number().over(w)).select("n", "r")
+    t = tf.agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    vs = spark.createDataFrame(
+        [(v,) for v in _COVERAGE_BUDGETS], "v long"
+    )
+    cov = F.coalesce(
+        F.sum(F.when(F.col("r") <= F.col("v"), F.col("n"))),
+        F.lit(0),
+    ).cast("bigint")
+    return (
+        ranked.crossJoin(F.broadcast(vs))
+        .groupBy("v")
+        .agg(cov.alias("n_covered"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("v").cast("bigint").alias("v_budget"),
+            "n_covered",
+            "n_tokens",
+            (
+                F.col("n_covered").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("v_budget")
+    )
