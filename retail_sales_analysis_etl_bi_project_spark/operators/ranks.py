@@ -121,8 +121,15 @@ def selected_ranks(
     keys whose raw range is outlier-stretched; selection semantics are
     unchanged (monotone => bucket order respects key order and equal
     keys share a bucket).
+
+    Phase 2 orders by the RAW key (plus tiebreaks); only the bucket
+    map goes through a double cast. The cast is monotone
+    NON-decreasing, so buckets remain contiguous raw-order ranges and
+    the residual rank stays exact even for integer keys past 2⁵³,
+    where the double collapses neighbors the raw order distinguishes
+    (review finding, r14).
     """
-    keyed = df.withColumn(_KEY, key.cast("double")).withColumn(
+    keyed = df.withColumn(_KEY, key).withColumn(
         _BKEY,
         (key if bucket_key is None else bucket_key).cast("double"),
     )
@@ -215,7 +222,9 @@ def grouped_selected_lower_median(
     selected ~n_g/n_buckets bucket slice is.
     """
     groups = list(group_cols)
-    keyed = df.withColumn(_KEY, key.cast("double")).withColumn(
+    # raw key for phase-2 ordering, double cast only for the bucket map
+    # (the global variant's >2^53 exactness argument)
+    keyed = df.withColumn(_KEY, key).withColumn(
         _BKEY,
         (key if bucket_key is None else bucket_key).cast("double"),
     )

@@ -1072,7 +1072,6 @@ def bi_interpurchase_gap_quartiles(
     from ..operators.ranks import selected_ranks
 
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     g = (
         o.select(
             F.col("o_custkey").cast("bigint").alias("cust"),

@@ -97,33 +97,57 @@ def text_oov_rate_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-V selection under a deterministic order; oov_rate is one
     double division per split row.
 
-    Scale shape (100 TB): one tokenize pass (the shared lower_terms
-    explode, cluster-width repartitioned); the vocabulary rank runs on
-    the DISTINCT-term relation (Heaps-sublinear — the documented
-    vocabulary-grain window concession shared with the tf-idf/Zipf
-    family); scoring is a broadcast join of the V-row vocabulary
-    against the token stream; readout is 3 rows."""
+    Scale shape (100 TB): ONE tokenize pass collapses the token stream
+    to (split, term) frequency grain (map-side combined — review
+    finding, r14: the first cut re-tokenized the corpus once per
+    consumer subtree); the vocabulary rank and the scoring left join
+    then both run on the Heaps-sublinear term-grain relation (the
+    documented vocabulary-grain window concession shared with the
+    tf-idf/Zipf family); readout is 3 rows."""
+    from .shared_cache import memo_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    ts = lower_terms(docs).join(
-        docs.select("doc_id", _split_col(
-            _SPLIT_TRAIN_CUT, _SPLIT_VAL_CUT).alias("split")),
-        "doc_id",
-    ).select("split", "term")
+
+    def _build_tfs() -> DataFrame:
+        return (
+            lower_terms(docs)
+            .join(
+                docs.select(
+                    "doc_id",
+                    _split_col(_SPLIT_TRAIN_CUT, _SPLIT_VAL_CUT).alias(
+                        "split"
+                    ),
+                ),
+                "doc_id",
+            )
+            .groupBy("split", "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    # managed persist: the vocab-build and scoring subtrees both read
+    # this relation — without it each would re-run the tokenize pass
+    tfs = memo_persist(
+        "oov_split_tf",
+        (spark.sparkContext.applicationId, sf_dir,
+         _SPLIT_TRAIN_CUT, _SPLIT_VAL_CUT),
+        _build_tfs,
+    )
     w = Window.orderBy(F.desc("cnt"), "term")
     vocab = (
-        ts.filter(F.col("split") == "train")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        tfs.filter(F.col("split") == "train")
+        .select("term", F.col("n").alias("cnt"))
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= _OOV_VOCAB_V)
         .select("term", F.lit(True).alias("_in_vocab"))
     )
     return (
-        ts.join(F.broadcast(vocab), "term", "left")
+        tfs.join(F.broadcast(vocab), "term", "left")
         .groupBy("split")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.col("n")).otherwise(0)
+            )
             .cast("bigint")
             .alias("n_oov"),
         )
@@ -453,7 +477,8 @@ def text_hapax_ratio_by_source(
     "corpus_doclen_quartiles",
     oracle=f"""
     WITH dl AS (
-      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks
+      SELECT doc_id,
+             CAST(coalesce(len({_SQL_TOKS}), 0) AS BIGINT) AS n_toks
       FROM documents),
     n AS (SELECT CAST(count(*) AS BIGINT) AS m FROM dl),
     ranked AS (

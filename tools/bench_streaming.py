@@ -180,11 +180,23 @@ def main() -> None:
             "rows_per_sec": round(n_docs / wall),
             "readout_rows": len(got),
         }
-    fixed = (nov_walls[N_CHUNKS] - nov_walls[2]) / (N_CHUNKS - 2)
-    per_doc = (nov_walls[2] - 2 * fixed) / n_docs
+    if N_CHUNKS <= 2:
+        # degenerate: both drains at the same batch count — the linear
+        # solve has no signal; skip rather than divide by zero
+        return_decomp = None
+    else:
+        fixed = (nov_walls[N_CHUNKS] - nov_walls[2]) / (N_CHUNKS - 2)
+        per_doc = (nov_walls[2] - 2 * fixed) / n_docs
+        return_decomp = (fixed, per_doc)
+    if return_decomp is None:
+        fixed = per_doc = float("nan")
     results["ingest_novelty_decomposition"] = {
         "fixed_per_batch_sec": round(fixed, 3),
         "per_doc_ms": round(per_doc * 1000, 4),
+        # a NEGATIVE fixed term means the larger-batch drain ran FASTER
+        # than the small one — pure timing noise; both raw walls are
+        # recorded above, so the reader can judge the residual
+        "noise_flag": bool(fixed != fixed or fixed < 0),
         "note": (
             "wall = fixed*B + per_doc*n solved from the 8- and 2-batch "
             "drains of the same corpus; fixed is micro-batch machinery "
