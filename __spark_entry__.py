@@ -46,6 +46,7 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.retrieval_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.assoc_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.vocab_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.quality_queries",
     ):
         try:
             __import__(mod)
@@ -310,13 +311,22 @@ _PAST_WINDOW = (
     "bi_revenue_trend_mannkendall",   # rank trend sign; trend family in-window
                                       # via bi_revenue_trend_theilsen (same
                                       # day-pair relation, two-phase median)
-    # r14 late registrations (r11b precedent): gate-replica verified at
-    # sf0.001+sf0.01+sf0.1 in their birth round, listed here so the
-    # window stays 50/50; they rotate INTO the window next round.
-    "text_vocab_coverage_curve",      # token coverage at vocab budgets —
-                                      # the tokenizer-budget sizing curve
-    "bi_interpurchase_gap_quartiles", # pooled selected Q1/Q2/Q3 of customer
-                                      # reorder gaps via two-phase rank
+    # r15 session-1 spills: displaced by promoting the two r14 late
+    # registrations (scheduled in COVERAGE.md session 6) and the two
+    # newly-registered two-phase-rank rungs (r14 VERDICT item 1).
+    # Eligibility: >=2 green driver rounds each, in-window mechanism
+    # relative named; ledger in COVERAGE.md §rotation r15.
+    "dedup_semantic_clusters",        # 3 green rounds (r12-r14); the IVF
+                                      # cluster-blocked cosine path re-runs
+                                      # inside dedup_semantic_recall (in)
+    "text_bpe_train_rounds",          # 3 green rounds; the trainer re-runs
+                                      # inside text_bpe_encode_counts +
+                                      # text_bpe_fertility_by_lang (both in)
+    "multimodal_frame_sample",        # 2 green rounds; Arrow mapInPandas
+                                      # path in-window via multimodal_resize_dims
+    "corpus_source_tv_drift",         # 2 green rounds; exact-integer
+                                      # distribution drift in-window via
+                                      # events_value_ks_drift (same mechanism)
     "text_pii_scrub",                 # regex scrub; text exprs as text_profile-family (in via sparse/countmin)
     "embed_quantize_int8",            # SQ8 audit; embedding exprs as sim_ann_recall (in)
     "layout_zorder_events",           # layout audit; green r7-r11
@@ -346,9 +356,9 @@ _PAST_WINDOW = (
 # rotation policy's own standard (every new query gets in-window
 # driver rounds) brings them in now (r11 VERDICT item 1).
 _PROMOTED = (
-    "dedup_semantic_clusters",        # SemDeDup cluster-blocked cosine dedup
+    # (r15: dedup_semantic_clusters and text_bpe_train_rounds spilled
+    # to _PAST_WINDOW after 3 green rounds — see session-1 spills)
     "dedup_semantic_recall",          # its recall audit vs all-pairs baseline
-    "text_bpe_train_rounds",          # k-round BPE trainer (round-1 = bpe_pair_merge)
     "text_bpe_encode_counts",         # encode side of the trained merges
     # r12 session-4 additions (r12d..i), promoted INTO the window at
     # end of round so the r12 driver artifact hash-checks every one in
@@ -366,8 +376,8 @@ _PROMOTED = (
     "text_bm25_search",               # rational-idf BM25 ranked retrieval
     "graph_pagerank_dupgraph",        # fixed-point PageRank over dup graph
     "corpus_split_leakage_audit",     # near-dup pairs crossing train/val/test
-    "multimodal_frame_sample",        # video frame sampling through Arrow
-    "corpus_source_tv_drift",         # exact-integer TV distribution drift
+    # (r15: multimodal_frame_sample and corpus_source_tv_drift spilled
+    # to _PAST_WINDOW after 2 green rounds — see session-1 spills)
     "events_value_ks_drift",          # exact-integer two-sample KS per type
     "bi_copurchase_linkpred",         # common-neighbor Jaccard link prediction
     "corpus_ngram_novelty",           # first-occurrence shingle novelty per doc
@@ -411,6 +421,18 @@ _PROMOTED = (
     "corpus_doclen_quartiles",        # two-phase selected Q1/Q2/Q3 doc lengths
     "bi_weekday_anova",               # one-way F test across ISO weekdays
     "join_fact_key_skew",             # exact heavy-key shuffle-planning audit
+    # r15 promotions (r14 VERDICT item 1a/1b): the two r14 late
+    # registrations take their scheduled driver rows (COVERAGE.md
+    # session 6), and the two two-phase-rank scale rungs — newly
+    # registered with DuckDB twins — get their birth-round window rows.
+    "text_vocab_coverage_curve",      # token coverage at vocab budgets —
+                                      # the tokenizer-budget sizing curve
+    "bi_interpurchase_gap_quartiles", # pooled selected Q1/Q2/Q3 of customer
+                                      # reorder gaps via two-phase rank
+    "events_value_mad_twophase",      # per-type median/MAD via the grouped
+                                      # two-phase histogram rank (scale rung)
+    "embed_norm_median_twophase",     # per-label median norm via the grouped
+                                      # two-phase histogram rank (scale rung)
 )
 
 

@@ -1,0 +1,841 @@
+"""Round-15 additions: corpus-quality / association / graph-structure
+statistics, one new mechanism each.
+
+- bi_order_value_winsorized     : winsorized mean of order values with
+                                  the P05/P95 cut points SELECTED by the
+                                  generalized two-phase histogram rank —
+                                  the fourth production consumer of
+                                  operators/ranks.py and the first
+                                  multi-target global one outside the
+                                  quartile family
+- bi_kendall_tau_daily          : Kendall tau-b between daily revenue
+                                  and daily order count — completes the
+                                  rank-association trio (Spearman gives
+                                  a midrank moment correlation; tau
+                                  counts concordant/discordant pairs —
+                                  exact integers over the calendar-
+                                  bounded day-pair relation)
+- bi_demand_curve_by_brand      : per-brand demand slope (total quantity
+                                  sold vs part retail price) via exact
+                                  DECIMAL(38,0) OLS moments — the
+                                  GROUPED member of the OLS family
+- text_simpson_diversity_by_source : Simpson concentration / effective
+                                  vocabulary of the token distribution
+                                  per source — the diversity companion
+                                  to the Zipf/Heaps/hapax vocabulary
+                                  statistics
+- text_bigram_fluency_score     : add-one-smoothed bigram language-model
+                                  scoring of val-split docs against a
+                                  train-split LM — the classic LM
+                                  quality filter, emitted
+                                  TRANSCENDENTAL-FREE (see below)
+- graph_clustering_coefficient  : global transitivity of the verified
+                                  near-dup graph (3·triangles / wedges)
+                                  — the one-number readout over the
+                                  triangle/wedge machinery
+- corpus_dedup_reduction_by_source : per-source doc/token reduction from
+                                  near-dup removal — the capacity-
+                                  planning readout of the dedup endpoint
+
+Numeric discipline (REQUIREMENTS.md): counts/moments are exact
+BIGINT/DECIMAL(38,0)/HUGEINT; any float chain is either a single IEEE
+division/sqrt of identically-rounded casts or an ORDERED running-sum
+fold (the weekday-ANOVA precedent); engine-side ln/exp never appears
+(the algebraic-sigmoid precedent, plans/lifecycle_queries.py) — which
+is why the LM query emits mean smoothed probability + exact
+unseen/OOV counts rather than a perplexity: ln/exp are the one libm
+surface the two engines do not promise to round identically, while
++,*,/ and sqrt are IEEE-exact on both.
+
+Reference scope: the reference's analytics stop at groupBy sums
+(/root/reference/etl/etl.py:220-306); all seven are extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import fixed4_expr, fixed4_sql
+from ..operators.ranks import selected_ranks
+from ..operators.text import tokens_expr
+from ..sources.tables import load_table
+from .registry import query
+from .trend_queries import _DEC
+
+# ---------------------------------------------------------------------------
+# bi_order_value_winsorized
+
+
+@query(
+    "bi_order_value_winsorized",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderkey, {fixed4_sql('o_totalprice')} AS v4
+      FROM orders),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    r AS (
+      SELECT v4, row_number() OVER (ORDER BY v4, o_orderkey) AS rnk
+      FROM v),
+    lo AS (SELECT v4 AS lo4 FROM r, m WHERE rnk = (n + 19) // 20),
+    hi AS (SELECT v4 AS hi4 FROM r, m WHERE rnk = n + 1 - (n + 19) // 20)
+    SELECT m.n AS n_orders,
+           CAST(lo.lo4 AS DOUBLE) / 10000.0 AS p05_value,
+           CAST(hi.hi4 AS DOUBLE) / 10000.0 AS p95_value,
+           CAST(SUM(CASE WHEN v.v4 < lo.lo4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_low,
+           CAST(SUM(CASE WHEN v.v4 > hi.hi4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_high,
+           CAST(SUM(GREATEST(lo.lo4, LEAST(hi.hi4, v.v4))) AS DOUBLE)
+             / CAST(m.n * 10000 AS DOUBLE) AS winsorized_mean
+    FROM v, m, lo, hi
+    GROUP BY 1, 2, 3
+    """,
+)
+def bi_order_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of order values: clamp every o_totalprice to the
+    exact SELECTED P05/P95 elements (ranks ceil(n/20) and n+1-ceil(n/20)
+    under the (value, o_orderkey) total order — selected values, never
+    interpolations, per the registry's median discipline) and average
+    the clamped ×10⁴ fixed-point integers — the robust location
+    estimate that, unlike the median, still uses 90% of the data's
+    magnitude information, and the standard companion to the MAD
+    outlier monitor.
+
+    Both cut points come from ONE two-phase histogram rank
+    (operators/ranks.py selected_ranks — the fourth production
+    consumer): one histogram pass locates both target ranks, each
+    phase-2 slice sorts only its ~n/1024 bucket. No order row ever
+    crosses a global single-partition window.
+
+    Exactness: cut points are data elements held bit-identically by
+    both engines; the clamp is integer GREATEST/LEAST; the winsorized
+    sum is an exact DECIMAL(38,0); ONE double division at the end.
+
+    Scale shape (100 TB): two partitioned aggregate passes + one
+    ~n/1024 slice sort for the ranks; clamp+sum is one map-side-
+    combined aggregate with the 1-row cut table broadcast."""
+    v = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", fixed4_expr("o_totalprice").alias("v4")
+    )
+    picks = selected_ranks(
+        v,
+        F.col("v4"),
+        ["o_orderkey"],
+        {
+            "lo": "(__tp_m + 19) div 20",
+            "hi": "__tp_m + 1 - (__tp_m + 19) div 20",
+        },
+    )
+    # 2 picked rows -> one broadcastable (lo4, hi4, n) row
+    cuts = picks.agg(
+        F.max(F.when(F.col("__tp_rank") == "lo", F.col("v4"))).alias("lo4"),
+        F.max(F.when(F.col("__tp_rank") == "hi", F.col("v4"))).alias("hi4"),
+        F.max("__tp_m").cast("bigint").alias("n"),
+    )
+    return (
+        v.join(F.broadcast(cuts))
+        .groupBy("n", "lo4", "hi4")
+        .agg(
+            F.sum(F.when(F.col("v4") < F.col("lo4"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("v4") > F.col("hi4"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clamped_high"),
+            F.sum(
+                F.greatest(F.col("lo4"), F.least(F.col("hi4"), F.col("v4")))
+            )
+            .cast(_DEC)
+            .alias("wsum"),
+        )
+        .select(
+            F.col("n").alias("n_orders"),
+            (F.col("lo4").cast("double") / F.lit(10000.0)).alias("p05_value"),
+            (F.col("hi4").cast("double") / F.lit(10000.0)).alias("p95_value"),
+            "n_clamped_low",
+            "n_clamped_high",
+            (
+                F.col("wsum").cast("double")
+                / (F.col("n") * F.lit(10000)).cast("double")
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bi_kendall_tau_daily
+
+
+@query(
+    "bi_kendall_tau_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({fixed4_sql('o_totalprice')}) AS HUGEINT) AS y4,
+             CAST(count(*) AS HUGEINT) AS c
+      FROM orders GROUP BY 1),
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM daily),
+    pairs AS (
+      SELECT CASE WHEN (a.y4 - b.y4) * (a.c - b.c) > 0 THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.y4 - b.y4) * (a.c - b.c) < 0 THEN 1 ELSE 0 END AS disc
+      FROM daily a JOIN daily b ON a.day < b.day),
+    cd AS (
+      SELECT CAST(SUM(conc) AS HUGEINT) AS nc, CAST(SUM(disc) AS HUGEINT) AS nd
+      FROM pairs),
+    tx AS (
+      SELECT CAST(SUM(k * (k - 1) / 2) AS HUGEINT) AS t1 FROM (
+        SELECT CAST(count(*) AS HUGEINT) AS k FROM daily GROUP BY y4)),
+    ty AS (
+      SELECT CAST(SUM(k * (k - 1) / 2) AS HUGEINT) AS t2 FROM (
+        SELECT CAST(count(*) AS HUGEINT) AS k FROM daily GROUP BY c))
+    SELECT CAST(m.n AS BIGINT) AS n_days,
+           CAST(cd.nc AS BIGINT) AS n_concordant,
+           CAST(cd.nd AS BIGINT) AS n_discordant,
+           CAST(cd.nc - cd.nd AS DOUBLE)
+             / (sqrt(CAST(m.n * (m.n - 1) / 2 - tx.t1 AS DOUBLE))
+                * sqrt(CAST(m.n * (m.n - 1) / 2 - ty.t2 AS DOUBLE)))
+             AS kendall_tau_b
+    FROM m, cd, tx, ty
+    """,
+)
+def bi_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily revenue and daily order count — the
+    pair-counting rank association that completes the trio with the
+    midrank Spearman rho and the Mann–Kendall trend sign: tau counts
+    CONCORDANT vs DISCORDANT day pairs, so one wild day perturbs at
+    most its n-1 pairs (breakdown the moment-based rho lacks), and the
+    tie correction (tau-b) keeps the statistic honest on the integer
+    order-count margin where ties are guaranteed.
+
+    Exactness: concordant/discordant are exact integer sign tests on
+    exact ×10⁴ revenue and count differences; the tie terms t1/t2 are
+    exact integer tie-group sums; ONE final float expression (two
+    IEEE sqrts of exact casts, one multiply, one divide).
+
+    Scale shape (100 TB): the fact stream collapses to day grain FIRST
+    (one map-side-combined groupBy); the pair join is day×day —
+    calendar-bounded (~2.4k days → ~3M pairs at any data scale, the
+    Theil–Sen precedent), hash-partitioned, never corpus-sized."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(fixed4_expr("o_totalprice")).cast(_DEC).alias("y4"),
+            F.count(F.lit(1)).cast(_DEC).alias("c"),
+        )
+    )
+    a = daily.select(
+        F.col("day").alias("day_a"),
+        F.col("y4").alias("ya"),
+        F.col("c").alias("ca"),
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"),
+        F.col("y4").alias("yb"),
+        F.col("c").alias("cb"),
+    )
+    sgn = (F.col("ya") - F.col("yb")) * (F.col("ca") - F.col("cb"))
+    cd = (
+        a.join(b, F.col("day_a") < F.col("day_b"))
+        .agg(
+            F.sum(F.when(sgn > 0, 1).otherwise(0)).cast(_DEC).alias("nc"),
+            F.sum(F.when(sgn < 0, 1).otherwise(0)).cast(_DEC).alias("nd"),
+        )
+    )
+    m = daily.agg(F.count(F.lit(1)).cast(_DEC).alias("n"))
+    t1 = (
+        daily.groupBy("y4")
+        .agg(F.count(F.lit(1)).cast(_DEC).alias("k"))
+        .agg(
+            F.sum(F.col("k") * (F.col("k") - 1) / 2).cast(_DEC).alias("t1")
+        )
+    )
+    t2 = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).cast(_DEC).alias("k"))
+        .agg(
+            F.sum(F.col("k") * (F.col("k") - 1) / 2).cast(_DEC).alias("t2")
+        )
+    )
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    return (
+        cd.join(F.broadcast(m))
+        .join(F.broadcast(t1))
+        .join(F.broadcast(t2))
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("nc").cast("bigint").alias("n_concordant"),
+            F.col("nd").cast("bigint").alias("n_discordant"),
+            (
+                (F.col("nc") - F.col("nd")).cast("double")
+                / (
+                    F.sqrt((n0 - F.col("t1")).cast("double"))
+                    * F.sqrt((n0 - F.col("t2")).cast("double"))
+                )
+            ).alias("kendall_tau_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bi_demand_curve_by_brand
+
+
+@query(
+    "bi_demand_curve_by_brand",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_partkey, CAST(SUM(l_quantity) AS HUGEINT) AS qty
+      FROM lineitem GROUP BY 1),
+    x AS (
+      SELECT p.p_brand, {fixed4_sql('p.p_retailprice')} AS x4, q.qty AS y
+      FROM part p JOIN q ON p.p_partkey = q.l_partkey),
+    mo AS (
+      SELECT p_brand,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(x4) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x4 * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x4 * x4) AS HUGEINT) AS sxx
+      FROM x GROUP BY 1)
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n_parts,
+           CAST(sx AS DOUBLE) / CAST(n * 10000 AS DOUBLE) AS mean_price,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 10000.0
+             AS qty_per_price_unit
+    FROM mo
+    ORDER BY p_brand
+    """,
+)
+def bi_demand_curve_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand demand slope: OLS of total quantity sold (per part)
+    on part retail price, one slope per brand — the GROUPED member of
+    the OLS family (bi_revenue_trend_ols fits one global line; this
+    fits 25 lines in one aggregate pass) and the BI question behind
+    it: how price-sensitive is demand within each brand's line.
+
+    Exactness: quantity sums and ×10⁴ price moments are exact
+    DECIMAL(38,0) (n·Σxy − ΣxΣy stays within 38 digits at any SF:
+    price⁴·parts² ≲ 10³⁰); the slope is ONE double division of exact
+    casts, rescaled by the shared 10⁴ literal to price units.
+
+    Scale shape (100 TB): lineitem collapses to part grain first
+    (map-side combine on the fact's own key); the part join is
+    dim-sized; the moment aggregate is brand-grain (25 rows)."""
+    q = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey"))
+        .agg(F.sum("l_quantity").cast(_DEC).alias("qty"))
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", fixed4_expr("p_retailprice").alias("x4")
+    )
+    x = part.join(q, part.p_partkey == q.l_partkey).select(
+        "p_brand", F.col("x4").cast(_DEC).alias("x4"), F.col("qty").alias("y")
+    )
+    mo = x.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x4").cast(_DEC).alias("sx"),
+        F.sum("y").cast(_DEC).alias("sy"),
+        F.sum(F.col("x4") * F.col("y")).cast(_DEC).alias("sxy"),
+        F.sum(F.col("x4") * F.col("x4")).cast(_DEC).alias("sxx"),
+    )
+    return mo.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_parts"),
+        (
+            F.col("sx").cast("double")
+            / (F.col("n") * F.lit(10000)).cast("double")
+        ).alias("mean_price"),
+        (F.col("sy").cast("double") / F.col("n").cast("double")).alias(
+            "mean_qty"
+        ),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            * F.lit(10000.0)
+        ).alias("qty_per_price_unit"),
+    ).orderBy("p_brand")
+
+# ---------------------------------------------------------------------------
+# text_simpson_diversity_by_source
+
+
+def _simpson_oracle() -> str:
+    from .text_queries import _SQL_TOKS
+
+    return f"""
+    WITH tok AS (
+      SELECT source, lower(unnest({_SQL_TOKS})) AS w FROM documents),
+    tf AS (
+      SELECT source, w, CAST(count(*) AS HUGEINT) AS k
+      FROM tok GROUP BY 1, 2),
+    m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(k) AS HUGEINT) AS n,
+             CAST(SUM(k * (k - 1)) AS HUGEINT) AS num
+      FROM tf GROUP BY 1)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_tokens,
+           n_distinct,
+           CAST(num AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+             AS simpson_lambda
+    FROM m
+    ORDER BY source
+    """
+
+
+@query("text_simpson_diversity_by_source", oracle=_simpson_oracle())
+def text_simpson_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson concentration λ = Σ nᵢ(nᵢ−1) / (N(N−1)) of the token
+    distribution per source — the probability two tokens drawn without
+    replacement are the SAME type. The diversity readout the vocabulary
+    family still lacked: Zipf pins the rank-frequency SHAPE, Heaps the
+    growth rate, hapax the tail mass; λ (and its reciprocal, the
+    effective vocabulary) is the single-number concentration a
+    curation job thresholds on to catch template-dominated sources.
+
+    Exactness: per-term counts and both Σ terms are exact
+    DECIMAL(38,0) (k² ≲ 10¹² · 10⁵ terms, far inside 38 digits); ONE
+    double division. λ is exact-rational — no sampling, no sketch.
+
+    Scale shape (100 TB): tokenize → (source, term) groupBy (map-side
+    combined, the term-stats shuffle every text query pays) → source
+    grain. Nothing quadratic, nothing collected."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(tokens_expr(F.col("text"))).alias("w")
+        )
+        .select("source", F.lower("w").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast(_DEC).alias("k"))
+    )
+    m = tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum("k").cast(_DEC).alias("n"),
+        F.sum(F.col("k") * (F.col("k") - 1)).cast(_DEC).alias("num"),
+    )
+    return m.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "n_distinct",
+        (
+            F.col("num").cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+        ).alias("simpson_lambda"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_fluency_score
+
+# Probability quantization grid: floor(p · 2³⁰). The double p is ONE
+# IEEE division of exact-integer casts (deterministic on both engines);
+# the ×2³⁰ multiply and floor are IEEE-exact; the per-doc SUM is then
+# an exact integer — order-free. This replaces the ln/exp perplexity
+# chain (engine transcendentals are the one non-portable libm surface)
+# AND the ordered float fold (DuckDB's windowed SUM is segment-tree
+# associated, measured ULP-divergent from Spark's running fold past
+# ~10³ terms — r15 design note).
+_P_SCALE = 1073741824  # 2^30
+
+
+def _fluency_oracle() -> str:
+    from .extension_queries import _LEAK_TRAIN_CUT, _LEAK_VAL_CUT, _sql_split_cte
+    from .text_queries import _SQL_TOKS
+
+    return f"""
+    WITH s AS ({_sql_split_cte(_LEAK_TRAIN_CUT, _LEAK_VAL_CUT)}),
+    tok AS (
+      SELECT d.doc_id, s.split, lower(unnest({_SQL_TOKS})) AS w,
+             unnest(generate_series(0, len({_SQL_TOKS}) - 1)) AS pos
+      FROM documents d JOIN s ON d.doc_id = s.doc_id),
+    big AS (
+      SELECT doc_id, split, pos, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok),
+    bigf AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+    c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      FROM bigf WHERE split = 'train' GROUP BY 1, 2),
+    c1 AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1
+      FROM bigf WHERE split = 'train' GROUP BY 1),
+    vocab AS (SELECT DISTINCT w FROM tok WHERE split = 'train'),
+    vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    valb AS (
+      SELECT b.doc_id, b.pos,
+             CASE WHEN va.w IS NULL THEN '<unk>' ELSE b.w1 END AS w1m,
+             CASE WHEN vb.w IS NULL THEN '<unk>' ELSE b.w2 END AS w2m
+      FROM bigf b
+      LEFT JOIN vocab va ON b.w1 = va.w
+      LEFT JOIN vocab vb ON b.w2 = vb.w
+      WHERE b.split = 'val'),
+    scored AS (
+      SELECT x.doc_id,
+             COALESCE(c2.c2, 0) AS cb,
+             COALESCE(c1.c1, 0) AS cp,
+             (x.w1m = '<unk>' OR x.w2m = '<unk>') AS has_oov
+      FROM valb x
+      LEFT JOIN c2 ON x.w1m = c2.w1 AND x.w2m = c2.w2
+      LEFT JOIN c1 ON x.w1m = c1.w1
+      CROSS JOIN vn),
+    q AS (
+      SELECT doc_id,
+             CAST(floor(CAST(cb + 1 AS DOUBLE) / CAST(cp + v + 1 AS DOUBLE)
+                        * {_P_SCALE}.0) AS HUGEINT) AS pq,
+             CASE WHEN cb = 0 THEN 1 ELSE 0 END AS unseen,
+             CASE WHEN has_oov THEN 1 ELSE 0 END AS oov
+      FROM scored CROSS JOIN vn)
+    SELECT q.doc_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(SUM(unseen) AS BIGINT) AS n_unseen_bigrams,
+           CAST(SUM(oov) AS BIGINT) AS n_oov_bigrams,
+           CAST(SUM(pq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * {_P_SCALE}.0)
+             AS mean_prob,
+           CAST(SUM(unseen) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS unseen_frac
+    FROM q
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+@query("text_bigram_fluency_score", oracle=_fluency_oracle())
+def text_bigram_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring — the classic LM data
+    filter (CCNet/Gopher lineage): train an add-one-smoothed bigram LM
+    on the train split, score every val-split document, and emit the
+    per-doc fluency readout a curation pipeline thresholds on. Uses
+    the audit-grade 80/10/10 split (the corpus_split_leakage_audit
+    cuts) so the val slice is population-sized at test SFs.
+
+    p(w₂|w₁) = (c₂(w₁,w₂)+1) / (c₁(w₁)+V+1), with out-of-vocabulary
+    tokens mapped to '<unk>' on both the prefix and target side. The
+    emitted statistics are TRANSCENDENTAL-FREE (module docstring):
+    exact counts of unseen bigrams (c₂=0 — the strongest single
+    disfluency signal) and OOV bigrams, plus the mean smoothed
+    probability on an exact ×2³⁰ integer grid (floor of one
+    deterministic IEEE division per bigram, then order-free integer
+    sums) — a perplexity-style ranking without ln/exp, which the two
+    engines do not round identically.
+
+    Scale shape (100 TB): token/bigram relations are corpus-linear with
+    doc-bounded windows (lead over positions within one doc); the LM
+    tables (c₂, c₁, vocab) are vocabulary-sized groupBys the val-side
+    probes join on their own keys; V rides a broadcast 1-row count.
+    Everything map-side combinable; nothing quadratic; no collect."""
+    from .extension_queries import _LEAK_TRAIN_CUT, _LEAK_VAL_CUT, _split_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        _split_col(_LEAK_TRAIN_CUT, _LEAK_VAL_CUT).alias("split"),
+    )
+    tok = docs.select(
+        "doc_id",
+        "split",
+        F.posexplode(tokens_expr(F.col("text"))).alias("pos", "w"),
+    ).select("doc_id", "split", "pos", F.lower("w").alias("w"))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    bigf = (
+        tok.select(
+            "doc_id",
+            "split",
+            "pos",
+            F.col("w").alias("w1"),
+            F.lead("w").over(w_doc).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    train = bigf.filter(F.col("split") == "train")
+    c2 = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    c1 = train.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    vocab = (
+        tok.filter(F.col("split") == "train").select("w").distinct()
+    )
+    vn = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    va = vocab.select(F.col("w").alias("w1"), F.lit(True).alias("in_a"))
+    vb = vocab.select(F.col("w").alias("w2"), F.lit(True).alias("in_b"))
+    valb = (
+        bigf.filter(F.col("split") == "val")
+        .join(va, "w1", "left")
+        .join(vb, "w2", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.when(F.col("in_a").isNull(), F.lit("<unk>"))
+            .otherwise(F.col("w1"))
+            .alias("w1m"),
+            F.when(F.col("in_b").isNull(), F.lit("<unk>"))
+            .otherwise(F.col("w2"))
+            .alias("w2m"),
+            (F.col("in_a").isNull() | F.col("in_b").isNull()).alias(
+                "has_oov"
+            ),
+        )
+    )
+    scored = (
+        valb.join(
+            c2,
+            (valb.w1m == c2.w1) & (valb.w2m == c2.w2),
+            "left",
+        )
+        .drop("w1", "w2")
+        .join(c1.withColumnRenamed("w1", "w1m"), "w1m", "left")
+        .join(F.broadcast(vn))
+        .select(
+            "doc_id",
+            F.coalesce("c2", F.lit(0)).alias("cb"),
+            F.coalesce("c1", F.lit(0)).alias("cp"),
+            "has_oov",
+            "v",
+        )
+    )
+    pq = F.floor(
+        (F.col("cb") + 1).cast("double")
+        / (F.col("cp") + F.col("v") + 1).cast("double")
+        * F.lit(float(_P_SCALE))
+    ).cast(_DEC)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(F.when(F.col("cb") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unseen_bigrams"),
+            F.sum(F.when(F.col("has_oov"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov_bigrams"),
+            F.sum(pq).cast(_DEC).alias("spq"),
+        )
+        .select(
+            "doc_id",
+            "n_scored",
+            "n_unseen_bigrams",
+            "n_oov_bigrams",
+            (
+                F.col("spq").cast("double")
+                / (
+                    F.col("n_scored").cast("double")
+                    * F.lit(float(_P_SCALE))
+                )
+            ).alias("mean_prob"),
+            (
+                F.col("n_unseen_bigrams").cast("double")
+                / F.col("n_scored").cast("double")
+            ).alias("unseen_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coefficient
+
+
+def _clustering_oracle() -> str:
+    from .dedup_queries import _minhash_lsh_oracle
+
+    return f"""
+    WITH mh AS MATERIALIZED ({_minhash_lsh_oracle()}),
+    e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM mh),
+    deg AS MATERIALIZED (
+      SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+      GROUP BY 1
+    ),
+    o AS MATERIALIZED (
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
+      FROM e JOIN deg da ON e.a = da.id JOIN deg db ON e.b = db.id
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM o w1 JOIN o w2
+        ON w1.u = w2.u AND (w1.dv, w1.v) < (w2.dv, w2.v)
+      WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = w1.v AND c.v = w2.v)
+    ),
+    wed AS (
+      SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+             CAST(count(*) AS BIGINT) AS n_nodes
+      FROM deg
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT wed.n_nodes, ne.n_edges, wed.n_wedges, tri.n_triangles,
+           CAST(3 * tri.n_triangles AS DOUBLE)
+             / CAST(wed.n_wedges AS DOUBLE) AS global_clustering
+    FROM wed, ne, tri
+    """
+
+
+@query("graph_clustering_coefficient", oracle=_clustering_oracle())
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global transitivity of the verified near-dup graph:
+    3·triangles / wedges — the one-number answer to "do near-dup
+    edges close into mutually-confirming families (template clusters)
+    or hang as spurious single pairs?", complementing the per-node
+    triangle counts (local evidence) and degree assortativity (mixing
+    shape) over the SAME shared verified-pairs cache.
+
+    Exactness: triangles ride the already-verified degree-oriented
+    wedge counting (operators/graph.py triangle_counts — each triangle
+    counted once at its lowest-(degree,id) vertex, so Σ per-node = 3T);
+    wedges are the exact integer Σ d(d−1)/2; ONE double division.
+
+    Scale shape (100 TB): degree-oriented wedge expansion bounds every
+    out-degree at O(√m) regardless of hub skew (the triangle query's
+    own argument); degrees and wedges are one groupBy over the edge
+    list; the readout is a 1-row broadcast join of three scalars."""
+    from ..operators.graph import triangle_counts
+    from .dedup_queries import shared_minhash_pairs
+
+    pairs = shared_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+    )
+    ne = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    tri = (
+        triangle_counts(pairs, src="doc_a", dst="doc_b")
+        .agg((F.sum("n_triangles") / 3).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        wed.join(F.broadcast(ne))
+        .join(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("global_clustering"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_dedup_reduction_by_source
+
+
+def _dedup_reduction_oracle() -> str:
+    from .dedup_queries import _cc_oracle
+    from .text_queries import _SQL_TOKS
+
+    return f"""
+    WITH cc_full AS ({_cc_oracle()}),
+    drop_list AS (
+      SELECT doc_id FROM cc_full WHERE doc_id != cluster_id),
+    d AS (
+      SELECT doc_id, source,
+             CAST(coalesce(len({_SQL_TOKS}), 0) AS BIGINT) AS n_toks,
+             (doc_id IN (SELECT doc_id FROM drop_list)) AS dropped
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_docs_kept,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN dropped THEN 0 ELSE n_toks END) AS BIGINT)
+             AS n_tokens_kept,
+           CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS doc_reduction
+    FROM d
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+@query("corpus_dedup_reduction_by_source", oracle=_dedup_reduction_oracle())
+def corpus_dedup_reduction_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source DOC and TOKEN reduction from near-dup removal — the
+    capacity-planning readout of the dedup endpoint: web-scale dedup
+    drops 30-80% of raw docs, and WHERE it drops them (which sources
+    are template farms) decides crawl budgets and mixture weights.
+    dedup_corpus_after_removal materializes the kept corpus; this
+    accounts for what the removal took, in both units that matter
+    (docs for storage, tokens for training budget).
+
+    Consumes the shared transitive-closure assignments (one managed
+    persist across the whole graph/dedup family; representatives =
+    cluster min id, the CC query's contract) and the corpus token
+    counts; hash-verified against the recursive-CTE closure replay.
+
+    Scale shape (100 TB): one left anti-join-shaped membership flag
+    (drop list is corpus-proportional, so it shuffles on doc_id — the
+    dedup_corpus_after_removal argument — and AQE may demote to
+    broadcast when small), one tokenize scan, one source-grain
+    groupBy."""
+    from ..operators.text import token_count_expr
+    from .dedup_queries import shared_cluster_assignments
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = shared_cluster_assignments(spark, sf_dir)
+    non_reps = (
+        cc.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+        .withColumn("_dropped", F.lit(True))
+    )
+    d = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.coalesce(token_count_expr("text"), F.lit(0)).alias("n_toks"),
+        )
+        .join(non_reps, "doc_id", "left")
+        .select(
+            "source",
+            "n_toks",
+            F.coalesce("_dropped", F.lit(False)).alias("dropped"),
+        )
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("dropped"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_docs_kept"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("dropped"), 0).otherwise(F.col("n_toks")))
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+            (
+                F.sum(F.when(F.col("dropped"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("doc_reduction"),
+        )
+        .orderBy("source")
+    )

@@ -637,9 +637,11 @@ def events_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_value_mad_by_type",
-    oracle=f"""
+# ONE oracle for both MAD forms: the window query and its two-phase
+# rung emit IDENTICAL rows by construction (tests/test_ranks.py pins
+# the selection law), so a shared SQL twin is the only way their
+# oracles can never drift apart.
+_MAD_ORACLE = f"""
     WITH v AS (
       SELECT event_type, event_id, value
       FROM events WHERE value IS NOT NULL),
@@ -674,8 +676,24 @@ def events_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN n USING (event_type)
     GROUP BY 1, 2, 3, 4
     ORDER BY 1
-    """,
-)
+    """
+
+
+def _mad_rows_per_group_bound() -> int:
+    """Configurable dispatch bound for events_value_mad_by_type (r14
+    VERDICT item 1c): groups larger than this run the two-phase
+    distributed rank instead of the within-group row_number window.
+    Default 10⁸ — the documented comfort bound of a single-partition
+    per-group rank (SCALE.md); read per call so an operator (or a
+    test) can flip the branch without re-importing the module."""
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_MAD_ROWS_PER_GROUP_BOUND", "100000000")
+    )
+
+
+@query("events_value_mad_by_type", oracle=_MAD_ORACLE)
 def events_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type MEDIAN / MAD / robust-z outlier counts over the event
     ``value`` measure — the 50%-breakdown outlier monitor: a mean/σ
@@ -696,14 +714,30 @@ def events_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): two rank windows PARTITIONED BY event_type
     (parallel across types; within a type this is the documented
     single-partition rank — fine to ~10⁸ events per type, past that
-    the two-phase distributed rank or a KLL-sketch quantile swap, both
-    already in the repo); the deviation pass is one broadcast join of
-    the 5-row median table; the readout is a per-type aggregate."""
+    the two-phase distributed rank, DISPATCHED below); the deviation
+    pass is one broadcast join of the 5-row median table; the readout
+    is a per-type aggregate.
+
+    Dispatch (r14 VERDICT item 1c): one tiny count aggregate measures
+    the largest group; if it exceeds the configurable
+    SPARK_GRAFT_MAD_ROWS_PER_GROUP_BOUND (default 10⁸), the query
+    returns the two-phase rung's plan instead — same rows, same
+    oracle (the shared _MAD_ORACLE), pinned rung == window by
+    tests/test_ranks.py — so outgrowing a single partition is a config
+    change, not a rewrite."""
     v = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_type", "event_id", "value")
     )
+    max_group = (
+        v.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    if max_group is not None and max_group > _mad_rows_per_group_bound():
+        return events_value_mad_twophase(spark, sf_dir)
     n = v.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_values")
     )
@@ -751,6 +785,7 @@ def events_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_value_mad_twophase", oracle=_MAD_ORACLE)
 def events_value_mad_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCALE RUNG (r13 VERDICT item 5) for events_value_mad_by_type:
     identical output — same columns, same selected medians, same
@@ -758,12 +793,14 @@ def events_value_mad_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the two-phase distributed histogram rank
     (operators/ranks.py:grouped_selected_lower_median) instead of the
     per-group row_number window. The production query keeps the
-    rank-window form (parallel across the ~5 types; within-type
-    single-partition is fine to ~10⁸ rows/type and cheaper at bench
-    scale — one pass per median vs the rung's three partitioned
-    passes); THIS is the plan to swap in past that point, and
-    tests/test_ranks.py pins rung == exact on the test corpus so the
-    swap is a config change, not a rewrite."""
+    rank-window form under the dispatch bound (parallel across the ~5
+    types; within-type single-partition is fine to ~10⁸ rows/type and
+    cheaper at bench scale — one pass per median vs the rung's three
+    partitioned passes) and swaps to THIS plan past it;
+    tests/test_ranks.py pins rung == exact on the test corpus, and the
+    rung is REGISTERED with the shared _MAD_ORACLE (r14 VERDICT item
+    1b) so its scale path earns its own DuckDB hash rows every
+    round."""
     from ..operators.ranks import grouped_selected_lower_median
 
     v = (
@@ -810,12 +847,34 @@ def events_value_mad_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embed_norm_median_twophase",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    n AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM v GROUP BY 1)
+    SELECT label, nrm AS median_norm FROM (
+      SELECT label, nrm,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY nrm, vec_id) AS r
+      FROM v) s JOIN n USING (label)
+    WHERE r = (n_vecs + 1) // 2
+    ORDER BY label
+    """,
+)
 def embed_norm_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCALE RUNG for embed_norm_stats_by_label's per-label median
     norm: (label, median_norm) selected by the two-phase distributed
     histogram rank instead of the per-label row_number window —
     bit-identical selection (tests/test_ranks.py), partitioned passes
-    only."""
+    only. Registered with its own DuckDB twin (r14 VERDICT item 1b):
+    the oracle is the straight per-label row_number SQL, so every gate
+    run proves two-phase == window selection on the real corpus."""
     from ..operators.ranks import grouped_selected_lower_median
     from ..operators.similarity import _dbl, norm_expr
 

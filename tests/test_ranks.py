@@ -178,3 +178,27 @@ def test_embed_norm_rung_equals_exact_on_test_corpus(spark, sf_dir):
         for r in embed_norm_median_twophase(spark, sf_dir).collect()
     }
     assert rung == exact and len(exact) >= 2
+
+
+def test_mad_dispatch_picks_rung_past_bound(spark, sf_dir, monkeypatch):
+    """r14 VERDICT item 1c: events_value_mad_by_type dispatches by the
+    configurable rows-per-group bound — window form under it, the
+    two-phase rung past it — and both branches emit identical rows."""
+    from retail_sales_analysis_etl_bi_project_spark.plans import robust_queries
+
+    # default bound (10^8): window branch — plan carries the
+    # row_number window, not the two-phase marker columns
+    monkeypatch.delenv("SPARK_GRAFT_MAD_ROWS_PER_GROUP_BOUND", raising=False)
+    win_df = robust_queries.events_value_mad_by_type(spark, sf_dir)
+    win_plan = win_df._jdf.queryExecution().executedPlan().toString()
+    assert "__tp_bucket" not in win_plan
+
+    # bound of 1: every real group exceeds it — rung branch
+    monkeypatch.setenv("SPARK_GRAFT_MAD_ROWS_PER_GROUP_BOUND", "1")
+    rung_df = robust_queries.events_value_mad_by_type(spark, sf_dir)
+    rung_plan = rung_df._jdf.queryExecution().executedPlan().toString()
+    assert "__tp_bucket" in rung_plan
+
+    assert [tuple(r) for r in win_df.collect()] == [
+        tuple(r) for r in rung_df.collect()
+    ]
