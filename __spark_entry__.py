@@ -187,7 +187,8 @@ _PAST_WINDOW = (
     "dedup_substring_spans",          # 7 green rounds; positional hashing, as
                                       # corpus_ngram_novelty (promoted, shingles)
     "corpus_pack_sharded",            # 7 green rounds; packing mechanism
-                                      # in-window via corpus_pack_bpe_budget
+                                      # in-window via corpus_curation_funnel
+                                      # (r15: pack_bpe_budget spilled)
     "sim_ann_recall",                 # 7 green rounds; ANN recall audit — its
                                       # IVF/LSH/PQ paths re-audited in-window by
                                       # sim_matryoshka_recall (promoted)
@@ -267,23 +268,24 @@ _PAST_WINDOW = (
     # r12d..i eligibility, ledger in COVERAGE.md §rotation r14.
     "dedup_minhash_auc",              # sig-estimate AUC; the minhash path is
                                       # in-window via graph_degree_assortativity
-                                      # + graph_pagerank_dupgraph (same shared
-                                      # verified pairs) and dedup_semantic_recall
+                                      # (same shared verified pairs) and
+                                      # dedup_semantic_recall (r15: pagerank spilled)
     "bi_revenue_backtest_mase",       # walk-forward backtest; day-grain rolling
                                       # eval in-window via
                                       # bi_forecast_interval_coverage
     "text_countmin_heavyhitters",     # deterministic CMS replay; term-count
                                       # family in-window via text_zipf_profile +
-                                      # text_bm25_search
+                                      # text_hybrid_rrf_fusion (r15: bm25 spilled)
     # r14 session-3 spills: displaced by promoting the vocabulary /
     # curation quartet (vocab_queries.py) in their birth round; same
     # 2-green r12d..i eligibility, ledger in COVERAGE.md §rotation r14.
     "text_sparse_cosine_pairs",       # df-capped sparse cosine; postings /
                                       # sparse-vector family in-window via
-                                      # text_bm25_search + text_hybrid_rrf_fusion
+                                      # text_hybrid_rrf_fusion (r15: bm25 spilled)
     "bi_basket_triples",              # A-priori 3-itemsets; co-occurrence
-                                      # mining in-window via bi_copurchase_linkpred
-                                      # + bi_reorder_hazard
+                                      # mining in-window via
+                                      # graph_clustering_coefficient (promoted;
+                                      # r15: copurchase_linkpred spilled)
     "bi_revenue_runs_test",           # Wald-Wolfowitz runs; sign-sequence
                                       # family in-window via
                                       # bi_revenue_trend_mannkendall + leadlag
@@ -320,13 +322,42 @@ _PAST_WINDOW = (
                                       # cluster-blocked cosine path re-runs
                                       # inside dedup_semantic_recall (in)
     "text_bpe_train_rounds",          # 3 green rounds; the trainer re-runs
-                                      # inside text_bpe_encode_counts +
-                                      # text_bpe_fertility_by_lang (both in)
+                                      # inside text_bpe_fertility_by_lang (in;
+                                      # r15: encode_counts spilled too)
     "multimodal_frame_sample",        # 2 green rounds; Arrow mapInPandas
                                       # path in-window via multimodal_resize_dims
     "corpus_source_tv_drift",         # 2 green rounds; exact-integer
                                       # distribution drift in-window via
                                       # events_value_ks_drift (same mechanism)
+    # r15 session-2 spills: displaced by promoting the seven
+    # quality/association queries (quality_queries.py) in their birth
+    # round. Each name below is a 3-green r12 promotee (r12+r13+r14)
+    # with an in-window mechanism relative; ledger in COVERAGE.md
+    # §rotation r15. (text_langid_threshold_sweep: 2 green rounds,
+    # r13+r14 — its r12 row was the DIVIDE_BY_ZERO red.)
+    "text_bpe_encode_counts",         # 3 green rounds; the trained-merge
+                                      # encode loop re-runs in-window inside
+                                      # text_bpe_fertility_by_lang
+    "text_langid_threshold_sweep",    # 2 green rounds; langid P/R rate
+                                      # arithmetic in-window via
+                                      # text_langid_calibration
+    "text_bm25_search",               # 3 green rounds; BM25 scoring re-runs
+                                      # in-window inside text_hybrid_rrf_fusion
+                                      # (rational-idf postings machinery)
+    "graph_pagerank_dupgraph",        # 3 green rounds; the shared banded-LSH
+                                      # edge persist + node-partitioned joins
+                                      # in-window via graph_degree_assortativity
+    "corpus_split_leakage_audit",     # 3 green rounds; near-dup-pairs-crossing-
+                                      # split mechanism in-window via
+                                      # corpus_decontaminate_audit
+    "bi_copurchase_linkpred",         # 3 green rounds; common-neighbor pair
+                                      # machinery in-window via
+                                      # graph_clustering_coefficient (promoted,
+                                      # same wedge/triangle relations)
+    "corpus_pack_bpe_budget",         # 3 green rounds; trained-BPE encode
+                                      # in-window via text_bpe_fertility_by_lang;
+                                      # budget-packing curation via
+                                      # corpus_curation_funnel
     "text_pii_scrub",                 # regex scrub; text exprs as text_profile-family (in via sparse/countmin)
     "embed_quantize_int8",            # SQ8 audit; embedding exprs as sim_ann_recall (in)
     "layout_zorder_events",           # layout audit; green r7-r11
@@ -359,27 +390,20 @@ _PROMOTED = (
     # (r15: dedup_semantic_clusters and text_bpe_train_rounds spilled
     # to _PAST_WINDOW after 3 green rounds — see session-1 spills)
     "dedup_semantic_recall",          # its recall audit vs all-pairs baseline
-    "text_bpe_encode_counts",         # encode side of the trained merges
     # r12 session-4 additions (r12d..i), promoted INTO the window at
     # end of round so the r12 driver artifact hash-checks every one in
     # its birth round (review finding, r12i: leaving the newest, least
     # externally proven queries past-window inverted the window's
     # purpose). The long-stable naturals they displace all have >=2
     # green driver rounds — ledger in COVERAGE.md §rotation r12.
-    "text_langid_threshold_sweep",    # P/R/F1 operating characteristic
     "bi_forecast_interval_coverage",  # split-conformal coverage audit
     # r13 promotions (r12 VERDICT item 3): the ten r12b/c queries,
     # registered past-window in r12 with gate-replica green at
     # sf0.001+sf0.01+sf0.1, get their first driver hash rounds now.
     "sim_matryoshka_recall",          # MRL dim-budget ladder + 2-stage rerank
-    "corpus_pack_bpe_budget",         # train->encode->pack by trained-BPE counts
-    "text_bm25_search",               # rational-idf BM25 ranked retrieval
-    "graph_pagerank_dupgraph",        # fixed-point PageRank over dup graph
-    "corpus_split_leakage_audit",     # near-dup pairs crossing train/val/test
     # (r15: multimodal_frame_sample and corpus_source_tv_drift spilled
     # to _PAST_WINDOW after 2 green rounds — see session-1 spills)
     "events_value_ks_drift",          # exact-integer two-sample KS per type
-    "bi_copurchase_linkpred",         # common-neighbor Jaccard link prediction
     "corpus_ngram_novelty",           # first-occurrence shingle novelty per doc
     # r13 new queries, promoted in their BIRTH round (the r12d..i
     # standard): robust/seasonal statistics + retrieval fusion and
@@ -433,6 +457,21 @@ _PROMOTED = (
                                       # two-phase histogram rank (scale rung)
     "embed_norm_median_twophase",     # per-label median norm via the grouped
                                       # two-phase histogram rank (scale rung)
+    # r15 session-2 promotions: the seven quality/association queries
+    # (plans/quality_queries.py) take their birth-round driver rows;
+    # hash-green at sf0.001+sf0.01+sf0.1 and under ANSI-on before
+    # promotion.
+    "bi_order_value_winsorized",      # winsorized mean; P05/P95 cuts SELECTED
+                                      # by the two-phase histogram rank
+    "bi_kendall_tau_daily",           # Kendall tau-b over the day-pair relation
+    "bi_demand_curve_by_brand",       # grouped exact-moment OLS demand slope
+    "text_simpson_diversity_by_source",  # Simpson concentration / effective
+                                      # vocabulary per source
+    "text_bigram_fluency_score",      # add-one bigram LM scoring of val docs
+                                      # against a train-split LM (rational)
+    "graph_clustering_coefficient",   # global transitivity of the dup graph
+    "corpus_dedup_reduction_by_source",  # per-source doc/token reduction from
+                                      # near-dup removal
 )
 
 

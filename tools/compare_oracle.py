@@ -93,7 +93,9 @@ def main():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        if name_filter and not any(
+            f and f in name for f in name_filter.split(",")
+        ):
             continue
         try:
             sdf = fn(spark, sf_dir)
