@@ -849,21 +849,31 @@ def sim_ann_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         _N_QUERIES,
         _corpus_codebook,
         shared_ann_truth,
+        topk_persisted,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvecs = emb.filter(F.col("vec_id") < _N_QUERIES)
     ann = None
     for label, iters, nprobe, train_mod in _ANN_TUNING_CONFIGS:
-        part = ivf_topk(
-            emb,
-            qvecs,
-            k=_K,
-            n_centroids=_N_CENTROIDS,
-            nprobe=nprobe,
-            codebook=_corpus_codebook(
-                spark, sf_dir, refine_iters=iters, train_mod=train_mod
-            ),
+        # per-config managed persist, labeled by hyperparams so the
+        # base config shares its evaluation with sim_ivf_ann_topk
+        # (r14 VERDICT item 3 — same rows either way, so the oracle
+        # replay is unaffected)
+        def build(iters=iters, nprobe=nprobe, train_mod=train_mod):
+            return ivf_topk(
+                emb,
+                qvecs,
+                k=_K,
+                n_centroids=_N_CENTROIDS,
+                nprobe=nprobe,
+                codebook=_corpus_codebook(
+                    spark, sf_dir, refine_iters=iters, train_mod=train_mod
+                ),
+            )
+
+        part = topk_persisted(
+            spark, sf_dir, f"ivf_i{iters}_p{nprobe}_m{train_mod}", build
         ).select(
             F.lit(label).alias("method"),
             F.lit(iters).cast("bigint").alias("refine_iters"),

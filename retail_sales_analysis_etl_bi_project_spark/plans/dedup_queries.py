@@ -126,6 +126,50 @@ def _truth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Embedding-family twin of the doc sample (r14 VERDICT item 3): the
+# ANN/semantic recall audits re-evaluate quadratic all-pairs cosine
+# truths and 4-5-config method ladders over the embeddings corpus, the
+# dominant cold-registry tail (~50s of BENCH_FULL at sf0.1). In
+# sampled-truth sweep mode the WHOLE embedding similarity family —
+# method AND truth, BOTH engines — runs over the deterministic
+# hash-prefix vec sample, with the first _VEC_QUERY_KEEP vec_ids (the
+# ANN query set) always kept so every query keeps a well-defined
+# top-k. Unset (the driver posture) this is the identity.
+_VEC_QUERY_KEEP = 5  # == similarity_queries._N_QUERIES (asserted there)
+
+
+def _sql_vecs() -> str:
+    """``embeddings`` (full corpus), or the hash-prefix subsample +
+    always-kept query vectors when sampled-truth mode is on — the
+    DuckDB twin of _truth_vecs."""
+    if _TRUTH_SAMPLE_K == 0:
+        return "embeddings"
+    return (
+        f"(SELECT * FROM embeddings WHERE vec_id < {_VEC_QUERY_KEEP} "
+        "OR strpos('0123456789abcdef', "
+        f"substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) <= {_TRUTH_SAMPLE_K})"
+    )
+
+
+def _truth_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings table, restricted to the deterministic md5-prefix
+    sample (query vectors always kept) when sampled-truth mode is on —
+    the Spark twin of _sql_vecs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if _TRUTH_SAMPLE_K == 0:
+        return emb
+    return emb.where(
+        (F.col("vec_id") < F.lit(_VEC_QUERY_KEEP))
+        | (
+            F.expr(
+                "instr('0123456789abcdef', "
+                "substring(md5(cast(vec_id as string)), 1, 1))"
+            )
+            <= F.lit(_TRUTH_SAMPLE_K)
+        )
+    )
+
+
 def _hex60(x: str) -> str:
     """DuckDB twin of operators.dedup.hash60_expr: first 15 hex chars of
     md5 parsed as a bigint via a shift-sum over hex digits (list_sum
@@ -608,11 +652,17 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_lsh_oracle(
-    threshold: float = 0.4, bands: int = 4, bits_per_band: int = 4
+    threshold: float = 0.4,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    emb_sql: str = "embeddings",
 ) -> str:
     """DuckDB replay of embedding_lsh_near_dup_pairs: literal fixed-seed
     hyperplanes split into bands; candidates match ANY band exactly;
-    exact cosine verifies candidates only."""
+    exact cosine verifies candidates only. ``emb_sql`` lets the
+    family-recall audit replay the method over the vec sample in
+    sampled-truth sweep mode (the registered query stays full-corpus —
+    banded LSH is the scale path, like dedup_minhash_lsh)."""
     from ..operators.similarity import hyperplanes
     from .similarity_queries import plane_bits_sql
 
@@ -629,7 +679,7 @@ def _embedding_lsh_oracle(
     )
     return f"""
     WITH base AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_sql}
     ),
     banded AS ({banded}),
     cand AS (
@@ -664,12 +714,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_cosine_oracle() -> str:
     """DuckDB twin of embedding_near_dup_pairs — also the embedding-
-    family truth set of dedup_family_recall."""
-    return """
+    family truth set of dedup_family_recall. Quadratic all-pairs
+    baseline, so like dedup_ngram_jaccard it runs over the vec sample
+    in sampled-truth sweep mode (both engines)."""
+    return f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                   CAST(b.embedding AS DOUBLE[])) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM {_sql_vecs()} a JOIN {_sql_vecs()} b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.4
     ORDER BY vec_a, vec_b
@@ -680,9 +732,12 @@ def _embedding_cosine_oracle() -> str:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.4 on this corpus). Exact
     all-pairs baseline; the LSH-bucketed variant is
-    sim_lsh_ann_topk."""
+    sim_lsh_ann_topk. In sampled-truth sweep mode the all-pairs join
+    runs over the deterministic vec sample (the dedup_ngram_jaccard
+    posture — this is the embedding family's quadratic exactness
+    baseline, not a scale path)."""
     return embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        _truth_vecs(spark, sf_dir), threshold=0.4
     )
 
 
@@ -1361,7 +1416,8 @@ def _semantic_recall_oracle(threshold: float = 0.4) -> str:
     ),"""
 
     return f"""
-    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM {_sql_vecs()}),
     truth AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM base a JOIN base b ON a.vec_id < b.vec_id
@@ -1401,18 +1457,22 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the p=1 rung at the same n_centroids) is what the ladder
     pins. Precision is 1.0 by construction. One full-outer pass per
     rung, and the quadratic all-pairs truth is evaluated ONCE for all
-    rungs via the managed persist."""
+    rungs via the managed persist. In sampled-truth sweep mode the
+    whole ladder — all-pairs truth AND every rung's assignments/pairs,
+    both engines — runs over the deterministic vec sample (r14
+    VERDICT item 3: this audit's quadratic truth was the second-
+    largest cold-registry entry)."""
     from ..operators.dedup import _semantic_cluster_pairs
     from ..operators.similarity import ivf_assignments, ivf_multi_assignments
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _truth_vecs(spark, sf_dir)
     # ONE all-pairs truth evaluation shared by both rungs via the
     # managed persist (it is the quadratic side of this audit)
     from .shared_cache import memo_persist
 
     truth = memo_persist(
         "semantic_truth",
-        (spark.sparkContext.applicationId, sf_dir),
+        (spark.sparkContext.applicationId, sf_dir, _TRUTH_SAMPLE_K),
         lambda: embedding_near_dup_pairs(emb, threshold=0.4).select(
             "vec_a", "vec_b"
         ),

@@ -480,15 +480,20 @@ def _dedup_recall_oracle() -> str:
         _sql_docs,
     )
 
-    # the text family (method AND truth) runs over the hash-prefix doc
-    # sample in sampled-truth sweep mode (dedup_queries._TRUTH_SAMPLE_K)
-    # — the all-pairs Jaccard truth is what outgrows the sf0.1 sweep
-    # timeout; the embedding family is corpus-bounded and stays full
+    from .dedup_queries import _sql_vecs
+
+    # BOTH families (method AND truth) run over their hash-prefix
+    # samples in sampled-truth sweep mode (dedup_queries
+    # _TRUTH_SAMPLE_K): the all-pairs Jaccard truth is what outgrows
+    # the sf0.1 sweep timeout, and since r15 the all-pairs cosine
+    # truth rides the vec sample too (r14 VERDICT item 3 — it was the
+    # cold-registry tail). _sql_vecs()/_embedding_cosine_oracle()
+    # collapse to the full corpus when the mode is off.
     return f"""
     WITH t_truth AS ({_ngram_jaccard_oracle()}),
     t_got AS ({_minhash_lsh_oracle(docs_sql=_sql_docs())}),
     e_truth AS ({_embedding_cosine_oracle()}),
-    e_got AS ({_embedding_lsh_oracle()})
+    e_got AS ({_embedding_lsh_oracle(emb_sql=_sql_vecs())})
     SELECT 'embedding_lsh_vs_exact_cosine' AS family,
            (SELECT COUNT(*) FROM e_got) AS n_method_pairs,
            (SELECT COUNT(*) FROM e_truth) AS n_truth_pairs,
@@ -568,9 +573,27 @@ def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # sampled-truth sweep mode: the method re-runs the banded-LSH
+    # pipeline over the vec sample to match the (sampled) cosine truth
+    # — the registered dedup_embedding_lsh stays full-corpus, exactly
+    # like the minhash arm below
+    from ..operators.dedup import embedding_lsh_near_dup_pairs
+    from .dedup_queries import _truth_vecs
+
+    e_got = (
+        dedup_embedding_lsh(spark, sf_dir)
+        if _TRUTH_SAMPLE_K == 0
+        else embedding_lsh_near_dup_pairs(
+            _truth_vecs(spark, sf_dir),
+            threshold=0.4,
+            dim=64,
+            bands=4,
+            bits_per_band=4,
+        )
+    )
     emb = family(
         "embedding_lsh_vs_exact_cosine",
-        dedup_embedding_lsh(spark, sf_dir),
+        e_got,
         dedup_embedding_cosine(spark, sf_dir),
         ["vec_a", "vec_b"],
     )

@@ -121,6 +121,30 @@ def _corpus_pq_index(spark: SparkSession, sf_dir: str):
     return codes, cbs, cb
 
 
+def topk_persisted(
+    spark: SparkSession, sf_dir: str, label: str, build
+) -> DataFrame:
+    """Managed persist of an ANN method's top-k output (~_N_QUERIES×_K
+    rows — KBs) keyed by its hyperparameters (r14 VERDICT item 3): the
+    method pipelines are each re-evaluated by their registered query
+    AND by the recall audits (sim_ann_recall unions five of them;
+    sim_ann_recall_tuning four IVF configs), and while the relations
+    are tiny the plans are deep — dozens of exchanges of near-empty
+    partitions whose fixed per-stage cost dominated the cold-registry
+    tail (warm medians 8-9s, BENCH_STANDALONE at r15 HEAD). One
+    persisted evaluation per (corpus, hyperparams) serves every
+    consumer; persist returns the identical rows a rebuild would, so
+    oracle hashes cannot move. Families are PER-LABEL (memo_persist
+    keeps one entry per family, and the five methods must coexist)."""
+    from .shared_cache import memo_persist
+
+    return memo_persist(
+        f"ann_topk_{label}",
+        (spark.sparkContext.applicationId, sf_dir),
+        build,
+    )
+
+
 def shared_ann_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The brute-force top-k truth set (query_id, neighbor_id) as a
     MANAGED persist (memo_persist family "ann_truth") — the
@@ -301,8 +325,13 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window rank (shuffles only |corpus x queries| score rows, not
     vectors)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K
+    return topk_persisted(
+        spark,
+        sf_dir,
+        "bruteforce",
+        lambda: brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K
+        ),
     )
 
 
@@ -314,15 +343,19 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replay; recall vs brute force additionally asserted in
     tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    lists, cb = _corpus_ivf_lists(spark, sf_dir)
-    return ivf_topk(
-        emb,
-        emb.filter(F.col("vec_id") < _N_QUERIES),
-        k=_K,
-        n_centroids=_N_CENTROIDS,
-        codebook=cb,
-        corpus_assigned=lists,
-    )
+
+    def build():
+        lists, cb = _corpus_ivf_lists(spark, sf_dir)
+        return ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < _N_QUERIES),
+            k=_K,
+            n_centroids=_N_CENTROIDS,
+            codebook=cb,
+            corpus_assigned=lists,
+        )
+
+    return topk_persisted(spark, sf_dir, "ivf_i0_p1_m4", build)
 
 
 @query("sim_ivf_multiprobe_topk", oracle=_ivf_oracle(iters=0, nprobe=3))
@@ -332,16 +365,20 @@ def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5x less than brute force at 16 centroids). Fully hash-verified
     against the shared IVF oracle builder."""
     emb = load_table(spark, sf_dir, "embeddings")
-    lists, cb = _corpus_ivf_lists(spark, sf_dir)
-    return ivf_topk(
-        emb,
-        emb.filter(F.col("vec_id") < _N_QUERIES),
-        k=_K,
-        n_centroids=_N_CENTROIDS,
-        nprobe=3,
-        codebook=cb,
-        corpus_assigned=lists,
-    )
+
+    def build():
+        lists, cb = _corpus_ivf_lists(spark, sf_dir)
+        return ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < _N_QUERIES),
+            k=_K,
+            n_centroids=_N_CENTROIDS,
+            nprobe=3,
+            codebook=cb,
+            corpus_assigned=lists,
+        )
+
+    return topk_persisted(spark, sf_dir, "ivf_i0_p3_m4", build)
 
 
 @query("sim_ivf_kmedians_topk", oracle=_ivf_oracle(iters=2))
@@ -356,15 +393,19 @@ def sim_ivf_kmedians_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont), so DuckDB replays the entire iterative pipeline —
     sampling predicate included — for a full hash check."""
     emb = load_table(spark, sf_dir, "embeddings")
-    lists, cb = _corpus_ivf_lists(spark, sf_dir, refine_iters=2)
-    return ivf_topk(
-        emb,
-        emb.filter(F.col("vec_id") < _N_QUERIES),
-        k=_K,
-        n_centroids=_N_CENTROIDS,
-        codebook=cb,
-        corpus_assigned=lists,
-    )
+
+    def build():
+        lists, cb = _corpus_ivf_lists(spark, sf_dir, refine_iters=2)
+        return ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < _N_QUERIES),
+            k=_K,
+            n_centroids=_N_CENTROIDS,
+            codebook=cb,
+            corpus_assigned=lists,
+        )
+
+    return topk_persisted(spark, sf_dir, "ivf_i2_p1_m4", build)
 
 
 _N_SUB = 4
@@ -456,15 +497,19 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline is hash-verified against the DuckDB replay; recall vs
     brute force additionally asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivfpq_topk(
-        emb,
-        emb.filter(F.col("vec_id") < _N_QUERIES),
-        k=_K,
-        n_centroids=_N_CENTROIDS,
-        n_sub=_N_SUB,
-        ks=_PQ_KS,
-        index=_corpus_pq_index(spark, sf_dir),
-    )
+
+    def build():
+        return ivfpq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < _N_QUERIES),
+            k=_K,
+            n_centroids=_N_CENTROIDS,
+            n_sub=_N_SUB,
+            ks=_PQ_KS,
+            index=_corpus_pq_index(spark, sf_dir),
+        )
+
+    return topk_persisted(spark, sf_dir, "ivfpq_i0", build)
 
 
 @query("sim_lsh_ann_topk", oracle=_lsh_oracle())
@@ -476,8 +521,17 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs brute force additionally asserted in
     tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(
-        emb, emb.filter(F.col("vec_id") < _N_QUERIES), dim=_DIM, k=_K, n_planes=_N_PLANES
+    return topk_persisted(
+        spark,
+        sf_dir,
+        "lsh_b8",
+        lambda: lsh_topk(
+            emb,
+            emb.filter(F.col("vec_id") < _N_QUERIES),
+            dim=_DIM,
+            k=_K,
+            n_planes=_N_PLANES,
+        ),
     )
 
 

@@ -143,8 +143,15 @@ def main() -> None:
     # cost. Draining the SAME corpus at 8 and at 2 micro-batches and
     # solving wall = fixed*B + per_doc*n separates them — committed
     # evidence instead of the r13 assertion.
+    # Production batch sizing (r14 VERDICT item 5): the committed
+    # decomposition proved per-doc cost is below noise and fixed cost
+    # ≈2s/micro-batch, so throughput is set ENTIRELY by batch size.
+    # The 1-chunk drain IS the production posture at this corpus size
+    # — the whole 5k-doc corpus arrives as one micro-batch (at 100 TB,
+    # maxFilesPerTrigger/maxBytesPerTrigger sized to ≥10⁴ docs); its
+    # docs/s is the amortized number SCALE.md cites.
     nov_walls: dict[int, float] = {}
-    for n_chunks in (N_CHUNKS, 2):
+    for n_chunks in (N_CHUNKS, 2, 1):
         sub = f"{work}/nov{n_chunks}"
         src = f"{sub}/docs_src"
         # range chunks: novelty attribution depends on INGEST ORDER
@@ -180,6 +187,11 @@ def main() -> None:
             "rows_per_sec": round(n_docs / wall),
             "readout_rows": len(got),
         }
+        if n_chunks == 1:
+            # the amortized production number (whole corpus as one
+            # micro-batch); exact-equality readout asserted above like
+            # every other drain
+            results["ingest_novelty_scoring_prodbatch"] = results.pop(key)
     if N_CHUNKS <= 2:
         # degenerate: both drains at the same batch count — the linear
         # solve has no signal; skip rather than divide by zero
