@@ -40,9 +40,25 @@ def main() -> None:
         check=True,
     ).stdout.strip()
 
+    # per-run checkpoint (a killed fleet-of-runs must not lose the
+    # completed runs): raw runs accumulate in a sidecar, and resuming
+    # at the SAME HEAD picks up where the last invocation stopped
+    raw_path = OUT + ".runs"
     totals: list[float] = []
     per_query: dict[str, list[float]] = {}
-    for i in range(n_runs):
+    done = 0
+    if os.path.exists(raw_path):
+        try:
+            with open(raw_path) as f:
+                raw = json.load(f)
+        except (OSError, ValueError):
+            raw = {}
+        if raw.get("git_head") == head:
+            totals = raw.get("totals", [])
+            per_query = raw.get("per_query", {})
+            done = len(totals)
+            print(f"resuming: {done} prior runs at {head}", flush=True)
+    for i in range(done, n_runs):
         subprocess.run(
             [sys.executable, "-u", os.path.join(ROOT, "bench.py")],
             cwd=ROOT,
@@ -56,6 +72,11 @@ def main() -> None:
         totals.append(run["value"])
         for q, t in run["queries"].items():
             per_query.setdefault(q, []).append(t)
+        with open(raw_path, "w") as f:
+            json.dump(
+                {"git_head": head, "totals": totals, "per_query": per_query},
+                f,
+            )
         print(f"run {i + 1}/{n_runs}: total {run['value']}s", flush=True)
 
     queries = {}
@@ -86,11 +107,13 @@ def main() -> None:
         "rel_halfspread_p95": round(p95, 4),
         "regression_rule": (
             "a per-query reading at a later HEAD counts as a real "
-            "regression only if it exceeds this artifact's median_sec "
-            f"* (1 + 2 * rel_halfspread_p95) = median * {1 + 2 * p95:.3f}; "
-            "anything inside that band is the box's own same-code "
-            "variance (this artifact measures it directly) and needs "
-            "no standalone re-measure cycle"
+            "regression only if it exceeds BOTH this artifact's "
+            "per-query max_sec * 1.2 AND its median_sec * "
+            f"{1 + 2 * p95:.3f} (= 1 + 2 * rel_halfspread_p95); "
+            "anything inside either band is the box's own same-code "
+            "variance (this artifact measures it directly — one of "
+            "the N runs was box-wide ~1.4x slower on byte-identical "
+            "code) and needs no standalone re-measure cycle"
         ),
         "queries": queries,
     }
