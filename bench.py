@@ -220,6 +220,16 @@ HEADLINE = [
     "join_fact_key_skew",
     "text_vocab_coverage_curve",
     "bi_interpurchase_gap_quartiles",
+    # r15 additions: the two-phase-rank rungs and the quality seven
+    "events_value_mad_twophase",
+    "embed_norm_median_twophase",
+    "bi_order_value_winsorized",
+    "bi_kendall_tau_daily",
+    "bi_demand_curve_by_brand",
+    "text_simpson_diversity_by_source",
+    "text_bigram_fluency_score",
+    "graph_clustering_coefficient",
+    "corpus_dedup_reduction_by_source",
     # sim_ann_recall_tuning, dedup_containment_recall,
     # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
     # headline, the sim_ann_recall / dedup_family_recall precedent:
