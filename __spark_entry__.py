@@ -47,6 +47,7 @@ def _registry():
         "retail_sales_analysis_etl_bi_project_spark.plans.assoc_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.vocab_queries",
         "retail_sales_analysis_etl_bi_project_spark.plans.quality_queries",
+        "retail_sales_analysis_etl_bi_project_spark.plans.linalg_queries",
     ):
         try:
             __import__(mod)
@@ -358,6 +359,13 @@ _PAST_WINDOW = (
                                       # in-window via text_bpe_fertility_by_lang;
                                       # budget-packing curation via
                                       # corpus_curation_funnel
+    # r15 late registration (r11b/r14-session-6 precedent): gate-replica
+    # verified at sf0.001+sf0.01+sf0.1 AND under ANSI-on in its birth
+    # round, listed here so the window stays 50/50; it rotates INTO the
+    # window next round.
+    "embed_pca_power_iteration",      # exact quantized covariance moments +
+                                      # 3-round power iteration; Rayleigh
+                                      # share readout (plans/linalg_queries)
     "text_pii_scrub",                 # regex scrub; text exprs as text_profile-family (in via sparse/countmin)
     "embed_quantize_int8",            # SQ8 audit; embedding exprs as sim_ann_recall (in)
     "layout_zorder_events",           # layout audit; green r7-r11

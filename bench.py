@@ -230,6 +230,7 @@ HEADLINE = [
     "text_bigram_fluency_score",
     "graph_clustering_coefficient",
     "corpus_dedup_reduction_by_source",
+    "embed_pca_power_iteration",
     # sim_ann_recall_tuning, dedup_containment_recall,
     # dedup_minhash_recall_tuning, and dedup_semantic_recall are NOT
     # headline, the sim_ann_recall / dedup_family_recall precedent:

@@ -1,0 +1,192 @@
+"""Round-15 linear-algebra family: distributed exact covariance
+moments + fixed-round power iteration over the embedding corpus —
+`embed_pca_power_iteration`, the dominant principal direction and its
+explained-variance share as hash-checked numbers.
+
+Why it matters for a training-data pipeline: the covariance spectrum
+of an embedding corpus is the standard anisotropy/effective-rank
+diagnostic (a collapsed embedding space — one direction hoarding the
+variance — breaks cosine-based dedup and ANN recall alike), and the
+whitening/PCA transform it feeds is the classic pre-processing step
+for IVF/PQ indexes. The reference has nothing like it
+(/root/reference/etl/etl.py:220-306 stops at groupBy sums); this is
+north-star extension surface, mechanically new vs every other family
+in the repo: matrix-valued exact aggregation + an ITERATIVE algorithm
+whose every round is replayed bit-for-bit by the DuckDB twin.
+
+Numeric discipline (REQUIREMENTS.md, the strictest form):
+- elements quantize to ×10⁴ fixed point with floor(x+0.5) (identical
+  both engines for all signs — round()'s tie rule is not shared);
+- the scaled covariance numerator M = N·Σqq′ − (Σq)(Σq)′ is an exact
+  DECIMAL(38,0)/HUGEINT integer — order-free sums only;
+- each power-iteration round: exact integer matvec, truncation-
+  rescaled EXACT integer squared norm ((w − w%10⁴)//10⁴, identical
+  truncation both engines since the numerator divides exactly), ONE
+  IEEE sqrt, re-quantization back to fixed point — so no multi-term
+  float sum exists anywhere in the pipeline and fold order is
+  irrelevant by construction;
+- the read-out (Rayleigh quotient λ = vᵀMv / vᵀv and its share of
+  trace(M)) is exact-integer numerators/denominators with single
+  IEEE divisions at the end.
+
+Scale shape (100 TB): one corpus scan builds d² = 4096 exact partial
+sums (map-side combined); the 64×64 moment matrix is a KB fitted
+artifact and all 3 iteration rounds join KB relations — iterating is
+corpus-free. At d where d² partials strain a shuffle (d ≳ 10⁴),
+the swap is blocked outer products (dim-range tiles), same discipline
+as the banded two-phase rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.linalg import (
+    D38,
+    covariance_moments,
+    power_iteration,
+    quantized_elements,
+)
+from ..sources.tables import load_table
+from .registry import query
+
+_DIM = 64
+_ITERS = 3
+
+
+def _pca_oracle(iters: int = _ITERS) -> str:
+    """DuckDB replay of the full chain: quantize → exact moments →
+    ``iters`` unrolled power-iteration rounds → Rayleigh read-out.
+    HUGEINT (int128) carries every integer exactly (max magnitude
+    ~4e25 ≪ 1.7e38); ``//`` is exact here because the numerator is
+    made divisible first."""
+    rounds = []
+    prev = "v0"
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+    w{r} AS (
+      SELECT m.i, CAST(SUM(m.m_ij * v.v_q) AS HUGEINT) AS w_i
+      FROM m JOIN {prev} v ON v.dim_idx = m.j
+      GROUP BY 1
+    ),
+    n{r} AS (
+      SELECT sqrt(CAST(SUM(((w_i - (w_i % 10000)) // 10000)
+                          * ((w_i - (w_i % 10000)) // 10000)) AS DOUBLE))
+             * 10000.0 AS norm_w
+      FROM w{r}
+    ),
+    v{r} AS (
+      SELECT w.i AS dim_idx,
+             CAST(floor(CAST(w.w_i AS DOUBLE) / n.norm_w * 10000.0 + 0.5)
+                  AS HUGEINT) AS v_q
+      FROM w{r} w CROSS JOIN n{r} n
+    )""")
+        prev = f"v{r}"
+    rounds_sql = ",".join(rounds)
+    return f"""
+    WITH idx AS (SELECT unnest(generate_series(1, {_DIM})) AS ii),
+    q AS (
+      SELECT e.vec_id, idx.ii - 1 AS dim_idx,
+             CAST(floor(CAST(e.embedding[idx.ii] AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings e CROSS JOIN idx
+    ),
+    s AS (
+      SELECT dim_idx, CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS s_q,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM q GROUP BY 1
+    ),
+    p AS (
+      SELECT a.dim_idx AS i, b.dim_idx AS j,
+             CAST(SUM(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS p_ij
+      FROM q a JOIN q b USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT p.i, p.j, si.n * p.p_ij - si.s_q * sj.s_q AS m_ij
+      FROM p JOIN s si ON si.dim_idx = p.i
+             JOIN s sj ON sj.dim_idx = p.j
+    ),
+    v0 AS (
+      SELECT DISTINCT i AS dim_idx, CAST(10000 AS HUGEINT) AS v_q FROM m
+    ),{rounds_sql},
+    ray AS (
+      SELECT CAST(SUM(va.v_q * m.m_ij * vb.v_q) AS HUGEINT) AS num
+      FROM m JOIN {prev} va ON va.dim_idx = m.i
+             JOIN {prev} vb ON vb.dim_idx = m.j
+    ),
+    den AS (SELECT CAST(SUM(v_q * v_q) AS HUGEINT) AS den FROM {prev}),
+    tr AS (SELECT CAST(SUM(m_ij) AS HUGEINT) AS trace_m FROM m WHERE i = j),
+    nn AS (SELECT CAST(MAX(n) AS BIGINT) AS n_vectors FROM s)
+    SELECT v.dim_idx,
+           CAST(v.v_q AS BIGINT) AS eigvec_q,
+           CAST(mii.m_ij AS DOUBLE) AS var_ii_scaled,
+           CAST(ray.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+             AS lambda_scaled,
+           (CAST(ray.num AS DOUBLE) / CAST(den.den AS DOUBLE))
+             / CAST(tr.trace_m AS DOUBLE) AS explained_share,
+           nn.n_vectors
+    FROM {prev} v
+    JOIN m mii ON mii.i = v.dim_idx AND mii.j = v.dim_idx
+    CROSS JOIN ray CROSS JOIN den CROSS JOIN tr CROSS JOIN nn
+    ORDER BY v.dim_idx
+    """
+
+
+@query("embed_pca_power_iteration", oracle=_pca_oracle())
+def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus via exact
+    quantized covariance moments + {_ITERS} power-iteration rounds,
+    with the Rayleigh quotient's share of total variance — the
+    anisotropy diagnostic (a healthy corpus spreads variance; a
+    collapsed one concentrates it in this direction). One corpus scan
+    (d² map-side-combined partials), then KB-relation joins only; see
+    module docstring for the exactness argument, operators/linalg.py
+    for the pieces, tests/test_linalg.py for the numpy cross-check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = quantized_elements(emb)
+    m, s = covariance_moments(elems)
+    v = power_iteration(m, dims=_DIM, iters=_ITERS)
+
+    vi = F.broadcast(v.select(F.col("dim_idx").alias("i"), F.col("v_q").alias("va")))
+    vj = F.broadcast(v.select(F.col("dim_idx").alias("j"), F.col("v_q").alias("vb")))
+    ray = (
+        m.join(vi, "i")
+        .join(vj, "j")
+        .agg(
+            F.sum(
+                (F.col("va").cast(D38) * F.col("m_ij") * F.col("vb").cast(D38))
+                .cast(D38)
+            ).alias("num")
+        )
+    )
+    den = v.agg(
+        F.sum((F.col("v_q").cast(D38) * F.col("v_q").cast(D38)).cast(D38)).alias(
+            "den"
+        )
+    )
+    tr = m.filter(F.col("i") == F.col("j")).agg(
+        F.sum("m_ij").cast(D38).alias("trace_m")
+    )
+    nn = s.agg(F.max("n").cast("bigint").alias("n_vectors"))
+    mii = m.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("dim_idx"), F.col("m_ij").alias("m_ii")
+    )
+    lam = F.col("num").cast("double") / F.col("den").cast("double")
+    return (
+        v.join(mii, "dim_idx")
+        .crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "dim_idx",
+            F.col("v_q").cast("bigint").alias("eigvec_q"),
+            F.col("m_ii").cast("double").alias("var_ii_scaled"),
+            lam.alias("lambda_scaled"),
+            (lam / F.col("trace_m").cast("double")).alias("explained_share"),
+            "n_vectors",
+        )
+        .orderBy("dim_idx")
+    )
