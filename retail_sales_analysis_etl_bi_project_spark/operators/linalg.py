@@ -36,7 +36,7 @@ iterating more rounds costs joins of KB relations, never rescans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 D38 = "decimal(38,0)"
@@ -106,68 +106,54 @@ def covariance_moments(elems: DataFrame) -> tuple[DataFrame, DataFrame]:
     return m, s
 
 
-def _norm_scaled_sq(w: DataFrame) -> DataFrame:
-    """EXACT squared norm of the pre-scaled matvec result: each w_i is
-    truncate-toward-zero divided by 10⁴ ((w − w%10⁴)/10⁴ — identical
-    on both engines), squared, and summed in DECIMAL(38,0). 1-row
-    (norm2s)."""
-    wt = w.select(
-        (
-            (F.col("w_i") - F.col("w_i") % F.lit(10000).cast(D38))
-            / F.lit(10000).cast(D38)
-        )
-        .cast(D38)
-        .alias("wt")
-    )
-    return wt.agg(F.sum((F.col("wt") * F.col("wt")).cast(D38)).alias("norm2s"))
-
-
 def power_iteration(m: DataFrame, dims: int, iters: int = 3) -> DataFrame:
     """``iters`` rounds of v ← quantize(M·v / ‖M·v‖) starting from the
     all-ones ×10⁴ fixed-point vector. Returns (dim_idx, v_q BIGINT) —
     the final quantized direction (the caller computes its Rayleigh
-    quotient against M in exact integers). Every join is a KB
-    relation; the corpus is never touched."""
-    mi = m.select(
-        F.col("i"), F.col("j"), F.col("m_ij")
-    )
-    # v0: all-ones direction at ×10⁴ scale, derived from the matrix's
-    # own dimension ids (no spark.range: keeps the plan source-free)
-    v = (
-        mi.select(F.col("i").alias("dim_idx"))
-        .distinct()
-        .select("dim_idx", F.lit(10000).cast("bigint").alias("v_q"))
-    )
-    w = None
+    quotient against M in exact integers).
+
+    Execution shape: the matvec is DISTRIBUTED over the (persisted)
+    moment relation; the d-row result vector is COLLECTED each round
+    (KBs — the codebook fitted-artifact discipline; the early-exit CC
+    loop is the per-round-scalar-action precedent) and the norm /
+    re-quantization run driver-side in EXACT Python integers, shipped
+    back as a broadcast literal relation. Lazily nesting the rounds
+    instead doubles the w-subtree per round (norm(w) re-references w),
+    and a live explain measured 370 redundant scans / 33 s of pure
+    plan overhead at sf0.001 — the collect is what keeps the plan
+    flat. Arithmetic parity with the SQL twin: truncate-toward-zero
+    pre-scaling uses abs-based integer division (Python % has floor
+    semantics, SQL % truncates — the one place the engines disagree),
+    float() of an exact int is the same correctly-rounded double as
+    CAST(HUGEINT AS DOUBLE), and floor(x·10⁴+0.5) is floor on all
+    three."""
+    import math
+
+    spark = m.sparkSession
+    mi = m.select(F.col("i"), F.col("j"), F.col("m_ij"))
+    v: dict[int, int] = {d: 10000 for d in range(dims)}
     for _ in range(iters):
-        w = (
-            mi.join(
-                F.broadcast(v.select(F.col("dim_idx").alias("j"), "v_q")), "j"
-            )
+        vdf = spark.createDataFrame(
+            [(j, q) for j, q in sorted(v.items())], "j: bigint, v_b: bigint"
+        ).select("j", F.col("v_b").cast(D38).alias("v_q"))
+        w_rows = (
+            mi.join(F.broadcast(vdf), "j")
             .groupBy("i")
             .agg(
-                F.sum((F.col("m_ij") * F.col("v_q").cast(D38)).cast(D38)).alias(
-                    "w_i"
-                )
+                F.sum((F.col("m_ij") * F.col("v_q")).cast(D38)).alias("w_i")
             )
+            .collect()
         )
-        norm = _norm_scaled_sq(w).select(
-            (F.sqrt(F.col("norm2s").cast("double")) * F.lit(10000.0)).alias(
-                "norm_w"
-            )
-        )
-        v = (
-            w.crossJoin(F.broadcast(norm))
-            .select(
-                F.col("i").alias("dim_idx"),
-                F.floor(
-                    F.col("w_i").cast("double")
-                    / F.col("norm_w")
-                    * 10000.0
-                    + F.lit(0.5)
-                )
-                .cast("bigint")
-                .alias("v_q"),
-            )
-        )
-    return v
+        w = {int(r["i"]): int(r["w_i"]) for r in w_rows}
+        # truncate-toward-zero: (w - w % 10⁴) // 10⁴ in SQL semantics
+        wt = {
+            i: (abs(x) // 10000) * (1 if x >= 0 else -1) for i, x in w.items()
+        }
+        norm = math.sqrt(float(sum(t * t for t in wt.values()))) * 10000.0
+        v = {
+            i: int(math.floor(float(x) / norm * 10000.0 + 0.5))
+            for i, x in w.items()
+        }
+    return spark.createDataFrame(
+        [(i, q) for i, q in sorted(v.items())], "dim_idx: bigint, v_q: bigint"
+    )

@@ -144,9 +144,23 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d² map-side-combined partials), then KB-relation joins only; see
     module docstring for the exactness argument, operators/linalg.py
     for the pieces, tests/test_linalg.py for the numpy cross-check."""
+    from .shared_cache import memo_persist
+
     emb = load_table(spark, sf_dir, "embeddings")
     elems = quantized_elements(emb)
-    m, s = covariance_moments(elems)
+    # the 64×64 moment matrix is the FITTED ARTIFACT of this family
+    # (the codebook discipline): persist the 4096-row exact relation so
+    # the single corpus scan happens ONCE — unpersisted, every
+    # iteration round and every read-out aggregate re-evaluates the
+    # full moment subtree (a live explain showed 730 parquet scans;
+    # with the persist the corpus subtree appears once and all
+    # downstream joins are KB relations)
+    m0, s = covariance_moments(elems)
+    m = memo_persist(
+        "cov_moments",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: m0,
+    )
     v = power_iteration(m, dims=_DIM, iters=_ITERS)
 
     vi = F.broadcast(v.select(F.col("dim_idx").alias("i"), F.col("v_q").alias("va")))
