@@ -524,12 +524,15 @@ def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     - minhash_lsh_vs_exact_jaccard: MinHash(64)x16-band candidates +
       exact-Jaccard verify, vs full all-pairs 3-gram Jaccard >= 0.5.
     - embedding_lsh_vs_exact_cosine: 4x4-bit sign-LSH bucket candidates
-      + exact-cosine verify, vs full all-pairs cosine >= 0.4.
+      + exact-cosine verify, vs all-pairs cosine >= 0.4.
 
     All four inputs are already-registered, already-hash-verified
     queries; this is counting joins over their outputs (the all-pairs
     truths are quadratic, so like the other exactness baselines this
-    audit is a verification query, not a bench headline)."""
+    audit is a verification query, not a bench headline). In
+    sampled-truth sweep mode BOTH families run method-and-truth over
+    their hash-prefix samples (docs for the text arm, vecs for the
+    embedding arm since r15), identically on both engines."""
     from .dedup_queries import (
         _TRUTH_SAMPLE_K,
         _truth_docs,

@@ -137,7 +137,7 @@ def _pca_oracle(iters: int = _ITERS) -> str:
 @query("embed_pca_power_iteration", oracle=_pca_oracle())
 def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal direction of the embedding corpus via exact
-    quantized covariance moments + {_ITERS} power-iteration rounds,
+    quantized covariance moments + three power-iteration rounds,
     with the Rayleigh quotient's share of total variance — the
     anisotropy diagnostic (a healthy corpus spreads variance; a
     collapsed one concentrates it in this direction). One corpus scan
