@@ -379,10 +379,16 @@ def minhash_signatures(
     # far less per-row work than num_hashes independent string hashes,
     # and exactly reproducible in the DuckDB oracle.
     tall = tall.select("doc_id_", (hash60_expr("shingle") % P31).alias("hb"))
+    # SQL-string aggregates for the same reason as simhash_signatures'
+    # votes: the Column-operator form costs ~6 py4j round trips per
+    # hash function x num_hashes — several hundred ms of driver time
+    # per plan construction. CAST(a AS BIGINT) * hb + b stays entirely
+    # in 63-bit-safe exact integer arithmetic (a, b < 2^31; hb < 2^31),
+    # so the parsed tree computes identical values.
     mins = [
-        F.min(
-            (F.lit(a).cast("bigint") * F.col("hb") + F.lit(b)) % P31
-        ).alias(f"h{i}")
+        F.expr(
+            f"min((CAST({a} AS BIGINT) * hb + {b}) % {P31}) AS h{i}"
+        )
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return (
@@ -396,10 +402,29 @@ def _bucket_members(
     bucketed: DataFrame, key_cols: list[str], item_fields: list[str]
 ) -> DataFrame:
     """groupBy bucket key -> sorted member-struct list, buckets of one
-    dropped (no pairs). Shared base of _bucket_pairs/oversize_buckets."""
+    dropped (no pairs). Shared base of _bucket_pairs/oversize_buckets.
+
+    The groupBy exchange is an EXPLICIT cluster-width repartition on the
+    bucket key (which the aggregation then reuses — same clustering, no
+    second shuffle): the stage downstream of this exchange is the
+    quadratic pair expansion + verification arithmetic, i.e. CPU-bound
+    work whose cost is pairs, not bytes, while the bucket-member table
+    itself is small (keys + ids + per-member payload). Left implicit,
+    AQE's byte-based coalescing (minPartitionSize 1 MB) folds the whole
+    expansion into 1-2 tasks and the cluster idles through the dominant
+    phase — measured on the SemDeDup pair stage at sf0.1: 1.55 s
+    coalesced vs 0.99 s at explicit width. Same policy and width
+    heuristic as partitioning.to_cluster_width (explicit repartitions
+    are exactly how this repo pins width for CPU-bound phases); at
+    production scale the member table still shuffles once either way.
+    collect_list gains nothing from map-side partial aggregation (the
+    partial lists carry every item anyway), so pre-exchange partials
+    lose nothing here."""
     item = F.struct(*[F.col(f).alias(f) for f in item_fields])
+    width = bucketed.sparkSession.sparkContext.defaultParallelism
     return (
-        bucketed.groupBy(*key_cols)
+        bucketed.repartition(width, *[F.col(k) for k in key_cols])
+        .groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list(item)).alias("items"))
         .filter(F.size("items") > 1)
     )
@@ -696,6 +721,8 @@ def incremental_minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    signatures: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL MinHash-LSH dedup: near-dup pairs INVOLVING a newly
     arrived document — new×new and new×old — with old×old pairs never
@@ -715,13 +742,28 @@ def incremental_minhash_dedup_pairs(
     output is deterministic, so recompute ≡ read); this function
     re-derives them from ``docs`` only because the registered query has
     a single input table. The verification join structure is unchanged:
-    only candidate pairs pay exact Jaccard."""
-    with_sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    only candidate pairs pay exact Jaccard.
+
+    ``signatures`` / ``shingles`` are the same injection contract as
+    minhash_dedup_pairs: a caller holding the persisted signature-store
+    relations (exactly the store this docstring describes) passes them
+    in and the two corpus-scan stages become reads; both default to a
+    fresh build with identical plans, so oracle hashes cannot move."""
+    with_sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    )
     banded = _banded_rows(with_sig, num_hashes, bands).withColumn(
         "_new", is_new(F.col("doc_id_"))
     )
     cand = _incremental_candidates(banded, max_bucket)
-    return _verify_candidates(cand, docs, threshold, n, text_col, id_col)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_relation(docs, n, text_col, id_col)
+    )
+    return _verify_pairs(cand, sh, threshold)
 
 
 def _incremental_candidates(
@@ -738,8 +780,13 @@ def _incremental_candidates(
     would compute the whole signature+bucket subtree twice (Spark gets
     no reuse across union branches; measured in _bucket_pairs'
     docstring and seen live in this query's first PLANS.txt capture)."""
+    width = banded.sparkSession.sparkContext.defaultParallelism
     buckets = (
-        banded.groupBy("band_idx", "band_hash")
+        # explicit cluster-width exchange for the same reason as
+        # _bucket_members: the downstream stage is the pair expansion,
+        # CPU-bound, and byte-based AQE coalescing would serialize it
+        banded.repartition(width, F.col("band_idx"), F.col("band_hash"))
+        .groupBy("band_idx", "band_hash")
         .agg(
             F.sort_array(
                 F.collect_list(F.when(F.col("_new"), F.col("doc_id_")))
@@ -1034,19 +1081,29 @@ def simhash_signatures(
         F.col(id_col).alias("doc_id_"),
         F.explode(tokens_expr(F.col(text_col))).alias("tok"),
     ).select("doc_id_", hash60_expr("tok").alias("h"))
+    # The per-bit vote aggregates and the bit-fold are built as parsed
+    # SQL strings, not Column-operator chains: the chained form costs
+    # ~8 py4j round trips per bit x 60 bits x 2 loops — measured ~1.0 s
+    # of pure DRIVER time to construct this one plan (per bench repeat,
+    # before anything executes). One expr() parse per aggregate is the
+    # same expression tree after parsing (CASE WHEN / shiftright /
+    # integer sum — exact integer arithmetic, no coercion differences),
+    # so results are bit-identical; the DuckDB oracle was re-verified
+    # after the swap.
     votes = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS b{b}"
+        )
         for b in range(bits)
     ]
     agg = tall.groupBy("doc_id_").agg(*votes)
-    sim = F.lit(0).cast("bigint")
-    for b in range(bits):
-        sim = sim + F.when(
-            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
-        ).otherwise(0)
-    return agg.select("doc_id_", sim.alias("sh"))
+    sim = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b})"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return agg.select("doc_id_", F.expr(sim).cast("bigint").alias("sh"))
 
 
 def simhash_near_dup_pairs(
@@ -1548,6 +1605,7 @@ def semantic_dedup_flags(
     vec_col: str = "embedding",
     max_bucket: int | None = None,
     n_assign: int = 1,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC dedup (Abbas et al., 2023 — cluster the
     embedding space, drop near-identical points within each cluster):
@@ -1582,10 +1640,28 @@ def semantic_dedup_flags(
     cross-cluster miss, recovering boundary pairs at ≤ n_assign²× pair
     cost; the drop rule is unchanged over the UNION of intra-cluster
     pairs, and the reported centroid_id stays the rank-1 assignment —
-    identical to the single-assignment column."""
+    identical to the single-assignment column.
+
+    ``assigned`` injects a pre-built (and typically persisted)
+    ivf_assignments output for the SAME (emb, n_centroids) — the
+    codebook-store posture: without it, ``assigned`` appears in two
+    subtrees of one plan (the pair source and the final flag join) and
+    Spark evaluates the 16-cosine argmax over the corpus twice per
+    action. Injection defaults to a fresh build with an identical plan,
+    so oracle hashes cannot move (the minhash_dedup_pairs contract).
+    Only valid for ``n_assign == 1`` (the multi-assignment pair source
+    derives from the shared codebook, which the caller then must own)."""
     from .similarity import ivf_assignments, ivf_multi_assignments
 
-    assigned, cb = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    if assigned is not None:
+        if n_assign != 1:
+            raise ValueError(
+                "assigned-injection requires n_assign == 1 (the"
+                " multi-assignment pair source needs the codebook)"
+            )
+        cb = None
+    else:
+        assigned, cb = ivf_assignments(emb, n_centroids, id_col, vec_col)
     pair_src = assigned
     if n_assign > 1:
         pair_src, _ = ivf_multi_assignments(

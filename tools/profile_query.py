@@ -32,56 +32,66 @@ from retail_sales_analysis_etl_bi_project_spark.session import get_spark  # noqa
 
 
 def main() -> None:
-    name = sys.argv[1]
+    names = sys.argv[1].split(",")
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
     import __spark_entry__ as entry
-    from bench import COUNT_ONLY_PREFIXES
+    from bench import COUNT_ONLY_PREFIXES, _post_query_hygiene
 
     qs = entry.queries()
-    if name not in qs:
-        raise SystemExit(f"unknown query {name!r}")
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries {unknown!r}")
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    count_only = name.startswith(COUNT_ONLY_PREFIXES)
+    # one warm-up action so JVM/codegen startup isn't billed to the
+    # first profiled query (same rationale as bench.py's warm-ups)
+    qs["q01_top5_products_by_revenue"](spark, sf_dir).count()
     tracker = spark.sparkContext.statusTracker()
 
-    builds, execs = [], []
-    for i in range(repeats):
-        jobs_before = set(tracker.getJobIdsForGroup() or [])
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        t1 = time.perf_counter()
-        n = df.count() if count_only else len(df.collect())
-        t2 = time.perf_counter()
-        jobs_after = set(tracker.getJobIdsForGroup() or [])
-        builds.append(t1 - t0)
-        execs.append(t2 - t1)
+    for name in names:
+        count_only = name.startswith(COUNT_ONLY_PREFIXES)
+        builds, execs = [], []
+        for i in range(repeats):
+            jobs_before = set(tracker.getJobIdsForGroup() or [])
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            t1 = time.perf_counter()
+            n = df.count() if count_only else len(df.collect())
+            t2 = time.perf_counter()
+            jobs_after = set(tracker.getJobIdsForGroup() or [])
+            builds.append(t1 - t0)
+            execs.append(t2 - t1)
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "repeat": i,
+                        "build_sec": round(t1 - t0, 3),
+                        "exec_sec": round(t2 - t1, 3),
+                        "rows": n,
+                        "new_jobs": len(jobs_after - jobs_before),
+                    }
+                )
+            )
         print(
             json.dumps(
                 {
-                    "repeat": i,
-                    "build_sec": round(t1 - t0, 3),
-                    "exec_sec": round(t2 - t1, 3),
-                    "rows": n,
-                    "new_jobs": len(jobs_after - jobs_before),
+                    "query": name,
+                    "sf_dir": sf_dir,
+                    "build_med": round(statistics.median(builds), 3),
+                    "exec_med": round(statistics.median(execs), 3),
+                    "total_med": round(
+                        statistics.median(b + e for b, e in zip(builds, execs)), 3
+                    ),
                 }
-            )
+            ),
+            flush=True,
         )
-    print(
-        json.dumps(
-            {
-                "query": name,
-                "sf_dir": sf_dir,
-                "build_med": round(statistics.median(builds), 3),
-                "exec_med": round(statistics.median(execs), 3),
-                "total_med": round(
-                    statistics.median(b + e for b, e in zip(builds, execs)), 3
-                ),
-            }
-        )
-    )
+        # same between-queries hygiene as bench.py so persists built by
+        # one profiled query don't subsidize the next
+        _post_query_hygiene(spark)
 
 
 if __name__ == "__main__":
