@@ -35,6 +35,45 @@ from .shared_cache import memo_persist
 _MIN_SUPPORT = 2
 
 
+def shared_basket_li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The managed DISTINCT (order, part) basket persist — one fact
+    scan + one distinct shuffle per run, shared by the whole basket /
+    co-purchase-graph family (pairs, triples, linkpred)."""
+    return memo_persist(
+        "basket_li",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+    )
+
+
+def shared_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The managed support>=_MIN_SUPPORT co-purchase pair persist
+    (part_a < part_b, n_both): ONE definition of the co-purchase edge
+    relation for bi_market_basket_pairs (pair mining) and
+    bi_copurchase_linkpred (whose plan referenced the pair pipeline in
+    SIX subtrees — both adjacency sides twice each, the anti-join, plus
+    degrees — so one action re-ran the order self-join up to that many
+    times; AQE exchange reuse recovered only part of it). The persist
+    is part-pair grain, support-filtered — the aggregated edge table a
+    production co-purchase graph materializes once per refresh."""
+    li = shared_basket_li(spark, sf_dir)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return memo_persist(
+        "copurchase_pairs",
+        (spark.sparkContext.applicationId, sf_dir, _MIN_SUPPORT),
+        lambda: (
+            a.join(b, "l_orderkey")
+            .where(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("n_both"))
+            .where(F.col("n_both") >= _MIN_SUPPORT)
+        ),
+    )
+
+
 @query(
     "bi_market_basket_pairs",
     oracle=f"""
@@ -94,22 +133,8 @@ def bi_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       managed memo_persist scope — one fact scan + one distinct
       shuffle per run instead of the ~3 AQE's exchange reuse still
       left executing (code-review finding, this round)."""
-    li = memo_persist(
-        "basket_li",
-        (spark.sparkContext.applicationId, sf_dir),
-        lambda: load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct(),
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    cp = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .where(F.col("n_both") >= _MIN_SUPPORT)
-    )
+    li = shared_basket_li(spark, sf_dir)
+    cp = shared_copurchase_pairs(spark, sf_dir)
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))

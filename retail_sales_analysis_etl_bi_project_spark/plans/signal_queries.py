@@ -252,32 +252,28 @@ def bi_copurchase_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     |N(u)∪N(v)| = d(u)+d(v)−cn is exact integer arithmetic; the score
     is ONE double division of two identically-rounded integer casts.
 
-    Scale shape: edges reuse the managed "basket_li" DISTINCT basket
-    persist (one fact scan across the whole basket family) and the
-    bi_market_basket_pairs pair plan (order-keyed self-join — work is
-    Σ basket², never part-quadratic); the wedge self-join on the
+    Scale shape: edges come from the managed "copurchase_pairs" persist
+    (ONE definition + ONE evaluation of the support>=2 edge relation,
+    shared with bi_market_basket_pairs — this plan references it in SIX
+    subtrees: both adjacency sides twice each, the anti-join, and the
+    degree table, so left lazy the order-keyed self-join re-ran per
+    reference); the wedge self-join on the
     shared-neighbor key is the Σd² shuffle every wedge pipeline pays,
     bounded here by the support>=2 edge filter that prunes the
     singleton tail BEFORE any neighborhood expands; degrees join at
     node grain; existing edges drop via one LEFT ANTI join on the
     canonical (part_a<part_b) key."""
-    li = memo_persist(
-        "basket_li",
-        (spark.sparkContext.applicationId, sf_dir),
-        lambda: load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct(),
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .where(F.col("n_both") >= _LINKPRED_MIN_SUPPORT)
-        .select("part_a", "part_b")
-    )
+    from .basket_queries import _MIN_SUPPORT, shared_copurchase_pairs
+
+    # the shared persist is built at _MIN_SUPPORT; this query's
+    # support constant must agree or the edge relation would differ
+    if _LINKPRED_MIN_SUPPORT != _MIN_SUPPORT:
+        raise ValueError(
+            "bi_copurchase_linkpred support constant drifted from the"
+            f" shared copurchase_pairs persist: {_LINKPRED_MIN_SUPPORT}"
+            f" != {_MIN_SUPPORT}"
+        )
+    pairs = shared_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
     adj = pairs.select(
         F.col("part_a").alias("id"), F.col("part_b").alias("nbr")
     ).unionByName(

@@ -348,13 +348,9 @@ def bi_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the honest answer at sf0.1 is empty (the linkpred
     empty-substrate precedent); the mechanism is exercised by the
     smaller SFs and the engineered-basket pytest."""
-    li = memo_persist(
-        "basket_li",
-        (spark.sparkContext.applicationId, sf_dir),
-        lambda: load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct(),
-    )
+    from .basket_queries import shared_basket_li
+
+    li = shared_basket_li(spark, sf_dir)
     tot = li.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
     )

@@ -65,8 +65,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from ..session import ensure_nanos_as_long
 
         ensure_nanos_as_long(spark)  # no-op on Spark 4.x
-        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return normalize_events_ts(_scan(spark, f"{sf_dir}/{name}.parquet"))
+    return _scan(spark, f"{sf_dir}/{name}.parquet")
+
+
+# Driver-side schema memo: spark.read.parquet() re-infers the schema
+# (footer read + merge) on EVERY call, ~0.1-0.18 s of driver time per
+# call (measured, Spark 4.1 local) — and the registered queries
+# construct their plans fresh per invocation, so a bench pass pays it
+# hundreds of times for ten immutable tables. Passing the
+# once-inferred StructType back via .schema() skips inference with a
+# byte-identical scan relation (same types, same values — the schema
+# IS the inferred one). Keyed by (path, mtime, size) so a rewritten
+# staging/test file re-infers; at production scale explicit schemas on
+# hot tables are standard practice for exactly this planning cost.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _scan(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # missing/remote path: let spark.read produce its own error
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
