@@ -56,15 +56,20 @@ def quantized_elements(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     ).select("vec_id", "dim_idx", quantize_expr(F.col("_x")).alias("q"))
 
 
-def covariance_moments(elems: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Exact scaled covariance numerator from quantized elements.
+def dimension_sums(elems: DataFrame) -> DataFrame:
+    """(dim_idx, s_q DECIMAL(38,0), n BIGINT): exact per-dimension sums
+    and counts of the quantized elements — the 64-row half of the
+    moment fit."""
+    return elems.groupBy("dim_idx").agg(
+        F.sum(F.col("q").cast(D38)).alias("s_q"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
 
-    Returns (m, s): ``m`` = (i, j, m_ij DECIMAL(38,0)) with
-    m_ij = N·Σ q_i q_j − Σq_i·Σq_j over all vectors — N²·10⁸ times the
-    covariance of the quantized data — and ``s`` = (dim_idx,
-    s_q DECIMAL(38,0), n BIGINT) the per-dimension sums. The pair
-    product relation is d² rows PER VECTOR, aggregated map-side to d²
-    total partials before the single shuffle."""
+
+def pair_product_sums(elems: DataFrame) -> DataFrame:
+    """(i, j, p_ij DECIMAL(38,0), n BIGINT): exact pair-product sums —
+    the d²-row corpus-sized half of the moment fit (d² rows per vector,
+    map-side combined into d² total partials before the one shuffle)."""
     a = elems.select(
         F.col("vec_id"),
         F.col("dim_idx").alias("i"),
@@ -75,7 +80,7 @@ def covariance_moments(elems: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("dim_idx").alias("j"),
         F.col("q").alias("qj"),
     )
-    pair_sums = (
+    return (
         a.join(b, "vec_id")
         .groupBy("i", "j")
         .agg(
@@ -83,10 +88,75 @@ def covariance_moments(elems: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
-    s = elems.groupBy("dim_idx").agg(
-        F.sum(F.col("q").cast(D38)).alias("s_q"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
+
+
+def fit_moments(elems: DataFrame) -> tuple[dict, dict, dict]:
+    """Collect the KB-scale moment fit driver-side (the codebook /
+    fitted-artifact discipline): returns
+
+      (ment, sums, counts) —
+      ment[(i, j)]  = m_ij = n·p_ij − s_i·s_j   (exact Python int)
+      sums[d]       = s_q per dimension          (exact Python int)
+      counts[d]     = element count per dimension
+
+    Exactness: p_ij / s_q arrive as DECIMAL(38,0) → Python Decimal →
+    int (exact); n·p_ij − s_i·s_j in Python unbounded ints equals the
+    DECIMAL(38,0) arithmetic bit-for-bit (magnitudes ~4e25 ≪ 1e38, no
+    rounding on either side). Two corpus-scan jobs (pair products +
+    dimension sums) collect d² + d rows — KBs at any corpus size."""
+    p_rows = pair_product_sums(elems).collect()
+    s_rows = dimension_sums(elems).collect()
+    sums = {int(r["dim_idx"]): int(r["s_q"]) for r in s_rows}
+    counts = {int(r["dim_idx"]): int(r["n"]) for r in s_rows}
+    ment = {
+        (int(r["i"]), int(r["j"])): int(r["n"]) * int(r["p_ij"])
+        - sums[int(r["i"])] * sums[int(r["j"])]
+        for r in p_rows
+    }
+    return ment, sums, counts
+
+
+def power_iterate(ment: dict, dims: int, iters: int = 3) -> dict:
+    """Pure exact-integer power iteration over a collected moment dict:
+    ``iters`` rounds of v ← quantize(M·v / ‖M·v‖) from the all-ones
+    ×10⁴ vector. Mirrors the distributed join/groupBy semantics exactly:
+    w_i exists for every i with at least one (i, j) entry where j ∈ v;
+    Python unbounded-int sums equal the DECIMAL(38,0) sums; the
+    truncate-toward-zero pre-scaling, single IEEE sqrt, and
+    floor(x·10⁴+0.5) re-quantization are unchanged from the distributed
+    form (see power_iteration docstring for the cross-engine parity
+    argument)."""
+    import math
+
+    v: dict[int, int] = {d: 10000 for d in range(dims)}
+    for _ in range(iters):
+        w: dict[int, int] = {}
+        for (i, j), m_ij in ment.items():
+            q = v.get(j)
+            if q is not None:
+                w[i] = w.get(i, 0) + m_ij * q
+        wt = {
+            i: (abs(x) // 10000) * (1 if x >= 0 else -1) for i, x in w.items()
+        }
+        norm = math.sqrt(float(sum(t * t for t in wt.values()))) * 10000.0
+        v = {
+            i: int(math.floor(float(x) / norm * 10000.0 + 0.5))
+            for i, x in w.items()
+        }
+    return v
+
+
+def covariance_moments(elems: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact scaled covariance numerator from quantized elements.
+
+    Returns (m, s): ``m`` = (i, j, m_ij DECIMAL(38,0)) with
+    m_ij = N·Σ q_i q_j − Σq_i·Σq_j over all vectors — N²·10⁸ times the
+    covariance of the quantized data — and ``s`` = (dim_idx,
+    s_q DECIMAL(38,0), n BIGINT) the per-dimension sums. The pair
+    product relation is d² rows PER VECTOR, aggregated map-side to d²
+    total partials before the single shuffle."""
+    pair_sums = pair_product_sums(elems)
+    s = dimension_sums(elems)
     si = F.broadcast(s.select(F.col("dim_idx").alias("i"), F.col("s_q").alias("s_i")))
     sj = F.broadcast(s.select(F.col("dim_idx").alias("j"), F.col("s_q").alias("s_j")))
     m = (
@@ -112,48 +182,26 @@ def power_iteration(m: DataFrame, dims: int, iters: int = 3) -> DataFrame:
     the final quantized direction (the caller computes its Rayleigh
     quotient against M in exact integers).
 
-    Execution shape: the matvec is DISTRIBUTED over the (persisted)
-    moment relation; the d-row result vector is COLLECTED each round
-    (KBs — the codebook fitted-artifact discipline; the early-exit CC
-    loop is the per-round-scalar-action precedent) and the norm /
-    re-quantization run driver-side in EXACT Python integers, shipped
-    back as a broadcast literal relation. Lazily nesting the rounds
-    instead doubles the w-subtree per round (norm(w) re-references w),
-    and a live explain measured 370 redundant scans / 33 s of pure
-    plan overhead at sf0.001 — the collect is what keeps the plan
-    flat. Arithmetic parity with the SQL twin: truncate-toward-zero
-    pre-scaling uses abs-based integer division (Python % has floor
-    semantics, SQL % truncates — the one place the engines disagree),
-    float() of an exact int is the same correctly-rounded double as
-    CAST(HUGEINT AS DOUBLE), and floor(x·10⁴+0.5) is floor on all
-    three."""
-    import math
-
+    Execution shape: the d²-row moment relation is a KB fitted
+    artifact at any corpus size, so it is COLLECTED once (the codebook
+    discipline) and every matvec / norm / re-quantization runs
+    driver-side in EXACT Python integers via power_iterate() — one
+    collect job total, versus one distributed matvec job PER ROUND in
+    the r15-build form (measured 2.3 s of per-invocation build time for
+    3 rounds of pure job overhead over a 4096-row cached relation).
+    Lazily nesting the rounds instead doubles the w-subtree per round,
+    370 redundant scans at sf0.001 — collected KB arithmetic is what
+    keeps the plan flat. Arithmetic parity with the SQL twin:
+    Python unbounded-int sums equal DECIMAL(38,0) sums bit-for-bit;
+    truncate-toward-zero pre-scaling uses abs-based integer division
+    (Python % has floor semantics, SQL % truncates — the one place the
+    engines disagree); float() of an exact int is the same
+    correctly-rounded double as CAST(HUGEINT AS DOUBLE); and
+    floor(x·10⁴+0.5) is floor on all three."""
     spark = m.sparkSession
-    mi = m.select(F.col("i"), F.col("j"), F.col("m_ij"))
-    v: dict[int, int] = {d: 10000 for d in range(dims)}
-    for _ in range(iters):
-        vdf = spark.createDataFrame(
-            [(j, q) for j, q in sorted(v.items())], "j: bigint, v_b: bigint"
-        ).select("j", F.col("v_b").cast(D38).alias("v_q"))
-        w_rows = (
-            mi.join(F.broadcast(vdf), "j")
-            .groupBy("i")
-            .agg(
-                F.sum((F.col("m_ij") * F.col("v_q")).cast(D38)).alias("w_i")
-            )
-            .collect()
-        )
-        w = {int(r["i"]): int(r["w_i"]) for r in w_rows}
-        # truncate-toward-zero: (w - w % 10⁴) // 10⁴ in SQL semantics
-        wt = {
-            i: (abs(x) // 10000) * (1 if x >= 0 else -1) for i, x in w.items()
-        }
-        norm = math.sqrt(float(sum(t * t for t in wt.values()))) * 10000.0
-        v = {
-            i: int(math.floor(float(x) / norm * 10000.0 + 0.5))
-            for i, x in w.items()
-        }
+    rows = m.select("i", "j", "m_ij").collect()
+    ment = {(int(r["i"]), int(r["j"])): int(r["m_ij"]) for r in rows}
+    v = power_iterate(ment, dims, iters)
     return spark.createDataFrame(
         [(i, q) for i, q in sorted(v.items())], "dim_idx: bigint, v_q: bigint"
     )

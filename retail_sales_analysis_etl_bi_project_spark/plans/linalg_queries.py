@@ -40,12 +40,10 @@ as the banded two-phase rank.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.linalg import (
-    D38,
-    covariance_moments,
-    power_iteration,
+    fit_moments,
+    power_iterate,
     quantized_elements,
 )
 from ..sources.tables import load_table
@@ -140,67 +138,57 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized covariance moments + three power-iteration rounds,
     with the Rayleigh quotient's share of total variance — the
     anisotropy diagnostic (a healthy corpus spreads variance; a
-    collapsed one concentrates it in this direction). One corpus scan
-    (d² map-side-combined partials), then KB-relation joins only; see
-    module docstring for the exactness argument, operators/linalg.py
-    for the pieces, tests/test_linalg.py for the numpy cross-check."""
-    from .shared_cache import memo_persist
+    collapsed one concentrates it in this direction). One corpus-sized
+    Spark pass fits the d² exact moment partials; everything downstream
+    is KB-scale exact-integer arithmetic; see module docstring for the
+    exactness argument, operators/linalg.py for the pieces,
+    tests/test_linalg.py for the numpy cross-check.
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    elems = quantized_elements(emb)
-    # the 64×64 moment matrix is the FITTED ARTIFACT of this family
-    # (the codebook discipline): persist the 4096-row exact relation so
-    # the single corpus scan happens ONCE — unpersisted, every
-    # iteration round and every read-out aggregate re-evaluates the
-    # full moment subtree (a live explain showed 730 parquet scans;
-    # with the persist the corpus subtree appears once and all
-    # downstream joins are KB relations)
-    m0, s = covariance_moments(elems)
-    m = memo_persist(
-        "cov_moments",
-        (spark.sparkContext.applicationId, sf_dir),
-        lambda: m0,
-    )
-    v = power_iteration(m, dims=_DIM, iters=_ITERS)
+    Execution shape (r15 optimization): the moment fit — d² + d exact
+    partial sums, KBs at ANY corpus size — is collected once per
+    (app, sf) as the family's FITTED ARTIFACT (the codebook
+    discipline; memo_artifact, released by bench hygiene like every
+    managed cache). The power-iteration rounds, Rayleigh quotient,
+    trace, and explained-variance share are exact unbounded-int Python
+    arithmetic over that artifact with the same single-IEEE-op
+    read-outs as before (identical values: Python int sums equal
+    DECIMAL(38,0) sums bit-for-bit; float(int)/float(int) is the same
+    pair of correctly-rounded doubles and the same IEEE division the
+    distributed plan produced). The r15-build form ran SEVEN
+    distributed jobs per invocation over the persisted 4096-row
+    relation (3 matvecs at plan build + ray/den/tr/nn broadcast
+    aggregates under the action) — 3.9 s of almost pure job/broadcast
+    overhead, vs one collect of 4,160 rows."""
+    from .shared_cache import memo_artifact
 
-    vi = F.broadcast(v.select(F.col("dim_idx").alias("i"), F.col("v_q").alias("va")))
-    vj = F.broadcast(v.select(F.col("dim_idx").alias("j"), F.col("v_q").alias("vb")))
-    ray = (
-        m.join(vi, "i")
-        .join(vj, "j")
-        .agg(
-            F.sum(
-                (F.col("va").cast(D38) * F.col("m_ij") * F.col("vb").cast(D38))
-                .cast(D38)
-            ).alias("num")
+    def fit():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return fit_moments(quantized_elements(emb))
+
+    ment, sums, counts = memo_artifact(
+        "cov_moments_fit", (spark.sparkContext.applicationId, sf_dir), fit
+    )
+    v = power_iterate(ment, dims=_DIM, iters=_ITERS)
+
+    # exact-integer read-outs (Python unbounded ints == DECIMAL(38,0))
+    num = sum(ment[(i, j)] * v[i] * v[j] for (i, j) in ment if i in v and j in v)
+    den = sum(q * q for q in v.values())
+    trace_m = sum(m_ij for (i, j), m_ij in ment.items() if i == j)
+    n_vectors = max(counts.values())
+    lam = float(num) / float(den)
+    rows = [
+        (
+            d,
+            v[d],
+            float(ment[(d, d)]),
+            lam,
+            lam / float(trace_m),
+            n_vectors,
         )
-    )
-    den = v.agg(
-        F.sum((F.col("v_q").cast(D38) * F.col("v_q").cast(D38)).cast(D38)).alias(
-            "den"
-        )
-    )
-    tr = m.filter(F.col("i") == F.col("j")).agg(
-        F.sum("m_ij").cast(D38).alias("trace_m")
-    )
-    nn = s.agg(F.max("n").cast("bigint").alias("n_vectors"))
-    mii = m.filter(F.col("i") == F.col("j")).select(
-        F.col("i").alias("dim_idx"), F.col("m_ij").alias("m_ii")
-    )
-    lam = F.col("num").cast("double") / F.col("den").cast("double")
-    return (
-        v.join(mii, "dim_idx")
-        .crossJoin(F.broadcast(ray))
-        .crossJoin(F.broadcast(den))
-        .crossJoin(F.broadcast(tr))
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "dim_idx",
-            F.col("v_q").cast("bigint").alias("eigvec_q"),
-            F.col("m_ii").cast("double").alias("var_ii_scaled"),
-            lam.alias("lambda_scaled"),
-            (lam / F.col("trace_m").cast("double")).alias("explained_share"),
-            "n_vectors",
-        )
-        .orderBy("dim_idx")
-    )
+        for d in sorted(v)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "dim_idx bigint, eigvec_q bigint, var_ii_scaled double, "
+        "lambda_scaled double, explained_share double, n_vectors bigint",
+    ).orderBy("dim_idx")

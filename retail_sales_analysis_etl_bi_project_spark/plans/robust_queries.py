@@ -802,18 +802,29 @@ def events_value_mad_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     1b) so its scale path earns its own DuckDB hash rows every
     round."""
     from ..operators.ranks import grouped_selected_lower_median
+    from .shared_cache import memo_persist
 
     v = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_type", "event_id", "value")
     )
-    med = grouped_selected_lower_median(
-        v, ["event_type"], F.col("value"), ["event_id"]
-    ).select(
-        "event_type",
-        F.col("value").alias("med"),
-        F.col("__tp_n").alias("n_values"),
+    # the per-type median relation is ≤ n_types rows but costs the
+    # rung's three partitioned passes to compute — and it is referenced
+    # by every one of madt's three passes PLUS the deviation join and
+    # the final readout, so left lazy the whole med subtree re-executed
+    # ~9× per action (the linkpred subtree-reuse finding, r15 opt).
+    # memo_persist gives it the managed KB-relation scope.
+    med = memo_persist(
+        "mad_twophase_med",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: grouped_selected_lower_median(
+            v, ["event_type"], F.col("value"), ["event_id"]
+        ).select(
+            "event_type",
+            F.col("value").alias("med"),
+            F.col("__tp_n").alias("n_values"),
+        ),
     )
     d = v.join(F.broadcast(med.select("event_type", "med")), "event_type").select(
         "event_type",
