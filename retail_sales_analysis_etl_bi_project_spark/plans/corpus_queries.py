@@ -56,6 +56,58 @@ _SQL_SH8 = """
 _BENCH_MOD = 97
 
 
+def shared_scored_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed persist of the SCORED non-benchmark corpus — doc_id,
+    source, n_chars, predicted_lang, quality, n_tokens, fp — the
+    regex-heavy scoring pass corpus_filter_pipeline and
+    corpus_curation_funnel both run (and the funnel's plan referenced
+    twice: once under the fingerprint window, once in the attribution
+    join, so the whole pass executed ~2× per action). One definition,
+    one evaluation per run; a production curation job materializes
+    exactly this table between scoring and dedup."""
+    from ..operators.partitioning import to_cluster_width
+    from .shared_cache import memo_persist
+
+    def build() -> DataFrame:
+        docs = to_cluster_width(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
+        corpus = docs.filter(~(F.col("doc_id") % _BENCH_MOD == 0))
+        return corpus.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            predicted_lang_expr("text").alias("predicted_lang"),
+            quality_score_expr("text").alias("quality"),
+            token_count_expr("text").alias("n_tokens"),
+            fingerprint_expr("text").alias("fp"),
+        )
+
+    return memo_persist(
+        "curation_scored", (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+def shared_contaminated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed persist of the benchmark-contamination id set (docs
+    sharing an 8-gram with the held-out split) — the shingle explode +
+    broadcast gram join both curation queries pay; contamination-set
+    size is bounded by the corpus, rows are single ids."""
+    from ..operators.partitioning import to_cluster_width
+    from .shared_cache import memo_persist
+
+    def build() -> DataFrame:
+        docs = to_cluster_width(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
+        is_bench = F.col("doc_id") % _BENCH_MOD == 0
+        return contaminated_ids(docs.filter(~is_bench), docs.filter(is_bench), n=8)
+
+    return memo_persist(
+        "curation_dirty", (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
 @query(
     "corpus_filter_pipeline",
     oracle=f"""
@@ -106,26 +158,14 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scan is hash-repartitioned up front: the regex scoring and
     8-gram shingling are the compute-heavy phase, and a single-file
     corpus would otherwise evaluate them serially at input-file
-    granularity (the minhash_signatures discipline)."""
-    from ..operators.partitioning import to_cluster_width
-
-    docs = to_cluster_width(load_table(spark, sf_dir, "documents"), "doc_id")
+    granularity (the minhash_signatures discipline). Scoring and the
+    contamination set come from the managed persists shared with
+    corpus_curation_funnel (one scoring pass + one shingle explode per
+    run across the curation family)."""
     from pyspark.sql.window import Window
 
-    is_bench = F.col("doc_id") % _BENCH_MOD == 0
-    bench = docs.filter(is_bench)
-    corpus = docs.filter(~is_bench)
-    dirty = contaminated_ids(corpus, bench, n=8)
-
-    scored = corpus.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        predicted_lang_expr("text").alias("predicted_lang"),
-        quality_score_expr("text").alias("quality"),
-        token_count_expr("text").alias("n_tokens"),
-        fingerprint_expr("text").alias("fp"),
-    )
+    dirty = shared_contaminated_ids(spark, sf_dir)
+    scored = shared_scored_corpus(spark, sf_dir)
     kept = (
         scored.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 30))
         .join(dirty, "doc_id", "left_anti")

@@ -216,14 +216,22 @@ def bi_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): the fact stream collapses to day grain FIRST
     (one map-side-combined groupBy); the pair join is day×day —
     calendar-bounded (~2.4k days → ~3M pairs at any data scale, the
-    Theil–Sen precedent), hash-partitioned, never corpus-sized."""
-    daily = (
-        load_table(spark, sf_dir, "orders")
+    Theil–Sen precedent), hash-partitioned, never corpus-sized. The
+    day-grain relation is memo_persist'd: it is calendar-bounded KBs
+    but referenced by FOUR subtrees (both pair sides, n, and the two
+    tie-correction aggregates), so left lazy the fact scan + groupBy
+    executed up to 5× per action (r15 opt)."""
+    from .shared_cache import memo_persist
+
+    daily = memo_persist(
+        "kendall_daily",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(
             F.sum(fixed4_expr("o_totalprice")).cast(_DEC).alias("y4"),
             F.count(F.lit(1)).cast(_DEC).alias("c"),
-        )
+        ),
     )
     a = daily.select(
         F.col("day").alias("day_a"),

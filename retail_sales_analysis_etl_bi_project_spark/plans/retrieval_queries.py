@@ -254,29 +254,24 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored corpus pass + the broadcast benchmark-gram join + the
     fingerprint window) plus three doc_id-keyed LEFT joins of
     corpus-or-smaller sets and a 6-group aggregate — attribution adds
-    joins, never a new corpus scan."""
-    from ..operators.partitioning import to_cluster_width
-    from ..operators.dedup import contaminated_ids
-    from ..operators.text import (
-        fingerprint_expr,
-        quality_score_expr,
-        token_count_expr,
+    joins, never a new corpus scan. Scoring and the contamination set
+    come from the managed persists shared with corpus_filter_pipeline
+    (this plan referenced the scored pass twice — fingerprint window +
+    attribution join — so left lazy the regex scoring executed ~2× per
+    action)."""
+    from .corpus_queries import (
+        _BENCH_MOD,
+        shared_contaminated_ids,
+        shared_scored_corpus,
     )
 
-    docs = to_cluster_width(load_table(spark, sf_dir, "documents"), "doc_id")
-    from .corpus_queries import _BENCH_MOD
-
+    docs = load_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
-    bench = docs.filter(is_bench)
-    corpus = docs.filter(~is_bench)
-    dirty = contaminated_ids(corpus, bench, n=8).withColumn(
+    dirty = shared_contaminated_ids(spark, sf_dir).withColumn(
         "is_dirty", F.lit(True)
     )
-    scored = corpus.select(
-        "doc_id",
-        quality_score_expr("text").alias("quality"),
-        token_count_expr("text").alias("n_tokens"),
-        fingerprint_expr("text").alias("fp"),
+    scored = shared_scored_corpus(spark, sf_dir).select(
+        "doc_id", "quality", "n_tokens", "fp"
     )
     kept = scored.filter(
         (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 30)
