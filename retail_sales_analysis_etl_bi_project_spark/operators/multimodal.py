@@ -96,7 +96,12 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             )
             yield out
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    # guide §4: mapInPandas is opaque to column pruning — project to
+    # the columns the function actually reads before crossing the Arrow
+    # boundary (mime would otherwise ship with every row)
+    return media.select("media_id", "kind", "payload", "n_bytes").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
 
 
 def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
@@ -120,8 +125,12 @@ def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
             )
             yield out
 
-    return media.filter(F.col("kind") == "image").mapInPandas(
-        run, schema="media_id bigint, payload binary, width int, height int"
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")  # §4 column pruning at the boundary
+        .mapInPandas(
+            run, schema="media_id bigint, payload binary, width int, height int"
+        )
     )
 
 
@@ -151,6 +160,8 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
-    return media.filter(F.col("kind") == "video").mapInPandas(
-        run, schema="media_id bigint, frame_idx int, frame binary"
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")  # §4 column pruning at the boundary
+        .mapInPandas(run, schema="media_id bigint, frame_idx int, frame binary")
     )

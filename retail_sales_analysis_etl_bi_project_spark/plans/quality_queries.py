@@ -571,9 +571,11 @@ def text_bigram_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = train.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c2")
     )
-    c1 = train.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c1")
-    )
+    # c1(w1) = Σ_w2 c2(w1, w2) exactly (every train bigram has a
+    # non-null w2 by the filter above), so derive it from the c2
+    # relation instead of a second full tokenize + lead-window pass
+    # over the corpus (r15 opt) — exact integer sums, same counts
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
     vocab = (
         tok.filter(F.col("split") == "train").select("w").distinct()
     )

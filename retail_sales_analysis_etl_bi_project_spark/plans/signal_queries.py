@@ -358,26 +358,38 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of their identically-rounded casts.
 
     Scale shape: one tokenize → shingle explode (tokens MATERIALIZED
-    per the shingles_from_tokens perf contract); first-occurrence is a
-    min-groupBy at shingle grain (map-side combine); the join back is
-    shingle-keyed (the same key the explode produced — AQE co-locates
-    both sides); output is doc grain. No corpus row is read twice."""
+    per the shingles_from_tokens perf contract), consumed by two
+    map-side-combined aggregates — per-doc shingle counts, and the
+    min-doc first-occurrence at shingle grain. No shingle-grain join
+    exists at all (r15 opt, guide §2.3 aggregate-before-shuffle):
+    because per-doc shingles are DISTINCT, each shingle is novel in
+    EXACTLY ONE document, so n_novel(doc) = |{g : first_doc(g) = doc}|
+    — a doc-grain groupBy over the already-aggregated first-occurrence
+    relation, identical values to the join-back sum of
+    [first_doc == doc_id] per (doc, g) row. Every exchange carries
+    aggregated doc-/shingle-grain rows, never the joined explode; the
+    final join is doc grain."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tall = docs.select(
         "doc_id", tokens_expr(F.col("text")).alias("_toks")
     ).select(
         "doc_id", F.explode(shingles_from_tokens(F.col("_toks"), 3)).alias("g")
     )
-    first = tall.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    ).cast("bigint")
+    per_doc = tall.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    novel_per_doc = (
+        tall.groupBy("g")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
     return (
-        tall.join(first, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            novel.alias("n_novel"),
+        per_doc.join(novel_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
         )
         .select(
             "doc_id",
