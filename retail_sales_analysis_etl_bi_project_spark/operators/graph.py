@@ -254,6 +254,13 @@ def _peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         e = (
             e.join(keep, "s", "left_semi")
             .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            # per-round checkpoint, deliberately: each lazy
+            # localCheckpoint costs ~0.35 s of driver planning
+            # (measured, Spark 4.1 — .rdd plans the subtree), but a
+            # 2-round stride was MEASURED SLOWER (build 1.58 s →
+            # 2.24 s): planning the 9x-grown between-checkpoint subtree
+            # outweighs the saved calls, so per-round is the optimum
+            # (r15 opt, attempted and reverted with numbers).
             .localCheckpoint(eager=False)
         )
     return e
