@@ -630,7 +630,7 @@ def minhash_candidate_pairs(
     # with the same num_hashes) so the dominant signature pipeline is
     # built once, not once per band config.
     with_sig = (
-        signatures
+        _assert_sig_width(signatures, num_hashes)
         if signatures is not None
         else minhash_signatures(docs, num_hashes, n, text_col, id_col)
     )
@@ -711,6 +711,25 @@ def minhash_dedup_pairs(
     return _verify_pairs(cand, sh, threshold)
 
 
+def _assert_sig_width(signatures: DataFrame, num_hashes: int) -> DataFrame:
+    """Consistency guard for INJECTED signature stores (r15 ADVICE item
+    3): _banded_rows slices ``sig`` by the declared ``num_hashes``, so a
+    store built at a different width would silently produce wrong bands.
+    A per-row assert_true filter (passes every row when the widths
+    agree, raises mid-scan when they don't) turns that silent corruption
+    into a loud failure; size(sig) == const is negligible next to the
+    banding hashes. Applied ONLY to injected relations — the fresh-build
+    path's plan stays byte-identical."""
+    return signatures.filter(
+        F.assert_true(
+            F.size("sig") == F.lit(num_hashes),
+            F.lit(
+                f"injected signature store width != num_hashes={num_hashes}"
+            ),
+        ).isNull()
+    )
+
+
 def incremental_minhash_dedup_pairs(
     docs: DataFrame,
     is_new,
@@ -750,7 +769,7 @@ def incremental_minhash_dedup_pairs(
     in and the two corpus-scan stages become reads; both default to a
     fresh build with identical plans, so oracle hashes cannot move."""
     with_sig = (
-        signatures
+        _assert_sig_width(signatures, num_hashes)
         if signatures is not None
         else minhash_signatures(docs, num_hashes, n, text_col, id_col)
     )

@@ -139,6 +139,12 @@ def power_iterate(ment: dict, dims: int, iters: int = 3) -> dict:
             i: (abs(x) // 10000) * (1 if x >= 0 else -1) for i, x in w.items()
         }
         norm = math.sqrt(float(sum(t * t for t in wt.values()))) * 10000.0
+        if norm == 0.0:
+            # zero-variance corpus: M·v = 0 every round. The distributed
+            # form's double 0/0 gave NaN v_q; return the zero vector
+            # instead of raising ZeroDivisionError (r15 ADVICE item 2 —
+            # unreachable for the registered corpora, posture only).
+            return {i: 0 for i in w}
         v = {
             i: int(math.floor(float(x) / norm * 10000.0 + 0.5))
             for i, x in w.items()

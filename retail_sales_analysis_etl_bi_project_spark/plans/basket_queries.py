@@ -38,13 +38,50 @@ _MIN_SUPPORT = 2
 def shared_basket_li(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The managed DISTINCT (order, part) basket persist — one fact
     scan + one distinct shuffle per run, shared by the whole basket /
-    co-purchase-graph family (pairs, triples, linkpred)."""
+    co-purchase-graph family (pairs, triples, linkpred).
+
+    Stored at CLUSTER WIDTH, clustered by l_orderkey (r16, the
+    dedup-pair-stage fix of r15 applied here): the distinct's exchange
+    output is small in BYTES, so AQE byte-coalescing folded the persist
+    into 1-2 partitions — and every consumer's expensive stage is a
+    basket SELF-JOIN whose cost is Σ C(basket, 2) / Σ C(basket, 3)
+    ROWS, which therefore ran near-serially on the persist's partitions
+    (measured: bi_basket_triples' whole cubic expansion + partial
+    aggregation in ONE task, 2.0 s standalone — the one >10% r15
+    regression). An explicit defaultParallelism repartition on the
+    join key costs one extra small shuffle at persist build and buys
+    full-width pair/triple expansion for every consumer; rows are
+    unchanged, so oracle hashes cannot move."""
+    from ..operators.partitioning import to_cluster_width
+
     return memo_persist(
         "basket_li",
         (spark.sparkContext.applicationId, sf_dir),
-        lambda: load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct(),
+        lambda: to_cluster_width(
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct(),
+            "l_orderkey",
+        ),
+    )
+
+
+def shared_item_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The managed per-part basket-support persist (l_partkey, n_item):
+    bi_market_basket_pairs references the item-count aggregation TWICE
+    (n_a, n_b sides) and bi_basket_triples THREE times (n_a, n_b, n_c)
+    — each reference re-aggregated the basket persist per action (Spark
+    gets no reuse across broadcast subtrees). One evaluation per run;
+    the aggregated support table a production association miner
+    materializes next to the edge list. Rows identical to the inline
+    aggregation, so oracle hashes cannot move."""
+    li = shared_basket_li(spark, sf_dir)
+    return memo_persist(
+        "basket_item_support",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: li.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).alias("n_item")
+        ),
     )
 
 
@@ -135,7 +172,7 @@ def bi_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       left executing (code-review finding, this round)."""
     li = shared_basket_li(spark, sf_dir)
     cp = shared_copurchase_pairs(spark, sf_dir)
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    item = shared_item_support(spark, sf_dir)
     tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))

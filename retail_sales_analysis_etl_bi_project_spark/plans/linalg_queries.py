@@ -168,6 +168,26 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ment, sums, counts = memo_artifact(
         "cov_moments_fit", (spark.sparkContext.applicationId, sf_dir), fit
     )
+    schema = (
+        "dim_idx bigint, eigvec_q bigint, var_ii_scaled double, "
+        "lambda_scaled double, explained_share double, n_vectors bigint"
+    )
+    # degenerate-input guards (r15 ADVICE item 2): an empty corpus made
+    # the old distributed plan return an EMPTY DataFrame (every CTE
+    # empty), and a zero-variance/single-vector corpus produced IEEE
+    # Inf/NaN doubles, not a Python exception — replicate both instead
+    # of raising ValueError/ZeroDivisionError. The registered corpora
+    # cannot produce either case; this is posture, not a result change.
+    if not counts or not ment:
+        return spark.createDataFrame([], schema)
+
+    def _ieee_div(a: float, b: float) -> float:
+        if b != 0.0:
+            return a / b
+        if a == 0.0:
+            return float("nan")
+        return float("inf") if a > 0.0 else float("-inf")
+
     v = power_iterate(ment, dims=_DIM, iters=_ITERS)
 
     # exact-integer read-outs (Python unbounded ints == DECIMAL(38,0))
@@ -175,20 +195,17 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = sum(q * q for q in v.values())
     trace_m = sum(m_ij for (i, j), m_ij in ment.items() if i == j)
     n_vectors = max(counts.values())
-    lam = float(num) / float(den)
+    lam = _ieee_div(float(num), float(den))
+    share = _ieee_div(lam, float(trace_m))
     rows = [
         (
             d,
             v[d],
             float(ment[(d, d)]),
             lam,
-            lam / float(trace_m),
+            share,
             n_vectors,
         )
         for d in sorted(v)
     ]
-    return spark.createDataFrame(
-        rows,
-        "dim_idx bigint, eigvec_q bigint, var_ii_scaled double, "
-        "lambda_scaled double, explained_share double, n_vectors bigint",
-    ).orderBy("dim_idx")
+    return spark.createDataFrame(rows, schema).orderBy("dim_idx")

@@ -191,6 +191,20 @@ def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LINKPRED_MIN_SUPPORT = 2
 
+# import-time drift guard (r15 ADVICE item 4): the linkpred oracle and
+# the shared copurchase_pairs persist must agree on the support
+# constant. Checked HERE so a future drift breaks every import (tests,
+# plan builds) loudly, instead of turning the registered query into a
+# hard runtime failure mid-run.
+from .basket_queries import _MIN_SUPPORT as _BASKET_MIN_SUPPORT  # noqa: E402
+
+if _LINKPRED_MIN_SUPPORT != _BASKET_MIN_SUPPORT:  # pragma: no cover
+    raise ImportError(
+        "bi_copurchase_linkpred support constant drifted from the shared"
+        f" copurchase_pairs persist: {_LINKPRED_MIN_SUPPORT} !="
+        f" {_BASKET_MIN_SUPPORT}"
+    )
+
 
 def _linkpred_oracle() -> str:
     """DuckDB replay of bi_copurchase_linkpred over the identical
@@ -263,16 +277,11 @@ def bi_copurchase_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton tail BEFORE any neighborhood expands; degrees join at
     node grain; existing edges drop via one LEFT ANTI join on the
     canonical (part_a<part_b) key."""
-    from .basket_queries import _MIN_SUPPORT, shared_copurchase_pairs
+    from .basket_queries import shared_copurchase_pairs
 
-    # the shared persist is built at _MIN_SUPPORT; this query's
-    # support constant must agree or the edge relation would differ
-    if _LINKPRED_MIN_SUPPORT != _MIN_SUPPORT:
-        raise ValueError(
-            "bi_copurchase_linkpred support constant drifted from the"
-            f" shared copurchase_pairs persist: {_LINKPRED_MIN_SUPPORT}"
-            f" != {_MIN_SUPPORT}"
-        )
+    # support-constant agreement with the shared persist is enforced at
+    # module import (top of this file) — a drift can no longer surface
+    # as a runtime failure of the registered query (r15 ADVICE item 4)
     pairs = shared_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
     adj = pairs.select(
         F.col("part_a").alias("id"), F.col("part_b").alias("nbr")

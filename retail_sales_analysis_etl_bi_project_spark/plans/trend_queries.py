@@ -348,14 +348,16 @@ def bi_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the honest answer at sf0.1 is empty (the linkpred
     empty-substrate precedent); the mechanism is exercised by the
     smaller SFs and the engineered-basket pytest."""
-    from .basket_queries import shared_basket_li
+    from .basket_queries import shared_basket_li, shared_item_support
 
     li = shared_basket_li(spark, sf_dir)
     tot = li.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
     )
-    item = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    # managed persist: the support aggregation was re-evaluated once
+    # per broadcast side (3x here, 2x in bi_market_basket_pairs)
+    item = shared_item_support(spark, sf_dir).select(
+        "l_partkey", F.col("n_item").cast("bigint").alias("n_item")
     )
     a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))

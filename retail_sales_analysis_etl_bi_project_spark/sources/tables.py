@@ -82,10 +82,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SCHEMA_CACHE: dict[tuple, object] = {}
 
 
+def _path_sig(path: str) -> tuple:
+    """Content signature for the memo key. For a plain file:
+    (mtime_ns, size). For a DIRECTORY (standard Spark multi-part
+    layout): the sorted (name, mtime_ns, size) of every entry inside —
+    rewriting a part file in place changes neither the directory's
+    mtime nor its size, so stat() of the top-level path alone could
+    serve a stale schema (r15 ADVICE item 1)."""
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    entries = []
+    for name in sorted(os.listdir(path)):
+        try:
+            est = os.stat(os.path.join(path, name))
+        except OSError:
+            continue
+        entries.append((name, est.st_mtime_ns, est.st_size))
+    return tuple(entries)
+
+
 def _scan(spark: SparkSession, path: str) -> DataFrame:
     try:
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        # the key also carries the session confs that steer parquet
+        # schema inference, so a later session with different
+        # timestamp-inference settings re-infers instead of silently
+        # reusing a schema inferred under the first session's settings
+        # (r15 ADVICE item 1)
+        confs = tuple(
+            spark.conf.get(c, None)
+            for c in (
+                "spark.sql.parquet.inferTimestampNTZ.enabled",
+                "spark.sql.legacy.parquet.nanosAsLong",
+                "spark.sql.caseSensitive",
+            )
+        )
+        key = (path, _path_sig(path), confs)
     except OSError:
         # missing/remote path: let spark.read produce its own error
         return spark.read.parquet(path)
@@ -95,6 +127,12 @@ def _scan(spark: SparkSession, path: str) -> DataFrame:
         _SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
+
+
+def clear_schema_cache() -> None:
+    """Test hook: drop every memoized schema (fixtures that rewrite
+    parquet in place can force re-inference explicitly)."""
+    _SCHEMA_CACHE.clear()
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
