@@ -523,17 +523,25 @@ def _banded_rows(with_sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     Band rows carry only those 3 fixed-size values — never the 64-long
     signature — so the exploded shuffle stays narrow. Single definition
     shared by the full and incremental candidate paths (the band-hash
-    scheme must stay in lockstep with the DuckDB oracle)."""
+    scheme must stay in lockstep with the DuckDB oracle).
+
+    Built as ONE parsed SQL expression string instead of ``bands``
+    nested Column-operator chains (the r15 simhash/minhash-signatures
+    fix generalized, r16): the 32-band struct array cost ~0.47 s of
+    pure py4j driver time per plan build, the parsed form 0.10 s, and
+    the RESOLVED plans are identical (verified: analyzed-plan diff is
+    empty modulo plan_id; same rows)."""
     rows_per_band = num_hashes // bands
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                band_hash_expr("sig", i, rows_per_band).alias("band_hash"),
+    parts = []
+    for i in range(bands):
+        acc = f"element_at(sig, {i * rows_per_band + 1})"
+        for j in range(1, rows_per_band):
+            acc = (
+                f"(({acc} * 31 + element_at(sig,"
+                f" {i * rows_per_band + j + 1})) & {BAND_MASK})"
             )
-            for i in range(bands)
-        ]
-    )
+        parts.append(f"struct({i} as band_idx, {acc} as band_hash)")
+    band_cols = F.expr(f"array({','.join(parts)})")
     return with_sig.select("doc_id_", F.explode(band_cols).alias("band")).select(
         "doc_id_", "band.band_idx", "band.band_hash"
     )
@@ -724,7 +732,8 @@ def _assert_sig_width(signatures: DataFrame, num_hashes: int) -> DataFrame:
         F.assert_true(
             F.size("sig") == F.lit(num_hashes),
             F.lit(
-                f"injected signature store width != num_hashes={num_hashes}"
+                "injected signature store width mismatch: size(sig) != "
+                f"num_hashes={num_hashes}"
             ),
         ).isNull()
     )

@@ -1170,18 +1170,34 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine IN THE CAPPED SPACE — self-consistent, documented); the
     dot groupBy aggregates pair-proportionally."""
     tf = _shared_tf(spark, sf_dir).select("doc_id", "term", "tf")
-    cap = load_table(spark, sf_dir, "documents").agg(
-        F.greatest(
-            F.lit(_SPARSE_DF_FLOOR).cast("bigint"),
-            F.expr("count(1) div 10"),
-        ).alias("c")
-    )
-    kept = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(cap))
-        .filter(F.col("df") <= F.col("c"))
-        .select("term")
+
+    def _kept() -> DataFrame:
+        cap = load_table(spark, sf_dir, "documents").agg(
+            F.greatest(
+                F.lit(_SPARSE_DF_FLOOR).cast("bigint"),
+                F.expr("count(1) div 10"),
+            ).alias("c")
+        )
+        return (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(cap))
+            .filter(F.col("df") <= F.col("c"))
+            .select("term")
+        )
+
+    # managed persist (r16): the capped vector relation v is referenced
+    # THREE times (norms + both pair-join sides), and left lazy each
+    # reference re-ran the df groupBy SHUFFLE and the documents-count
+    # scan inside `kept`. Persist the term list (vocabulary-grain — the
+    # pruned-postings dictionary a production sparse-ANN system stores);
+    # the three v references become broadcast-joins over the tf persist.
+    from .shared_cache import memo_persist
+
+    kept = memo_persist(
+        "sparse_cosine_kept_terms",
+        (spark.sparkContext.applicationId, sf_dir, _SPARSE_DF_FLOOR),
+        _kept,
     )
     v = tf.join(kept, "term")
     norms = v.groupBy("doc_id").agg(

@@ -831,9 +831,19 @@ def events_value_mad_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.abs(F.col("value") - F.col("med")).alias("dev"),
     )
-    madt = grouped_selected_lower_median(
-        d, ["event_type"], F.col("dev"), ["event_id"]
-    ).select("event_type", F.col("dev").alias("mad_value"))
+    # same discipline for the MAD relation (r16): madt is ≤ n_types
+    # rows but its rung costs three partitioned passes over the
+    # fact-sized deviation relation `d` — and the readout below scans
+    # `d` a fourth time, so left lazy every action paid 4 evaluations
+    # of (events scan + broadcast join + abs). Persisting the KB madt
+    # output leaves exactly ONE `d` evaluation per action.
+    madt = memo_persist(
+        "mad_twophase_madt",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: grouped_selected_lower_median(
+            d, ["event_type"], F.col("dev"), ["event_id"]
+        ).select("event_type", F.col("dev").alias("mad_value")),
+    )
     return (
         d.join(F.broadcast(med), "event_type")
         .join(F.broadcast(madt), "event_type")
