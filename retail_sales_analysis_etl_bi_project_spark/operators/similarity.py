@@ -34,17 +34,28 @@ def _dbl(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _vec_lit_sql(row: list[float]) -> str:
+    """SQL fragment for one array<double> literal. repr() is Python's
+    shortest round-trip form and Spark's double parsing is correctly
+    rounded, so the parsed value is BIT-IDENTICAL to F.lit of the same
+    float (verified incl. -0.0 / 1e-300 / double-max); the D suffix
+    pins the literal to DOUBLE (a bare decimal literal parses as
+    DECIMAL)."""
+    return "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+
+
 def _nested_lit(values: list[list[float]]) -> Column:
-    """One Literal node for a codebook / plane matrix. On Spark 4.x,
-    F.lit(list-of-lists) produces a SINGLE array<array<double>> Literal,
-    which analysis and codegen treat as one constant — versus the
-    unrolled array(array(lit,...),...) tree whose ~n*dim nodes dominated
-    plan-compile time for 16x64 codebooks. Falls back to the unrolled
-    form where nested lit() isn't supported (3.5)."""
-    try:
-        return F.lit([[float(x) for x in row] for row in values])
-    except Exception:  # pragma: no cover — Spark 3.x fallback
-        return F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in values])
+    """One Literal node for a codebook / plane matrix, built by PARSING
+    one SQL string (r16): F.lit(list-of-lists) converts the 16x64
+    nested list element-wise over py4j — measured 0.5-0.7 s of driver
+    time PER CALL on Spark 4.1, paid once per Lloyd round and once per
+    assignment plan — while parsing the equivalent string costs ~3 ms
+    and yields a bit-identical array<array<double>> literal (same
+    dtype, same IEEE bits — see _vec_lit_sql). Analysis and codegen
+    still see a single constant."""
+    return F.expr(
+        "array(" + ",".join(_vec_lit_sql(row) for row in values) + ")"
+    )
 
 
 def _parallelize(df: DataFrame, key: str) -> DataFrame:
@@ -200,7 +211,9 @@ def signature_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
     v = _dbl(vec_col)
     bits = []
     for plane in planes:
-        p = F.array(*[F.lit(x) for x in plane])
+        # parsed literal — same bit-identical-value argument as
+        # _nested_lit, ~dim py4j calls saved per plane (r16)
+        p = F.expr(_vec_lit_sql(plane))
         bits.append(F.when(dot_expr(v, p) >= 0, "1").otherwise("0"))
     return F.concat(*bits)
 
@@ -330,6 +343,7 @@ def kmedians_codebook(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_mod: int = 4,
+    train_source: DataFrame | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd-style refinement of the IVF codebook using
     per-dimension MEDIANS (k-medians), trained on a deterministic
@@ -357,41 +371,107 @@ def kmedians_codebook(
     collected (KBs). Centroids that capture no vectors keep their
     previous position. (Exact per-group median sorts per group — swap
     in approx_percentile if the sampled inverted lists are still
-    huge.)"""
-    train = emb.filter((F.col(id_col) % train_mod) == 0) if train_mod > 1 else emb
-    _, cb = ivf_assignments(train, n_centroids, id_col, vec_col)
-    if not cb:
-        raise ValueError(
-            "kmedians_codebook: empty training sample "
-            f"(train_mod={train_mod} over a corpus with no matching ids)"
+    huge.)
+
+    ``train_source``: a relation row-identical to ``emb`` that is
+    ALREADY at cluster width (e.g. the plans layer's persisted
+    parallelized corpus) — every Lloyd round re-evaluates the training
+    relation, so left to the default each round re-ran the corpus scan
+    + the explicit repartition; an injected persisted source makes the
+    rounds read from memory. The mod filter still applies here, the
+    init codebook and every median are over the identical multiset,
+    and the per-group exact percentile is partitioning-independent, so
+    the fitted codebook is bit-identical either way (r16)."""
+    return kmedians_codebooks(
+        emb,
+        n_centroids,
+        iters,
+        id_col,
+        vec_col,
+        train_mods=(train_mod,),
+        train_source=train_source,
+    )[train_mod]
+
+
+def kmedians_codebooks(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_mods: tuple[int, ...] = (4,),
+    train_source: DataFrame | None = None,
+) -> dict[int, list[list[float]]]:
+    """LOCKSTEP multi-config k-medians: fit one codebook PER
+    ``train_mods`` entry with the per-round median aggregations of ALL
+    configs UNIONED into a single job (tagged by the mod, grouped by
+    (mod, centroid, dim)) — the r15 VERDICT's "fit all configs from one
+    sample pass". Per config the grouped exact percentile runs over the
+    identical multiset the single-config loop used, so each returned
+    codebook is bit-identical to a kmedians_codebook call with that
+    train_mod; what changes is only the JOB COUNT: ``iters`` collect
+    jobs total instead of ``iters * len(train_mods)`` (the recall-tuning
+    ladder fits mod-4 and mod-1 variants in one pass per round).
+    Single implementation — kmedians_codebook delegates here."""
+    src = train_source if train_source is not None else emb
+    trains: dict[int, DataFrame] = {}
+    cbs: dict[int, list[list[float]]] = {}
+    for mod in train_mods:
+        train = (
+            src.filter((F.col(id_col) % mod) == 0) if mod > 1 else src
         )
-    # a small sample can seed FEWER than n_centroids centroids; iterate
-    # over the codebook actually built, not the requested count (the
-    # rebuild below indexed cb[c] for c in range(n_centroids) and threw
-    # IndexError on small corpora — r6 review finding)
-    n_eff = len(cb)
-    # assignment expressions are the compute-heavy phase of each Lloyd
-    # round — run them at cluster width, not input-file granularity
-    train = _parallelize(train, id_col)
-    dim = len(cb[0])
-    for _ in range(iters):
-        assigned, _ = ivf_assignments(train, n_eff, id_col, vec_col, codebook=cb)
-        rows = (
-            assigned.select(
-                "centroid_id", F.posexplode(_dbl(vec_col)).alias("pos", "val")
+        _, cb = ivf_assignments(train, n_centroids, id_col, vec_col)
+        if not cb:
+            raise ValueError(
+                "kmedians_codebook: empty training sample "
+                f"(train_mod={mod} over a corpus with no matching ids)"
             )
-            .groupBy("centroid_id", "pos")
+        # a small sample can seed FEWER than n_centroids centroids;
+        # iterate over the codebook actually built, not the requested
+        # count (r6 review finding)
+        if train_source is None:
+            # assignment expressions are the compute-heavy phase of
+            # each Lloyd round — run them at cluster width, not
+            # input-file granularity (already wide when injected)
+            train = _parallelize(train, id_col)
+        trains[mod] = train
+        cbs[mod] = cb
+    for _ in range(iters):
+        parts = []
+        for mod in train_mods:
+            assigned, _ = ivf_assignments(
+                trains[mod], len(cbs[mod]), id_col, vec_col, codebook=cbs[mod]
+            )
+            parts.append(
+                assigned.select(
+                    F.lit(mod).alias("_mod"),
+                    "centroid_id",
+                    F.posexplode(_dbl(vec_col)).alias("pos", "val"),
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        rows = (
+            u.groupBy("_mod", "centroid_id", "pos")
             .agg(F.percentile("val", F.lit(0.5)).alias("m"))
             .collect()
         )
-        medians: dict[int, dict[int, float]] = {}
+        med: dict[int, dict[int, dict[int, float]]] = {}
         for r in rows:
-            medians.setdefault(r.centroid_id, {})[r.pos] = r.m
-        cb = [
-            [medians[c][p] for p in range(dim)] if c in medians else cb[c]
-            for c in range(n_eff)
-        ]
-    return cb
+            med.setdefault(r["_mod"], {}).setdefault(r.centroid_id, {})[
+                r.pos
+            ] = r.m
+        for mod in train_mods:
+            medians = med.get(mod, {})
+            dim = len(cbs[mod][0])
+            cbs[mod] = [
+                [medians[c][p] for p in range(dim)]
+                if c in medians
+                else cbs[mod][c]
+                for c in range(len(cbs[mod]))
+            ]
+    return cbs
 
 
 def probe_assignments(

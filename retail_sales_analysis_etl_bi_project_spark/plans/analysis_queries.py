@@ -847,7 +847,7 @@ def sim_ann_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         _K,
         _N_CENTROIDS,
         _N_QUERIES,
-        _corpus_codebook,
+        _corpus_ivf_lists,
         shared_ann_truth,
         topk_persisted,
     )
@@ -859,17 +859,25 @@ def sim_ann_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-config managed persist, labeled by hyperparams so the
         # base config shares its evaluation with sim_ivf_ann_topk
         # (r14 VERDICT item 3 — same rows either way, so the oracle
-        # replay is unaffected)
+        # replay is unaffected). r16: each config consumes the managed
+        # inverted-lists persist for its codebook variant instead of
+        # re-assigning the corpus per config — the base pair (p1, p2)
+        # shares ONE lists build with sim_ivf_ann_topk/multiprobe, the
+        # kmed pair shares with sim_ivf_kmedians_topk; rows are
+        # identical by construction (ivf_topk with corpus_assigned is
+        # the same per-row assignment expression).
         def build(iters=iters, nprobe=nprobe, train_mod=train_mod):
+            lists, cb = _corpus_ivf_lists(
+                spark, sf_dir, refine_iters=iters, train_mod=train_mod
+            )
             return ivf_topk(
                 emb,
                 qvecs,
                 k=_K,
                 n_centroids=_N_CENTROIDS,
                 nprobe=nprobe,
-                codebook=_corpus_codebook(
-                    spark, sf_dir, refine_iters=iters, train_mod=train_mod
-                ),
+                codebook=cb,
+                corpus_assigned=lists,
             )
 
         part = topk_persisted(

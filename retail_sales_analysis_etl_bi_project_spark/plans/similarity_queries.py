@@ -18,7 +18,6 @@ from ..operators.similarity import (
     brute_force_topk,
     hyperplanes,
     ivf_assignments,
-    ivf_corpus_lists,
     ivf_topk,
     ivfpq_corpus_codes,
     ivfpq_topk,
@@ -45,6 +44,35 @@ _N_CENTROIDS = 16
 _CODEBOOK_CACHE: dict[tuple, list[list[float]]] = {}
 
 
+def shared_parallel_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding corpus at CLUSTER WIDTH as a managed persist — the
+    one relation every fitted-artifact build in this family re-reads:
+    the Lloyd training rounds (each round re-evaluates its training
+    relation) and every codebook variant's corpus assignment pass each
+    re-ran the parquet scan + the explicit repartition when left lazy
+    (measured: ~25 s of cold fit across sim_ann_recall +
+    sim_ann_recall_tuning, r15 VERDICT item 2). Same rows, same
+    partitioning op as the inline _parallelize — plans downstream are
+    unchanged, so oracle hashes cannot move."""
+    from ..operators.partitioning import to_cluster_width
+
+    return memo_persist(
+        "emb_parallel",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: to_cluster_width(
+            load_table(spark, sf_dir, "embeddings"), "vec_id"
+        ),
+    )
+
+
+# every k-medians training-fraction variant the registry fits (the
+# recall-tuning ladder's mod-4 sample and mod-1 full-corpus configs);
+# a cold fit of one variant fits BOTH in lockstep — same job count as
+# fitting one, since the per-round median aggregations union into a
+# single collect (kmedians_codebooks)
+_KMED_TRAIN_MODS = (4, 1)
+
+
 def _corpus_codebook(
     spark: SparkSession, sf_dir: str, refine_iters: int = 0, train_mod: int = 4
 ) -> list[list[float]]:
@@ -52,38 +80,72 @@ def _corpus_codebook(
     if key not in _CODEBOOK_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         if refine_iters > 0:
-            cb = kmedians_codebook(
-                emb, _N_CENTROIDS, refine_iters, train_mod=train_mod
+            # Lloyd rounds train off the persisted parallel corpus —
+            # bit-identical codebook (exact per-group percentile is
+            # partitioning-independent), no scan/shuffle per round.
+            # All registry train_mod variants fit in ONE lockstep pass
+            # (r15 VERDICT item 2: "fit all configs from one sample
+            # pass"); each returned codebook is bit-identical to its
+            # single-config fit (per-(mod,centroid,dim) exact medians
+            # over identical multisets — see kmedians_codebooks).
+            mods = (
+                _KMED_TRAIN_MODS
+                if train_mod in _KMED_TRAIN_MODS
+                else (train_mod,)
             )
+            from ..operators.similarity import kmedians_codebooks
+
+            cbs = kmedians_codebooks(
+                emb,
+                _N_CENTROIDS,
+                refine_iters,
+                train_mods=mods,
+                train_source=shared_parallel_corpus(spark, sf_dir),
+            )
+            for m, cb in cbs.items():
+                _CODEBOOK_CACHE[(sf_dir, _N_CENTROIDS, refine_iters, m)] = cb
         else:
             _, cb = ivf_assignments(emb, _N_CENTROIDS)
-        _CODEBOOK_CACHE[key] = cb
+            _CODEBOOK_CACHE[key] = cb
     return _CODEBOOK_CACHE[key]
 
 
 def _corpus_ivf_lists(
-    spark: SparkSession, sf_dir: str, refine_iters: int = 0
+    spark: SparkSession, sf_dir: str, refine_iters: int = 0, train_mod: int = 4
 ) -> tuple[DataFrame, list[list[float]]]:
     """Fitted IVF inverted lists for the corpus (memo_persist — the
     corpus sharded by centroid_id is the stored layout a production
     IVF serves from) plus the codebook they were built with. One
     persisted entry per (corpus, codebook variant); persist returns
     the identical plan a rebuild would, so oracle hashes cannot
-    move."""
-    cb = _corpus_codebook(spark, sf_dir, refine_iters=refine_iters)
+    move.
+
+    r16: the family name carries the full codebook variant
+    (refine_iters AND train_mod — the one-slot family previously
+    dropped train_mod from the key, a latent wrong-lists trap flagged
+    in review once two same-iters variants coexist) so the recall
+    audits' four configs can hold their lists simultaneously, and the
+    assignment pass reads the shared parallel-corpus persist instead
+    of re-scanning + re-repartitioning parquet per variant
+    (ivf_corpus_lists == ivf_assignments over the parallelized corpus,
+    same rows by construction)."""
+    cb = _corpus_codebook(
+        spark, sf_dir, refine_iters=refine_iters, train_mod=train_mod
+    )
     lists = memo_persist(
-        "ivf_lists",
+        f"ivf_lists_i{refine_iters}_m{train_mod}",
         (
             spark.sparkContext.applicationId,
             sf_dir,
             _N_CENTROIDS,
             refine_iters,
+            train_mod,
         ),
-        lambda: ivf_corpus_lists(
-            load_table(spark, sf_dir, "embeddings"),
-            n_centroids=_N_CENTROIDS,
+        lambda: ivf_assignments(
+            shared_parallel_corpus(spark, sf_dir),
+            _N_CENTROIDS,
             codebook=cb,
-        ),
+        )[0],
     )
     return lists, cb
 

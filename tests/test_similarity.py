@@ -108,6 +108,25 @@ def test_kmedians_codebook_deterministic_and_refines(spark, sf_dir):
     assert out and all(r.rank >= 1 for r in out)
 
 
+def test_kmedians_lockstep_matches_single_config_fits(spark, sf_dir):
+    """The lockstep multi-config fit (r16: one union-aggregated collect
+    per Lloyd round for ALL train_mods) must return, per config, the
+    BIT-IDENTICAL codebook of a standalone single-config fit — the
+    per-(mod, centroid, dim) exact medians aggregate identical
+    multisets, only the job count changes."""
+    from retail_sales_analysis_etl_bi_project_spark.operators.similarity import (
+        kmedians_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    both = kmedians_codebooks(emb, n_centroids=8, iters=2, train_mods=(4, 1))
+    solo4 = kmedians_codebooks(emb, n_centroids=8, iters=2, train_mods=(4,))
+    solo1 = kmedians_codebooks(emb, n_centroids=8, iters=2, train_mods=(1,))
+    assert both[4] == solo4[4]  # bit-identical, not approximately
+    assert both[1] == solo1[1]
+    assert both[4] != both[1]  # the configs genuinely differ
+
+
 def test_ivf_multi_assignments_rank1_equals_argmax(spark, sf_dir):
     """Multi-assignment contract: n_assign=1 reproduces ivf_assignments
     row-for-row (same argmax + tie rule), and n_assign=2 emits exactly
