@@ -42,7 +42,13 @@ def agg_rollup_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the rollup's Expand runs over the ~#months-sized aggregate.
     Decimal sums are associative, so sum-of-monthly-sums is exactly the
     one-pass value the DuckDB twin computes."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    # fact at cluster width before the join+decimal pass (r16, guide
+    # §2.2/§2.5 — see plans/bi.py q02; decimal sums associative)
+    from ..operators.partitioning import to_cluster_width
+
+    lineitem = to_cluster_width(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     orders = load_table(spark, sf_dir, "orders")
     monthly = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)

@@ -330,7 +330,13 @@ def bi_revenue_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFram
     The inverse reshape (unpivot/melt back to long form) is pinned
     lossless in tests/test_analysis_queries.py — Spark's unpivot
     compiles to an Expand, no shuffle."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    # fact at cluster width before the join+decimal pass (r16, guide
+    # §2.2/§2.5 — see plans/bi.py q02; decimal sums associative)
+    from ..operators.partitioning import to_cluster_width
+
+    lineitem = to_cluster_width(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     orders = load_table(spark, sf_dir, "orders")
     joined = lineitem.join(
         orders, lineitem.l_orderkey == orders.o_orderkey
@@ -531,7 +537,13 @@ def bi_revenue_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the sum-of-partials is exactly the one-pass value. Spark and
     DuckDB agree on grouping(): 1 when the column is aggregated away,
     0 when grouped."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    # fact at cluster width before the join+decimal pass (r16, guide
+    # §2.2/§2.5 — see plans/bi.py q02; decimal sums associative)
+    from ..operators.partitioning import to_cluster_width
+
+    lineitem = to_cluster_width(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     orders = load_table(spark, sf_dir, "orders")
     yearly = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
@@ -1462,10 +1474,21 @@ def corpus_source_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Output is one row per source."""
     docs = load_table(spark, sf_dir, "documents")
     dec = "decimal(38,0)"
-    st = (
-        lower_terms(docs, "source")
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_st"))
+    # managed persist (r16, guide §2.4): every downstream relation (ct,
+    # ns, tot, present, readout) derives from the (source, term)-grain
+    # count table, and left lazy the tokenize + groupBy shuffle
+    # re-evaluated ~5x per action (ct twice via tot/present, ns twice,
+    # st once more inside present). The persisted output is
+    # vocabulary x source grain — KBs — while the recomputation is a
+    # full corpus tokenize; warm exec 1.54 -> see OPTIMIZATION_r16.md.
+    st = memo_persist(
+        "tv_drift_source_term_counts",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: (
+            lower_terms(docs, "source")
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_st"))
+        ),
     )
     ct = st.groupBy("term").agg(F.sum("n_st").cast("bigint").alias("n_t"))
     ns = st.groupBy("source").agg(

@@ -766,8 +766,13 @@ def bi_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     y4 = (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast(
         "decimal(38,0)"
     )
+    # fact at cluster width before the per-row decimal/string digit
+    # extraction (r16, guide §2.2/§2.5 — see plans/bi.py q02; counts
+    # exact)
+    from ..operators.partitioning import to_cluster_width
+
     dig = (
-        load_table(spark, sf_dir, "orders")
+        to_cluster_width(load_table(spark, sf_dir, "orders"), "o_orderkey")
         .select(
             F.substring(y4.cast("string"), 1, 1)
             .cast("bigint")

@@ -243,7 +243,12 @@ def bi_pareto_brand_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     them in ONE Window node over one shuffle; per-brand windows
     parallelize across brands (the global-Pareto variant would need a
     single total order — that form belongs behind a top-k prefilter)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # fact at cluster width before the join+decimal pass (r16, guide
+    # §2.2/§2.5 — see plans/bi.py q02; decimal sums associative and
+    # the Pareto cut compares integer-scaled decimals)
+    from ..operators.partitioning import to_cluster_width
+
+    li = to_cluster_width(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     pt = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey"), F.col("p_brand").alias("brand")
     )
@@ -332,7 +337,11 @@ def bi_revenue_hhi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one broadcast dim join + groupBy(type, brand) over
     the fact (map-side partial); totals and shares live on the
     brand-grain table; the final groupBy(type) is type-cardinality."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # fact at cluster width before the join+decimal pass (r16 — see
+    # q02; shares go through fixed_point_sum, parallelism-independent)
+    from ..operators.partitioning import to_cluster_width
+
+    li = to_cluster_width(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     pt = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.col("p_type").alias("part_type"),

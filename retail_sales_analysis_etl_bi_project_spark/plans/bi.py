@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import dec, revenue_expr, sum_money
 from ..functions.derived import acctbal_segment
+from ..operators.partitioning import to_cluster_width
 from ..sources.tables import load_table
 from .registry import query
 
@@ -72,8 +73,17 @@ def q01_top5_products_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q02_monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference q2: SUM(total_amount) GROUP BY year, month (docx:q2)."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    """Reference q2: SUM(total_amount) GROUP BY year, month (docx:q2).
+
+    Fact at cluster width before the join+decimal pass (r16, guide
+    §2.2/§2.5): single-row-group test files scan as ONE task, so the
+    broadcast join + exact-decimal arithmetic ran serially regardless
+    of core count; decimal sums are associative, so the result is
+    partitioning-independent (measured on the k4 twin: 1.2 -> 0.7 s
+    warm at sf0.1)."""
+    lineitem = to_cluster_width(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     orders = load_table(spark, sf_dir, "orders")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
@@ -205,7 +215,10 @@ def k4_category_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny) aggregated frame, not over the fact."""
     from pyspark.sql.window import Window
 
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    # fact at cluster width before the join+decimal pass — see q02
+    lineitem = to_cluster_width(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     part = load_table(spark, sf_dir, "part")
     rev_e = revenue_expr()
     cost_e = dec("l_quantity") * dec("p_retailprice") * F.lit(0.6).cast("decimal(3,2)")

@@ -150,10 +150,21 @@ def text_domain_prototype_classifier(
     w_proto = Window.partitionBy("source").orderBy(
         F.col("df").desc(), F.col("term")
     )
-    proto = (
-        sdf.withColumn("rn", F.row_number().over(w_proto))
-        .filter(F.col("rn") <= _PROTO_K)
-        .select("source", "term")
+    # managed persist (r16, guide §2.4): the prototype table is
+    # |sources|*K rows (KBs — the stored classifier artifact) but its
+    # build runs the tf ⋈ source groupBy + window; it is consumed
+    # TWICE per action (the scoring broadcast and psize), so left lazy
+    # the build pipeline evaluated twice.
+    from .shared_cache import memo_persist
+
+    proto = memo_persist(
+        "domain_prototypes",
+        (spark.sparkContext.applicationId, sf_dir, _PROTO_K),
+        lambda: (
+            sdf.withColumn("rn", F.row_number().over(w_proto))
+            .filter(F.col("rn") <= _PROTO_K)
+            .select("source", "term")
+        ),
     )
     psize = proto.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("k_s")
@@ -1035,8 +1046,19 @@ def text_langid_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, not of the corpus); the sweep is a map-side-combined
     8-group aggregate. Column names precision_/recall_ carry the
     trailing underscore because bare 'precision' is a DuckDB keyword."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.partitioning import to_cluster_width
     from ..operators.text import stopword_count_expr
+
+    # cluster width BEFORE the regex ratio + 8x fanout (r16, guide
+    # §2.2/§2.5): the corpus scans as ONE task at file granularity, so
+    # the regex pass AND the fanned-out confusion aggregation ran
+    # serially regardless of core count (measured 1.95 s -> 0.78 s warm
+    # at sf0.1). Result-identical: every output cell is an exact BIGINT
+    # sum (partitioning cannot reorder float math — the divisions
+    # happen on the aggregated integers).
+    docs = to_cluster_width(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
 
     n_tok = token_count_expr("text").cast("double")
     n_stop = stopword_count_expr("text").cast("double")

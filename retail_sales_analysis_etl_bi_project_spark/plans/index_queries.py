@@ -165,7 +165,14 @@ def etl_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, _, spark_expr in _PROFILE_COLS:
         stack_args.append(f"'{name}'")
         stack_args.append(spark_expr)
-    melted = load_table(spark, sf_dir, "orders").select(
+    # fact at cluster width before the stack melt + partial distinct
+    # aggregation (r16, guide §2.2/§2.5 — see plans/bi.py q02; counts
+    # exact, min/max lexicographic — both partitioning-independent)
+    from ..operators.partitioning import to_cluster_width
+
+    melted = to_cluster_width(
+        load_table(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(
         F.expr(
             f"stack({len(_PROFILE_COLS)}, "
             + ", ".join(stack_args)

@@ -67,7 +67,16 @@ def events_json_and_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
       6dp: the s2 - s1^2/n subtraction cancels ~6 digits, surfacing a
       1-ulp engine difference (FMA contraction) that rounding absorbs.
     """
-    events = load_table(spark, sf_dir, "events")
+    # fact at cluster width before the per-row JSON parsing (r16, guide
+    # §2.2/§2.5 — see plans/bi.py q02): from_json + two
+    # get_json_object calls per row ran serially at input-file
+    # granularity. Aggregates are exact (bigint / fixed-point decimal;
+    # missing_filled_sum adds exact 0.0s), so partitioning-independent.
+    from ..operators.partitioning import to_cluster_width
+
+    events = to_cluster_width(
+        load_table(spark, sf_dir, "events"), "event_id"
+    )
     parsed = events.withColumn(
         "props_map", F.from_json("props", MapType(StringType(), LongType()))
     )

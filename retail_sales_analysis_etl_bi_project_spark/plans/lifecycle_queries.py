@@ -482,7 +482,17 @@ def join_scd2_pit_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equi-join on the key with interval containment as a post-join
     filter; version fanout per key is bounded by regime CHANGES."""
     orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    # fact at cluster width before the join + decimal revenue + PIT
+    # interval fanout (r16, guide §2.2/§2.5 — see plans/bi.py q02):
+    # the whole big side ran serially at input-file granularity
+    # through both broadcast joins and the containment filter.
+    # Aggregates are an exact-decimal sum and a count — partitioning-
+    # independent.
+    from ..operators.partitioning import to_cluster_width
+
+    lineitem = to_cluster_width(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     o = orders.select(
         "o_custkey",
         "o_orderpriority",

@@ -38,7 +38,13 @@ def window_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group: top-3 products by revenue within each brand.
     Aggregates first (shrinks to |brand x name|), windows on the small
     aggregate — never window over the raw fact."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    # fact at cluster width before the join+decimal pass (r16, guide
+    # §2.2/§2.5 — see plans/bi.py q02; decimal sums associative)
+    from ..operators.partitioning import to_cluster_width
+
+    lineitem = to_cluster_width(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     part = load_table(spark, sf_dir, "part")
     rev = (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
