@@ -44,11 +44,9 @@ def agg_rollup_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-pass value the DuckDB twin computes."""
     # fact at cluster width before the join+decimal pass (r16, guide
     # §2.2/§2.5 — see plans/bi.py q02; decimal sums associative)
-    from ..operators.partitioning import to_cluster_width
+    from ..sources.tables import load_fact_wide
 
-    lineitem = to_cluster_width(
-        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
-    )
+    lineitem = load_fact_wide(spark, sf_dir, "lineitem", "l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     monthly = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)

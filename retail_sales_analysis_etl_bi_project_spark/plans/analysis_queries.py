@@ -332,11 +332,9 @@ def bi_revenue_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFram
     compiles to an Expand, no shuffle."""
     # fact at cluster width before the join+decimal pass (r16, guide
     # §2.2/§2.5 — see plans/bi.py q02; decimal sums associative)
-    from ..operators.partitioning import to_cluster_width
+    from ..sources.tables import load_fact_wide
 
-    lineitem = to_cluster_width(
-        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
-    )
+    lineitem = load_fact_wide(spark, sf_dir, "lineitem", "l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     joined = lineitem.join(
         orders, lineitem.l_orderkey == orders.o_orderkey
@@ -539,11 +537,9 @@ def bi_revenue_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 when grouped."""
     # fact at cluster width before the join+decimal pass (r16, guide
     # §2.2/§2.5 — see plans/bi.py q02; decimal sums associative)
-    from ..operators.partitioning import to_cluster_width
+    from ..sources.tables import load_fact_wide
 
-    lineitem = to_cluster_width(
-        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
-    )
+    lineitem = load_fact_wide(spark, sf_dir, "lineitem", "l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     yearly = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)

@@ -769,10 +769,10 @@ def bi_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact at cluster width before the per-row decimal/string digit
     # extraction (r16, guide §2.2/§2.5 — see plans/bi.py q02; counts
     # exact)
-    from ..operators.partitioning import to_cluster_width
+    from ..sources.tables import load_fact_wide
 
     dig = (
-        to_cluster_width(load_table(spark, sf_dir, "orders"), "o_orderkey")
+        load_fact_wide(spark, sf_dir, "orders", "o_orderkey")
         .select(
             F.substring(y4.cast("string"), 1, 1)
             .cast("bigint")

@@ -246,9 +246,9 @@ def bi_pareto_brand_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact at cluster width before the join+decimal pass (r16, guide
     # §2.2/§2.5 — see plans/bi.py q02; decimal sums associative and
     # the Pareto cut compares integer-scaled decimals)
-    from ..operators.partitioning import to_cluster_width
+    from ..sources.tables import load_fact_wide
 
-    li = to_cluster_width(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+    li = load_fact_wide(spark, sf_dir, "lineitem", "l_orderkey")
     pt = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey"), F.col("p_brand").alias("brand")
     )
@@ -339,9 +339,9 @@ def bi_revenue_hhi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand-grain table; the final groupBy(type) is type-cardinality."""
     # fact at cluster width before the join+decimal pass (r16 — see
     # q02; shares go through fixed_point_sum, parallelism-independent)
-    from ..operators.partitioning import to_cluster_width
+    from ..sources.tables import load_fact_wide
 
-    li = to_cluster_width(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+    li = load_fact_wide(spark, sf_dir, "lineitem", "l_orderkey")
     pt = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.col("p_type").alias("part_type"),

@@ -23,8 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import dec, revenue_expr, sum_money
 from ..functions.derived import acctbal_segment
-from ..operators.partitioning import to_cluster_width
-from ..sources.tables import load_table
+from ..sources.tables import load_fact_wide, load_table
 from .registry import query
 
 # DuckDB-side twin of functions.money.revenue_expr — exact decimal math
@@ -80,10 +79,9 @@ def q02_monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join + exact-decimal arithmetic ran serially regardless
     of core count; decimal sums are associative, so the result is
     partitioning-independent (measured on the k4 twin: 1.2 -> 0.7 s
-    warm at sf0.1)."""
-    lineitem = to_cluster_width(
-        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
-    )
+    warm at sf0.1; the repartition is skipped automatically on
+    well-split inputs — see sources.tables.load_fact_wide)."""
+    lineitem = load_fact_wide(spark, sf_dir, "lineitem", "l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
@@ -216,9 +214,7 @@ def k4_category_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     # fact at cluster width before the join+decimal pass — see q02
-    lineitem = to_cluster_width(
-        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
-    )
+    lineitem = load_fact_wide(spark, sf_dir, "lineitem", "l_orderkey")
     part = load_table(spark, sf_dir, "part")
     rev_e = revenue_expr()
     cost_e = dec("l_quantity") * dec("p_retailprice") * F.lit(0.6).cast("decimal(3,2)")

@@ -1046,19 +1046,18 @@ def text_langid_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, not of the corpus); the sweep is a map-side-combined
     8-group aggregate. Column names precision_/recall_ carry the
     trailing underscore because bare 'precision' is a DuckDB keyword."""
-    from ..operators.partitioning import to_cluster_width
+    from ..sources.tables import load_fact_wide
     from ..operators.text import stopword_count_expr
 
     # cluster width BEFORE the regex ratio + 8x fanout (r16, guide
-    # §2.2/§2.5): the corpus scans as ONE task at file granularity, so
-    # the regex pass AND the fanned-out confusion aggregation ran
-    # serially regardless of core count (measured 1.95 s -> 0.78 s warm
-    # at sf0.1). Result-identical: every output cell is an exact BIGINT
-    # sum (partitioning cannot reorder float math — the divisions
-    # happen on the aggregated integers).
-    docs = to_cluster_width(
-        load_table(spark, sf_dir, "documents"), "doc_id"
-    )
+    # §2.2/§2.5): a one-file corpus scans as ONE task, so the regex
+    # pass AND the fanned-out confusion aggregation ran serially
+    # regardless of core count (measured 1.95 s -> 0.78 s warm at
+    # sf0.1; skipped automatically on well-split inputs — see
+    # load_fact_wide). Result-identical: every output cell is an exact
+    # BIGINT sum (partitioning cannot reorder float math — the
+    # divisions happen on the aggregated integers).
+    docs = load_fact_wide(spark, sf_dir, "documents", "doc_id")
 
     n_tok = token_count_expr("text").cast("double")
     n_stop = stopword_count_expr("text").cast("double")

@@ -168,11 +168,9 @@ def etl_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact at cluster width before the stack melt + partial distinct
     # aggregation (r16, guide §2.2/§2.5 — see plans/bi.py q02; counts
     # exact, min/max lexicographic — both partitioning-independent)
-    from ..operators.partitioning import to_cluster_width
+    from ..sources.tables import load_fact_wide
 
-    melted = to_cluster_width(
-        load_table(spark, sf_dir, "orders"), "o_orderkey"
-    ).select(
+    melted = load_fact_wide(spark, sf_dir, "orders", "o_orderkey").select(
         F.expr(
             f"stack({len(_PROFILE_COLS)}, "
             + ", ".join(stack_args)

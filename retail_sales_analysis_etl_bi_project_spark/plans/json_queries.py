@@ -72,11 +72,9 @@ def events_json_and_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # get_json_object calls per row ran serially at input-file
     # granularity. Aggregates are exact (bigint / fixed-point decimal;
     # missing_filled_sum adds exact 0.0s), so partitioning-independent.
-    from ..operators.partitioning import to_cluster_width
+    from ..sources.tables import load_fact_wide
 
-    events = to_cluster_width(
-        load_table(spark, sf_dir, "events"), "event_id"
-    )
+    events = load_fact_wide(spark, sf_dir, "events", "event_id")
     parsed = events.withColumn(
         "props_map", F.from_json("props", MapType(StringType(), LongType()))
     )

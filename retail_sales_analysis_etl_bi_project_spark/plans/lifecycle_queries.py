@@ -488,11 +488,9 @@ def join_scd2_pit_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through both broadcast joins and the containment filter.
     # Aggregates are an exact-decimal sum and a count — partitioning-
     # independent.
-    from ..operators.partitioning import to_cluster_width
+    from ..sources.tables import load_fact_wide
 
-    lineitem = to_cluster_width(
-        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
-    )
+    lineitem = load_fact_wide(spark, sf_dir, "lineitem", "l_orderkey")
     o = orders.select(
         "o_custkey",
         "o_orderpriority",

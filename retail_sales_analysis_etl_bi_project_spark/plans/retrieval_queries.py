@@ -395,16 +395,15 @@ def corpus_decontaminate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately shuffles) — the contamination check is one gram-keyed
     equi-join between the explode and the distinct eval grams, both
     already partitioned by the join key. Readout is doc grain."""
-    from ..operators.partitioning import to_cluster_width
+    from ..sources.tables import load_fact_wide
 
     # cluster width before the tokenize + shingle explode (r16, guide
     # §2.2/§2.5): the gram pipeline below is referenced three times
     # (eval grams, train totals, the contamination join) and each
-    # evaluation ran serially at input-file granularity. Downstream
-    # aggregates are exact BIGINT counts — result-identical.
-    docs = to_cluster_width(
-        load_table(spark, sf_dir, "documents"), "doc_id"
-    ).select(
+    # evaluation ran serially at input-file granularity (skipped on
+    # well-split inputs — load_fact_wide). Downstream aggregates are
+    # exact BIGINT counts — result-identical.
+    docs = load_fact_wide(spark, sf_dir, "documents", "doc_id").select(
         "doc_id",
         tokens_expr(F.col("text")).alias("_toks"),
         _split_col(_LEAK_TRAIN_CUT, _LEAK_VAL_CUT).alias("split"),
@@ -495,16 +494,17 @@ def text_boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is against the broadcast source-count table (source
     cardinality ~10³); the readout is source grain. The explode is the
     same single corpus pass every shingle query shares."""
-    from ..operators.partitioning import to_cluster_width
+    from ..sources.tables import load_fact_wide
 
     # cluster width BEFORE the tokenize + shingle explode (r16, guide
-    # §2.2/§2.5): the corpus scans as one task at file granularity, so
-    # the compute-heavy shingling ran serially ahead of the first
-    # shuffle. Result-identical: every aggregate downstream is an exact
-    # BIGINT count (no float summation order anywhere).
-    docs = to_cluster_width(
-        load_table(spark, sf_dir, "documents"), "doc_id"
-    ).select("doc_id", "source", tokens_expr(F.col("text")).alias("_toks"))
+    # §2.2/§2.5): a one-file corpus scans as one task, so the
+    # compute-heavy shingling ran serially ahead of the first shuffle
+    # (skipped automatically on well-split inputs — load_fact_wide).
+    # Result-identical: every aggregate downstream is an exact BIGINT
+    # count (no float summation order anywhere).
+    docs = load_fact_wide(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "source", tokens_expr(F.col("text")).alias("_toks")
+    )
     grams = docs.select(
         "source",
         F.explode(shingles_from_tokens(F.col("_toks"), 3)).alias("g"),

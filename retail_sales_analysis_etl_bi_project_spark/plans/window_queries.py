@@ -40,11 +40,9 @@ def window_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — never window over the raw fact."""
     # fact at cluster width before the join+decimal pass (r16, guide
     # §2.2/§2.5 — see plans/bi.py q02; decimal sums associative)
-    from ..operators.partitioning import to_cluster_width
+    from ..sources.tables import load_fact_wide
 
-    lineitem = to_cluster_width(
-        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
-    )
+    lineitem = load_fact_wide(spark, sf_dir, "lineitem", "l_orderkey")
     part = load_table(spark, sf_dir, "part")
     rev = (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)

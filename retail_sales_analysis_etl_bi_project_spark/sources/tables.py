@@ -135,6 +135,60 @@ def clear_schema_cache() -> None:
     _SCHEMA_CACHE.clear()
 
 
+def _leaf_file_count(path: str) -> int:
+    """Number of parquet data files under ``path`` (1 for a plain
+    file) — a cheap lower bound on scan parallelism. Single-row-group
+    files (this driver's testdata) cannot parallelize past one task
+    per file no matter the split confs, so file count is exactly the
+    effective scan width there; for multi-row-group production files
+    it UNDERcounts splits, which only makes load_fact_wide more
+    conservative (it skips the shuffle sooner)."""
+    try:
+        if not os.path.isdir(path):
+            return 1
+        return max(
+            1,
+            sum(
+                1
+                for n in os.listdir(path)
+                if n.endswith(".parquet") or n.startswith("part-")
+            ),
+        )
+    except OSError:
+        return 1
+
+
+def load_fact_wide(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """``load_table`` + a cluster-width repartition ONLY when the file
+    layout scans narrower than half the cluster (r16, guide §2.2/§2.5).
+
+    Why conditional: row-expensive per-row work (regex, JSON parse,
+    exact-decimal arithmetic, join fanout) upstream of the first
+    shuffle runs at scan granularity — one task per single-row-group
+    file — so a one-file corpus serializes the whole stage regardless
+    of core count (measured: the width batch in OPTIMIZATION_r16.md §7
+    roughly halves 17 queries at sf0.1). But when the input already
+    arrives well split, the same repartition pays a full input shuffle
+    for little or no extra width (measured on a 16-file 20x fixture:
+    q02 2.8 s -> 3.8 s with the unconditional shuffle). File count is
+    read from the loader's own path (no .rdd — that would force
+    physical planning, the localCheckpoint cost lesson).
+
+    Callers use this ONLY where every downstream aggregate is
+    partitioning-independent (exact decimal / BIGINT counts /
+    fixed_point_sum / exact percentile) — the safety argument lives at
+    each call site."""
+    from ..operators.partitioning import to_cluster_width
+
+    df = load_table(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    if 2 * _leaf_file_count(f"{sf_dir}/{name}.parquet") >= n:
+        return df
+    return to_cluster_width(df, key)
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalise ``events.ts`` to a microsecond ``TimestampType`` from
     whichever shape the parquet scan produced (see load_table docstring).

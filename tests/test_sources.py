@@ -117,3 +117,36 @@ def test_long_arm_via_parquet_fixture(spark, tmp_path):
     out = load_table(spark, str(tmp_path), "events")
     assert isinstance(out.schema["ts"].dataType, TimestampType)
     assert out.collect()[0]["ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+
+
+def test_load_fact_wide_repartitions_narrow_layouts_only(spark, sf_dir, tmp_path):
+    """load_fact_wide must widen a single-file scan to cluster width
+    (the row-cost-vs-byte-cost fix) but SKIP the shuffle when the file
+    layout already scans at >= half the cluster width — and the rows
+    must be identical either way (r16)."""
+    from retail_sales_analysis_etl_bi_project_spark.sources.tables import (
+        load_fact_wide,
+        load_table,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    # driver testdata: one single-row-group file -> widened
+    narrow = load_fact_wide(spark, sf_dir, "orders", "o_orderkey")
+    assert narrow.rdd.getNumPartitions() == n
+    # well-split layout: >= n/2 part files -> scan served as-is
+    src = load_table(spark, sf_dir, "orders")
+    src.repartition(n).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    wide = load_fact_wide(spark, str(tmp_path), "orders", "o_orderkey")
+    # no repartition node: the plan is the bare scan
+    assert "repartitionbyexpression" not in (
+        wide._jdf.queryExecution().analyzed().toString().lower()
+    )
+    assert "repartitionbyexpression" in (
+        narrow._jdf.queryExecution().analyzed().toString().lower()
+    )
+    # rows identical across both paths
+    a = sorted(r.o_orderkey for r in narrow.select("o_orderkey").collect())
+    b = sorted(r.o_orderkey for r in wide.select("o_orderkey").collect())
+    assert a == b

@@ -86,7 +86,7 @@ def main() -> None:
         # write with natural output partitioning (multiple files —
         # unlike the single-row-group driver testdata, a corpus this
         # size would arrive split)
-        u.repartition(16).write.mode("overwrite").parquet(
+        u.repartition(64).write.mode("overwrite").parquet(
             f"{out}/{name}.parquet"
         )
         print(name, f"x{k} written")
