@@ -48,8 +48,9 @@ REVENUE_SQL = (
 def q01_top5_products_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference q1: SUM(total_amount) GROUP BY product_name ORDER BY DESC
     FETCH FIRST 5 (docx:q1). Spark plans TakeOrderedAndProject — no global
-    sort materialization. Tie-broken on name for determinism."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    sort materialization. Tie-broken on name for determinism.
+    Fact at cluster width before the join+decimal pass — see q02."""
+    lineitem = load_fact_wide(spark, sf_dir, "lineitem", "l_orderkey")
     part = load_table(spark, sf_dir, "part")
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
@@ -139,8 +140,9 @@ def q03_revenue_by_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def q04_custbal_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference q4: CASE age-bucket contribution (docx:q4); c_acctbal
-    plays the role of age (P15 bucketing operator)."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    plays the role of age (P15 bucketing operator).
+    Fact at cluster width before the join+decimal pass — see q02."""
+    lineitem = load_fact_wide(spark, sf_dir, "lineitem", "l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (

@@ -70,8 +70,15 @@ def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: single-scan multi-aggregate with a pushed-down
     date filter — the canonical columnar-scan + partial-agg benchmark.
-    All sums exact decimal; averages = exact sum / exact count."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    All sums exact decimal; averages = exact sum / exact count.
+
+    Fact at cluster width before the decimal multi-aggregate (r16 —
+    see plans/bi.py q02). The date predicate still reaches the scan:
+    Catalyst pushes filters through RepartitionByExpression (verified
+    in plans/r16/tpch_q1_pricing_summary_after.txt PushedFilters)."""
+    from ..sources.tables import load_fact_wide
+
+    lineitem = load_fact_wide(spark, sf_dir, "lineitem", "l_orderkey")
     one = F.lit(1).cast("decimal(12,2)")
     disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
     charge = disc_price * (one + dec("l_tax"))
