@@ -128,6 +128,12 @@ def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-grain blowups is documented in SCALE.md §KS); the rest-ECDF
     derives from the SAME grid (Σ_t c_t per value — no second scan),
     and the answer is |types| rows."""
+    # NOT persisted, by measurement (r16): the (type, value) count
+    # table roots four subtrees, but a memo_persist of it measured
+    # 1.99 s vs 1.47 s warm standalone — at this value-grain size the
+    # cache write+read costs more than re-running the map-side-combined
+    # groupBy (the same negative result as the quartile input persists;
+    # persist KB-scale OUTPUTS, not value-grain intermediates).
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     g = ev.groupBy("event_type", "value").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
